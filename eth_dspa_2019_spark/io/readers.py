@@ -1,0 +1,53 @@
+"""Batch readers.
+
+Driver testdata (TESTDATA.md): TPC-H-ish parquet star schema + an ``events``
+stream table + ``documents``/``embeddings`` for the LLM-pipeline operators.
+
+Social-network pipe-CSV readers (the reference's native input format,
+`SN/cleaning/StreamsCleaner.java:48,65,177`) live in
+:mod:`eth_dspa_2019_spark.sources.activity`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-testdata parquet table.
+
+    Plain ``spark.read.parquet`` so Catalyst sees a pushdown-capable scan
+    (filters/column pruning reach the parquet reader — check
+    ``PushedFilters``/``ReadSchema`` in ``.explain``).
+    """
+    # Defensive: the caller may hand us a session built without our factory
+    # (the driver harness does). Both confs are runtime-settable and required
+    # for cross-engine parity: UTC pins NTZ→epoch math, nanosAsLong makes the
+    # events table readable at all.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the file, surfaced as int64 nanos via
+        # spark.sql.legacy.parquet.nanosAsLong (session.py). Truncate to
+        # micros exactly like DuckDB does when it loads the same file.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}

@@ -1,0 +1,14 @@
+"""Query registry: every operator from SURVEY.md §2 is exposed as a named
+query over the driver testdata, with a DuckDB oracle SQL string where the
+semantics are ANSI-SQL-expressible.
+
+Importing this package registers all queries.
+"""
+
+from .registry import QuerySpec, all_queries, oracle_map, register
+
+# Importing the plan modules populates the registry.
+from . import relational  # noqa: E402,F401
+from . import windowed  # noqa: E402,F401
+
+__all__ = ["QuerySpec", "register", "all_queries", "oracle_map"]
