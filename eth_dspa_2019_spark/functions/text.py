@@ -1,0 +1,86 @@
+"""Text-analysis column expressions (LLM-pipeline operators + the
+reference's content features).
+
+The reference computes content length and unique-words ratio for anomaly
+detection (`SN/task/anomalydetection/AnomalousUserDetector.java:123,131,
+203-207`); these generalize that surface to the usual training-data
+quality-scoring stack. Everything is built from JVM-side
+``pyspark.sql.functions`` — no Python UDFs on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small fixed lexicons; must stay in sync with the oracle SQL (plans use
+# the *_sql helpers below so there is a single source of truth).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+# Marker lexicons for the n-gram/keyword language-ID heuristic. On real
+# text these would be per-language frequent-word profiles.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens. Documents in the testdata are single-space
+    normalized; use ``F.split(col, r'\\s+')`` for raw text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def token_count(toks: Column) -> Column:
+    return F.size(toks).cast("bigint")
+
+
+def uniq_ratio(toks: Column) -> Column:
+    """distinct/total tokens — `AnomalousUserDetector.java:203-207`."""
+    return F.size(F.array_distinct(toks)) / F.size(toks)
+
+
+def stopword_ratio(toks: Column) -> Column:
+    in_set = F.array([F.lit(w) for w in STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(in_set, t)))
+    return hits / F.size(toks)
+
+
+def mean_token_len(toks: Column) -> Column:
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return total / F.size(toks)
+
+
+def quality_score(toks: Column) -> Column:
+    """Length/diversity/stopword blend in [0,1] — deterministic double
+    arithmetic, mirrored exactly in the oracle SQL."""
+    len_term = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+    return 0.5 * len_term + 0.3 * uniq_ratio(toks) + 0.2 * (
+        1.0 - stopword_ratio(toks)
+    )
+
+
+def lang_hits(toks: Column, lang: str) -> Column:
+    markers = F.array([F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+
+def lang_guess(toks: Column) -> Column:
+    """Argmax over marker-hit counts, ties broken en > de > fr (mirrors the
+    CASE chain in the oracle)."""
+    en, de, fr = (lang_hits(toks, lg) for lg in ("en", "de", "fr"))
+    return (
+        F.when((en >= de) & (en >= fr), F.lit("en"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )

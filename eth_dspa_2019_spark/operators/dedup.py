@@ -1,0 +1,243 @@
+"""Deduplication operator family for large-scale document corpora.
+
+Reusable DataFrame→DataFrame operators: exact (hash-groupBy), n-gram
+Jaccard, MinHash+LSH, SimHash. Everything is expressed with built-in
+column functions + joins so Catalyst parallelizes it; the only quadratic
+step is always *within an LSH/band bucket*, never across the corpus —
+that's the property that survives a 100× scale-up.
+
+Hashes are the md5-derived :func:`~eth_dspa_2019_spark.functions.hashing.h64`
+so the DuckDB oracle can reproduce identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import h64, h64_perm
+from ..functions.text import tokens
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Pure array ops (sequence/transform/concat_ws) — stays in whole-stage
+    codegen; one output row per distinct shingle.
+    """
+    toks = tokens(text_col)
+    parts = ", ".join(f"toks[i - 1 + {k}]" for k in range(n))
+    shingle_arr = F.expr(
+        f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select("id", F.explode(shingle_arr).alias("shingle"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
+    """Exact dedup by key hash: one canonical (min id) row per key, with
+    the duplicate count. Single hash-shuffle on the key."""
+    return (
+        df.select(F.col(id_col).alias("id"), h64(key).alias("key_hash"))
+        .groupBy("key_hash")
+        .agg(F.min("id").alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _pair_jaccard(sh: DataFrame) -> DataFrame:
+    """All-pairs Jaccard from a (id, shingle) relation. The shingle
+    equi-join bounds candidates to docs sharing ≥1 shingle."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
+
+    Exact but worst-case quadratic when shingles are hot — the scale path
+    is :func:`minhash_lsh_pairs`, which bounds the join to LSH buckets.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    sh: DataFrame, num_perm: int = 16
+) -> DataFrame:
+    """(id, m0..m{P-1}) MinHash signature via P derived hashes, computed in
+    ONE aggregation pass over the shingle relation (P min-aggregates), not
+    P passes."""
+    aggs = [
+        F.min(h64_perm("shingle", p)).alias(f"m{p}") for p in range(num_perm)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation + exact-Jaccard verify.
+
+    bands×rows = num_perm; a pair is a candidate iff some band of the
+    signature matches exactly (hash-join on (band_id, band_key) after
+    exploding signatures to band rows — never an all-pairs comparison).
+    Candidates are then verified with exact shingle Jaccard ≥ threshold,
+    so false positives cost time, not correctness; false negatives follow
+    the standard (1-j^rows)^bands LSH miss curve.
+    """
+    rows = num_perm // bands
+    sh = shingles(df, id_col, text_col, n)
+    sigs = minhash_signatures(sh, num_perm)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    ",", *[F.col(f"m{b * rows + r}") for r in range(rows)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    band_rows = sigs.select(
+        "id", F.explode(band_structs).alias("band")
+    ).select("id", "band.band_id", "band.band_key")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    exact = _pair_jaccard(sh)
+    return candidates.join(exact, ["doc_a", "doc_b"]).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 48,
+) -> DataFrame:
+    """(id, simhash) — classic SimHash over token hashes, ``bits`` wide
+    (≤62 keeps the BIGINT positive).
+
+    The bit-vote sum is computed by exploding (token, bit) pairs and
+    aggregating JVM-side; at extreme scale the same votes pre-aggregate
+    per partition (partial agg) so the shuffle carries ≤ 2^bits rows per
+    doc-partition, not per token.
+    """
+    tok = (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+        .select("id", F.explode("toks").alias("tok"))
+        .select("id", h64("tok").alias("h"))
+    )
+    votes = (
+        tok.select("id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
+        .groupBy("id", "b")
+        .agg(
+            F.sum(
+                F.when(F.shiftright(F.col("h"), F.col("b")).bitwiseAND(1) == 1, 1)
+                .otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(
+                F.col("vote") > 0,
+                F.shiftleft(F.lit(1).cast("bigint"), F.col("b")),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 48,
+    band_bits: int = 12,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, candidates
+    restricted to pairs agreeing on at least one ``band_bits``-wide chunk
+    (pigeonhole: distance ≤ bands-1 guarantees a matching band)."""
+    sims = simhash(df, id_col, text_col, bits)
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftright(F.col("simhash"), i * band_bits)
+                .bitwiseAND(mask)
+                .alias("band_key"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    band_rows = sims.select(
+        "id", "simhash", F.explode(band_structs).alias("band")
+    ).select("id", "simhash", "band.band_id", "band.band_key")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
