@@ -51,16 +51,40 @@ def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
     )
 
 
-def _pair_jaccard(sh: DataFrame) -> DataFrame:
-    """All-pairs Jaccard from a (id, shingle) relation. The shingle
-    equi-join bounds candidates to docs sharing ≥1 shingle."""
+def _pair_jaccard(sh: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """Jaccard from a (id, shingle) relation.
+
+    Without ``candidates``: all pairs sharing ≥1 shingle (the shingle
+    equi-join bounds the candidate space). With ``candidates`` (doc_a,
+    doc_b): the shingle relation is first restricted to candidate pairs —
+    the common-shingle join is computed for candidates ONLY, never for the
+    full corpus. This is what keeps the LSH path sub-quadratic: the join
+    graph is candidates ⋈ sh ⋈ sh, and Catalyst never sees (or builds) the
+    all-pairs shingle self-join.
+    """
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    if candidates is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        common = (
+            candidates.join(sh.alias("a"), F.col("a.id") == F.col("doc_a"))
+            .join(
+                sh.alias("b"),
+                (F.col("b.id") == F.col("doc_b"))
+                & (F.col("a.shingle") == F.col("b.shingle")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     sa = sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))
     return (
@@ -118,10 +142,17 @@ def minhash_lsh_pairs(
     bands×rows = num_perm; a pair is a candidate iff some band of the
     signature matches exactly (hash-join on (band_id, band_key) after
     exploding signatures to band rows — never an all-pairs comparison).
-    Candidates are then verified with exact shingle Jaccard ≥ threshold,
+    Candidates are then verified with exact shingle Jaccard ≥ threshold
+    (computed for the candidate pairs only — see :func:`_pair_jaccard`),
     so false positives cost time, not correctness; false negatives follow
     the standard (1-j^rows)^bands LSH miss curve.
     """
+    if bands <= 0 or bands > num_perm:
+        raise ValueError(f"bands must be in 1..num_perm, got {bands}/{num_perm}")
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands})"
+        )
     rows = num_perm // bands
     sh = shingles(df, id_col, text_col, n)
     sigs = minhash_signatures(sh, num_perm)
@@ -150,8 +181,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
     )
-    exact = _pair_jaccard(sh)
-    return candidates.join(exact, ["doc_a", "doc_b"]).filter(
+    return _pair_jaccard(sh, candidates=candidates).filter(
         F.col("jaccard") >= threshold
     )
 
@@ -165,34 +195,30 @@ def simhash(
     """(id, simhash) — classic SimHash over token hashes, ``bits`` wide
     (≤62 keeps the BIGINT positive).
 
-    The bit-vote sum is computed by exploding (token, bit) pairs and
-    aggregating JVM-side; at extreme scale the same votes pre-aggregate
-    per partition (partial agg) so the shuffle carries ≤ 2^bits rows per
-    doc-partition, not per token.
+    All ``bits`` bit-votes are computed as conditional aggregates in ONE
+    groupBy over the token rows (no (token, bit) explode): the shuffle
+    carries one ``bits``-column partial per doc per map partition — Spark's
+    partial+final aggregation does the per-partition pre-sum for free.
     """
     tok = (
         df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
         .select("id", F.explode("toks").alias("tok"))
         .select("id", h64("tok").alias("h"))
     )
-    votes = (
-        tok.select("id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
-        .groupBy("id", "b")
-        .agg(
-            F.sum(
-                F.when(F.shiftright(F.col("h"), F.col("b")).bitwiseAND(1) == 1, 1)
-                .otherwise(-1)
-            ).alias("vote")
-        )
-    )
-    return votes.groupBy("id").agg(
+    vote_aggs = [
         F.sum(
-            F.when(
-                F.col("vote") > 0,
-                F.shiftleft(F.lit(1).cast("bigint"), F.col("b")),
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("simhash")
-    )
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    votes = tok.groupBy("id").agg(*vote_aggs)
+    sim = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        sim = term if sim is None else sim + term
+    return votes.select("id", sim.alias("simhash"))
 
 
 def simhash_pairs(
@@ -200,14 +226,23 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 48,
-    band_bits: int = 12,
+    band_bits: int = 6,
     max_hamming: int = 6,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, candidates
-    restricted to pairs agreeing on at least one ``band_bits``-wide chunk
-    (pigeonhole: distance ≤ bands-1 guarantees a matching band)."""
+    restricted to pairs agreeing on at least one ``band_bits``-wide chunk.
+
+    Pigeonhole: distance ≤ bands-1 guarantees a matching band, so complete
+    recall requires ``bits // band_bits > max_hamming`` — enforced here
+    (defaults 48/6 → 8 bands, covers Hamming ≤ 7 ≥ max_hamming=6).
+    """
     sims = simhash(df, id_col, text_col, bits)
     n_bands = bits // band_bits
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"bits//band_bits ({n_bands}) bands cannot guarantee recall for "
+            f"max_hamming={max_hamming}; need bands > max_hamming"
+        )
     mask = (1 << band_bits) - 1
     band_structs = F.array(
         *[

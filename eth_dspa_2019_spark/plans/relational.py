@@ -242,9 +242,9 @@ def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFra
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
-    return c.join(
-        o, c.c_custkey == o.o_custkey, "left_anti"
-    ).select("c_custkey").distinct()
+    # c_custkey is already unique — no distinct needed after the anti-join
+    # (the oracle's EXCEPT dedups; the Spark side would only add a shuffle).
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
 @register(
