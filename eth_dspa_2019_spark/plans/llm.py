@@ -1,0 +1,339 @@
+"""Registered LLM-training-data-pipeline queries over ``documents.parquet``:
+deduplication (exact / n-gram Jaccard / MinHash+LSH / SimHash), text quality
+scoring, language ID, and document fingerprinting.
+
+These register the operator library in :mod:`eth_dspa_2019_spark.operators.dedup`
+and :mod:`eth_dspa_2019_spark.functions.text` with the correctness gate. Each
+DuckDB oracle is GENERATED from the same constants as the Spark plan (shingle
+width, permutation count, band layout, stopword list), so the two sides cannot
+drift apart; the md5-derived :func:`~eth_dspa_2019_spark.functions.hashing.h64`
+hashes are bit-identical across engines by construction.
+
+The reference's text-feature surface is content length and unique-words ratio
+(`SN/task/anomalydetection/AnomalousUserDetector.java:123,131,203-207`); the
+dedup/fingerprint family is the 100-TB-pipeline extension of that surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import o_h64, o_h64_perm
+from ..functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    lang_guess,
+    mean_token_len,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    tokens,
+    uniq_ratio,
+)
+from ..operators import dedup as dd
+from ..io.readers import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Shared constants (single source of truth for Spark plan + DuckDB oracle)
+
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.2
+NUM_PERM = 16
+BANDS = 8  # rows = 2 → candidate prob 1-(1-j^2)^8: catches j≥0.3 reliably
+SIMHASH_BITS = 48
+SIMHASH_BAND_BITS = 6  # 8 bands → pigeonhole-complete for Hamming ≤ 7
+SIMHASH_MAX_HAMMING = 7
+FINGERPRINT_GRAM = 8
+DEDUP_PREFIX = 64
+
+# DuckDB-side shingle relation (id, shingle), mirroring operators.dedup.shingles
+_O_SHINGLES = f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(range(1, len(t) - {SHINGLE_N - 2})) AS i
+            FROM toks WHERE len(t) >= {SHINGLE_N}),
+    sh AS (SELECT DISTINCT doc_id AS id,
+                  {" || ' ' || ".join(f"t[i + {k}]" for k in range(SHINGLE_N))} AS shingle
+           FROM idx),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id)
+"""
+
+
+def _o_jaccard_select(common_rel: str) -> str:
+    return f"""
+    SELECT c.doc_a, c.doc_b,
+           c.common / (sa.n + sb.n - c.common) AS jaccard
+    FROM {common_rel} c
+    JOIN sizes sa ON c.doc_a = sa.id
+    JOIN sizes sb ON c.doc_b = sb.id
+    WHERE c.common / (sa.n + sb.n - c.common) >= {JACCARD_THRESHOLD}
+    """
+
+
+@register(
+    "exact_dedup_prefix64",
+    oracle=f"""
+    SELECT {o_h64(f'substring(text, 1, {DEDUP_PREFIX})')} AS key_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def exact_dedup_prefix64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content-prefix hash: one canonical (min-id) row per
+    key + duplicate count — single hash shuffle on the 60-bit key, the only
+    dedup strategy that is exactly linear at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, "doc_id", F.substring("text", 1, DEDUP_PREFIX))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_O_SHINGLES},
+    common AS (
+      SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    {_o_jaccard_select('common')}
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs ≥ threshold. Candidates bounded
+    by the shingle equi-join (docs sharing ≥1 shingle); the scale path is
+    ``minhash_lsh_pairs_q``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=SHINGLE_N, threshold=JACCARD_THRESHOLD
+    )
+
+
+def _o_minhash_bands() -> str:
+    """DuckDB mirror of minhash_signatures + banded explode."""
+    rows = NUM_PERM // BANDS
+    mins = ", ".join(
+        f"min({o_h64_perm('shingle', p)}) AS m{p}" for p in range(NUM_PERM)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {b} AS band_id, "
+        + " || ',' || ".join(f"m{b * rows + r}" for r in range(rows))
+        + " AS band_key FROM sigs"
+        for b in range(BANDS)
+    )
+    return f"""
+    sigs AS (SELECT id, {mins} FROM sh GROUP BY id),
+    band_rows AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+      FROM band_rows a
+      JOIN band_rows b ON a.band_id = b.band_id
+                      AND a.band_key = b.band_key AND a.id < b.id
+    )
+    """
+
+
+@register(
+    "minhash_lsh_pairs_q",
+    oracle=f"""
+    WITH {_O_SHINGLES},
+    {_o_minhash_bands()},
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS common
+      FROM cand c
+      JOIN sh a ON a.id = c.doc_a
+      JOIN sh b ON b.id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    {_o_jaccard_select('common')}
+    """,
+)
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 8-band LSH candidates + exact-Jaccard verify on the
+    candidates only — the sub-quadratic dedup path. The oracle implements
+    the identical band layout, so the match checks the LSH mechanics, not
+    just the final filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=SHINGLE_N,
+        num_perm=NUM_PERM,
+        bands=BANDS,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _o_simhash() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = " UNION ALL ".join(
+        f"SELECT id, simhash, {i} AS band_id, "
+        f"(simhash >> {i * SIMHASH_BAND_BITS}) & {mask} AS band_key FROM sims"
+        for i in range(n_bands)
+    )
+    return f"""
+    tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tokstr
+            FROM documents),
+    th AS (SELECT id, {o_h64('tokstr')} AS h FROM tok),
+    votes AS (SELECT id, {votes} FROM th GROUP BY id),
+    sims AS (SELECT id, cast({sim} AS bigint) AS simhash FROM votes),
+    band_rows AS ({bands})
+    """
+
+
+@register(
+    "simhash_pairs_q",
+    oracle=f"""
+    WITH {_o_simhash()}
+    SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM band_rows a
+    JOIN band_rows b ON a.band_id = b.band_id
+                    AND a.band_key = b.band_key AND a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(48-bit) near-dup pairs, Hamming ≤ 7, candidates from 6-bit
+    band agreement (8 bands → pigeonhole-complete recall at ≤7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_pairs(
+        docs,
+        "doc_id",
+        "text",
+        bits=SIMHASH_BITS,
+        band_bits=SIMHASH_BAND_BITS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text quality / language ID
+
+
+def _sql_in_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _o_lang_case() -> str:
+    hits = {
+        lg: f"len(list_filter(t, x -> list_contains({_sql_in_list(m)}, x)))"
+        for lg, m in LANG_MARKERS.items()
+    }
+    return f"""
+    CASE WHEN {hits['en']} >= {hits['de']} AND {hits['en']} >= {hits['fr']} THEN 'en'
+         WHEN {hits['de']} >= {hits['fr']} THEN 'de'
+         ELSE 'fr' END
+    """
+
+
+@register(
+    "doc_quality",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id,
+           cast(len(t) AS bigint) AS n_tokens,
+           len(list_distinct(t)) / len(t) AS uniq_ratio,
+           len(list_filter(t, x -> list_contains({_sql_in_list(STOPWORDS)}, x)))
+             / len(t) AS stopword_ratio,
+           list_sum(list_transform(t, x -> cast(length(x) AS bigint))) / len(t)
+             AS mean_token_len,
+           0.5 * least(len(t) / 100.0, 1.0)
+             + 0.3 * (len(list_distinct(t)) / len(t))
+             + 0.2 * (1.0 - len(list_filter(t, x ->
+                 list_contains({_sql_in_list(STOPWORDS)}, x))) / len(t))
+             AS quality_score,
+           {_o_lang_case()} AS lang_guess
+    FROM toks
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics (token count, lexical diversity,
+    stopword ratio, mean token length, blended score) + marker-lexicon
+    language ID — all JVM-side column expressions, no UDFs (F4/F5 of the
+    reference generalized to the training-data quality stack)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        uniq_ratio(t).alias("uniq_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        mean_token_len(t).alias("mean_token_len"),
+        quality_score(t).alias("quality_score"),
+        lang_guess(t).alias("lang_guess"),
+    )
+
+
+@register(
+    "lang_confusion",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                  FROM documents)
+    SELECT lang AS declared_lang, {_o_lang_case()} AS guessed_lang,
+           count(*) AS n_docs
+    FROM toks
+    GROUP BY 1, 2
+    """,
+)
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-guessed language confusion matrix — aggregate over the
+    language-ID expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    return (
+        docs.select(
+            F.col("lang").alias("declared_lang"),
+            lang_guess(t).alias("guessed_lang"),
+        )
+        .groupBy("declared_lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(length(text) - {FINGERPRINT_GRAM - 1}, 1) + 1))
+               AS i,
+             text
+      FROM documents
+    )
+    SELECT doc_id,
+           min({o_h64(f'substring(text, i, {FINGERPRINT_GRAM})')}) AS fingerprint,
+           min({o_h64('text')}) AS full_hash
+    FROM grams
+    GROUP BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min 60-bit hash over all 8-char
+    grams (min-sampling winnowing) + the full-content hash. Array
+    expressions only — one row in, one row out, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    gram_hash = (
+        f"transform(sequence(1, greatest(length(text) - {FINGERPRINT_GRAM - 1}, 1)), "
+        f"i -> cast(conv(substring(md5(substring(text, i, {FINGERPRINT_GRAM})), 1, 15), "
+        f"16, 10) as bigint))"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"array_min({gram_hash})").alias("fingerprint"),
+        F.expr(
+            "cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)"
+        ).alias("full_hash"),
+    )
