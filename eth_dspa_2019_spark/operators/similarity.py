@@ -1,0 +1,195 @@
+"""Vector similarity search over an ``array<float>`` embedding column.
+
+Two paths:
+
+- :func:`cosine_topk` — brute-force exact cosine top-k: broadcast the query
+  set against the corpus, JVM-side ``zip_with``/``aggregate`` dot products.
+  The baseline, and exactly what you want when the query set is small.
+- :func:`ann_topk_lsh` — random-hyperplane LSH: each vector is bucketed by
+  the sign pattern of P fixed hyperplane projections; a query only scans its
+  own bucket. At 100 TB the bucket join replaces the corpus×queries product
+  with an equi-join on the bucket key (and buckets can be made multi-probe
+  by unioning neighbor buckets).
+
+Cross-engine determinism: per-element products are computed in double
+(float32→double widening is exact, IEEE multiply is deterministic), then
+quantized to 1e-15 fixed-point BIGINTs via ``floor`` — floor of an identical
+double is identical everywhere, and integer sums are order-independent —
+so the reduction is bit-stable across Spark and DuckDB. (A decimal(38,12)
+cast is NOT enough: Spark rounds via BigDecimal.valueOf's shortest-string
+repr while DuckDB scales the raw double, and they disagree at ~1 ulp.)
+Hyperplane sign constants are Python-side md5-derived ±1 literals embedded
+identically into the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+FIXED_POINT = int(1e15)
+
+
+def plane_signs(num_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix (md5-parity), identical constants
+    for the Spark plan and the SQL oracle."""
+    return [
+        [
+            1 if hashlib.md5(f"plane{p}#dim{i}".encode()).digest()[0] % 2 == 0 else -1
+            for i in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def _fx(prod: Column) -> Column:
+    return F.floor(prod * F.lit(float(FIXED_POINT))).cast("bigint")
+
+
+def norm2_fx(emb: Column) -> Column:
+    """Σ floor(x_i²·1e15) as an exact, order-independent BIGINT."""
+    return F.aggregate(
+        emb,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + _fx(x.cast("double") * x.cast("double")),
+    )
+
+
+def dot_fx(a: Column, b: Column) -> Column:
+    """Σ floor(a_i·b_i·1e15) as an exact, order-independent BIGINT."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _fx(x.cast("double") * y.cast("double"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_sim(dot: Column, n2a: Column, n2b: Column) -> Column:
+    """Fixed-point scales cancel: dot·1e15 / (√(a·1e15)·√(b·1e15))."""
+    return dot.cast("double") / (
+        F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double"))
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, rank, cos_sim).
+
+    The query side is broadcast — the corpus is scanned once, no shuffle of
+    the corpus vectors at all; ranking shuffles only (query, candidate)
+    score rows, partitioned by query.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm2_fx(F.col(emb_col)).alias("q_n2"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("c_emb"),
+        norm2_fx(F.col(emb_col)).alias("c_n2"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_sim(
+                dot_fx(F.col("q_emb"), F.col("c_emb")),
+                F.col("q_n2"),
+                F.col("c_n2"),
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cos_sim")
+    )
+
+
+def bucket_expr(emb_col: str, signs: list[list[int]]) -> Column:
+    """LSH bucket id: bit p = [Σ_i s_{p,i}·x_i ≥ 0]. The projection is a
+    fixed left-to-right double expression — deterministic and identical to
+    the SQL oracle's expression tree."""
+    bucket = None
+    for p, row in enumerate(signs):
+        proj = None
+        for i, s in enumerate(row):
+            term = F.element_at(F.col(emb_col), i + 1).cast("double")
+            term = term if s > 0 else -term
+            proj = term if proj is None else proj + term
+        bit = F.when(proj >= 0, F.lit(1 << p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def o_bucket_expr(emb_col: str, signs: list[list[int]]) -> str:
+    """DuckDB mirror of :func:`bucket_expr` (1-based list indexing)."""
+    bits = []
+    for p, row in enumerate(signs):
+        terms = " ".join(
+            ("+ " if s > 0 else "- ") + f"cast({emb_col}[{i + 1}] AS double)"
+            for i, s in enumerate(row)
+        ).lstrip("+ ")
+        bits.append(f"(CASE WHEN {terms} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "cast(" + " + ".join(bits) + " AS bigint)"
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH buckets: a query
+    is compared only against corpus vectors in its own bucket (recall
+    follows the hyperplane collision curve; the oracle implements the same
+    algorithm, so correctness is checked as implementation parity)."""
+    signs = plane_signs(num_planes, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm2_fx(F.col(emb_col)).alias("q_n2"),
+        bucket_expr(emb_col, signs).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("c_emb"),
+        norm2_fx(F.col(emb_col)).alias("c_n2"),
+        bucket_expr(emb_col, signs).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_sim(
+                dot_fx(F.col("q_emb"), F.col("c_emb")),
+                F.col("q_n2"),
+                F.col("c_n2"),
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cos_sim")
+    )

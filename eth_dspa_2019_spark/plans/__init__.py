@@ -11,5 +11,6 @@ from .registry import QuerySpec, all_queries, oracle_map, register
 from . import relational  # noqa: E402,F401
 from . import windowed  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
+from . import vectors  # noqa: E402,F401
 
 __all__ = ["QuerySpec", "register", "all_queries", "oracle_map"]

@@ -1,0 +1,128 @@
+"""Registered similarity-search queries over ``embeddings.parquet`` —
+brute-force exact cosine top-k and the LSH-bucketed ANN scale path.
+
+The oracle SQL is generated from the same constants (query-set size, k,
+hyperplane sign matrix) as the Spark plan; all float reductions go through
+floor-quantized 1e-15 fixed-point BIGINT sums so both engines produce
+bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.readers import load_table
+from ..operators.similarity import (
+    FIXED_POINT,
+    ann_topk_lsh,
+    cosine_topk,
+    o_bucket_expr,
+    plane_signs,
+)
+from .registry import register
+
+N_QUERIES = 10  # query set = vec_id < N_QUERIES
+TOP_K = 5
+NUM_PLANES = 8
+DIM = 64
+
+# Element-wise relation + fixed-point norms (floor(x²·1e15) BIGINT sums —
+# see operators.similarity for why decimal casts are not cross-engine-safe).
+_O_ELEMENTS = f"""
+    e AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, embedding
+          FROM embeddings),
+    el AS (SELECT vec_id, i, cast(embedding[i] AS double) AS x FROM e),
+    norms AS (SELECT vec_id,
+                     sum(cast(floor(x * x * {FIXED_POINT}.0) AS bigint)) AS n2
+              FROM el GROUP BY vec_id)
+"""
+
+
+def _o_rank_select(scored_rel: str) -> str:
+    return f"""
+    SELECT query_id, vec_id, rank, cos_sim
+    FROM (
+      SELECT query_id, vec_id, cos_sim,
+             cast(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS int)
+               AS rank
+      FROM {scored_rel}
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    WITH {_O_ELEMENTS},
+    dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             sum(cast(floor(a.x * b.x * 1000000000000000.0) AS bigint)) AS dp
+      FROM el a JOIN el b ON a.i = b.i
+      WHERE a.vec_id < {N_QUERIES} AND a.vec_id != b.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.vec_id,
+             cast(d.dp AS double)
+               / (sqrt(cast(na.n2 AS double)) * sqrt(cast(nb.n2 AS double)))
+               AS cos_sim
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.query_id
+      JOIN norms nb ON nb.vec_id = d.vec_id
+    )
+    {_o_rank_select('scored')}
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the first 10 vectors against the full corpus —
+    broadcast queries, zip_with/aggregate dot products, fixed-point-exact sums."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    df = cosine_topk(emb, queries, k=TOP_K)
+    return df.withColumn("rank", F.col("rank").cast("int"))
+
+
+def _ann_oracle() -> str:
+    signs = plane_signs(NUM_PLANES, DIM)
+    bucket = o_bucket_expr("embedding", signs)
+    return f"""
+    WITH {_O_ELEMENTS},
+    buckets AS (SELECT vec_id, {bucket} AS bucket FROM embeddings),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+      FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+      WHERE q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+    ),
+    dots AS (
+      SELECT cd.query_id, cd.vec_id,
+             sum(cast(floor(a.x * b.x * 1000000000000000.0) AS bigint)) AS dp
+      FROM cand cd
+      JOIN el a ON a.vec_id = cd.query_id
+      JOIN el b ON b.vec_id = cd.vec_id AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.vec_id,
+             cast(d.dp AS double)
+               / (sqrt(cast(na.n2 AS double)) * sqrt(cast(nb.n2 AS double)))
+               AS cos_sim
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.query_id
+      JOIN norms nb ON nb.vec_id = d.vec_id
+    )
+    {_o_rank_select('scored')}
+    """
+
+
+@register("ann_topk_lsh", oracle=_ann_oracle())
+def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-5: queries scan only their own sign-pattern
+    bucket (equi-join on bucket id instead of a corpus×queries product).
+    The oracle runs the identical algorithm — the gate checks parity of the
+    bucketing + rerank mechanics, not ANN recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    df = ann_topk_lsh(emb, queries, k=TOP_K, num_planes=NUM_PLANES, dim=DIM)
+    return df.withColumn("rank", F.col("rank").cast("int"))
