@@ -1,0 +1,249 @@
+"""Social-network activity ingest: the pipe-format tag-dispatch parser and a
+deterministic activity-stream synthesizer over the driver testdata.
+
+Parser (the engine surface):
+
+- :func:`parse_creation_date` — the reference's timestamp zoo
+  ``yyyy-MM-dd'T'HH:mm:ss[.S][S][S][X][X]`` in GMT+0, including the dataset's
+  weird ``...ZZ`` double zone suffix (`SN/util/Activity.java:44-50`,
+  `SN/validation/TestJava.java:10-36`): normalize trailing ``Z``s, then a
+  ``try_to_timestamp`` coalesce chain over 0–3 fractional digits.
+- :func:`parse_activities` — ``P|``/``C|``/``L|``/``T|`` tag dispatch into the
+  unified :data:`~eth_dspa_2019_spark.schemas.ACTIVITY_SCHEMA` frame;
+  Comment-vs-Reply by the empty reply_to_postId field 7
+  (`SN/util/Activity.java:188-193`); ``tags`` list-in-a-string → array<long>
+  (`SN/util/Activity.java:124`). Pure column expressions — the parse is a
+  single whole-stage-codegen projection, no UDFs, no shuffle.
+
+Synthesizer (test fixture, NOT an engine operator): the driver testdata has
+no social-network CSVs, so :func:`synth_activity_lines` derives a
+deterministic activity stream from ``events.parquet`` + ``documents.parquet``
+and serializes it through the SAME wire format the reference producer uses —
+three per-kind streams unioned (`SN/Producer.java:23-43`, SURVEY §2.7 U1).
+The correctness oracle re-derives the expected *parsed* fields directly from
+the events table (see plans/social.py), so the string round-trip exercises
+the parser end-to-end: a parser bug breaks every downstream social query.
+
+Synthesis spec (mirrored verbatim in the oracle SQL — keep in sync):
+with ``m = event_id % 10``: m∈{0,1,2}→post, {3..6}→comment, {7,8}→reply,
+{9}→like; a comment/like targets the latest post before it; a reply's parent
+is the latest comment-or-reply before it (chains of consecutive replies give
+multi-hop resolution paths); content = documents.text[event_id % n_docs];
+creationDate format variant = event_id % 5 (plain / .S / .SS+Z / .SSS+Z /
+.SS+ZZ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io.readers import load_table
+from ..schemas import (
+    KIND_COMMENT,
+    KIND_LIKE,
+    KIND_POST,
+    KIND_REPLY,
+    UNRESOLVED,
+)
+
+BROWSERS = ("Firefox", "Chrome", "Safari")
+LANGS = ("en", "de", "fr", "es")
+
+# ---------------------------------------------------------------------------
+# Parser
+
+
+def parse_creation_date(c: Column) -> Column:
+    """Timestamp-zoo parse: optional 1–3 fractional digits, optional
+    ``Z``/``ZZ`` suffix, GMT (session tz is pinned to UTC). NULL for
+    unparseable input (routed to the error side output by the caller)."""
+    norm = F.regexp_replace(c, "Z+$", "")
+    return F.coalesce(
+        F.try_to_timestamp(norm, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
+        F.try_to_timestamp(norm, F.lit("yyyy-MM-dd'T'HH:mm:ss.SS")),
+        F.try_to_timestamp(norm, F.lit("yyyy-MM-dd'T'HH:mm:ss.S")),
+        F.try_to_timestamp(norm, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+    )
+
+
+def _parse_tags(raw: Column) -> Column:
+    """``"[5183, 1912, 778]"`` → array<long> (empty string/brackets → [])."""
+    inner = F.regexp_replace(raw, r"^\[|\]$", "")
+    return F.when(F.length(F.trim(inner)) == 0, F.array().cast("array<long>")).otherwise(
+        F.transform(F.split(inner, ",\\s*"), lambda x: x.cast("long"))
+    )
+
+
+def parse_activities(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Tag-dispatch parse of pipe-format activity lines into the unified
+    activity frame (one projection + filter per kind, unioned — Catalyst
+    collapses each branch into the scan it came from)."""
+    p = F.split(F.col(value_col), r"\|", -1)
+    tag = F.element_at(p, 1)
+
+    def _date(ix: int) -> list[Column]:
+        raw = F.element_at(p, ix)
+        ts = parse_creation_date(raw)
+        return [
+            raw.alias("creation_date"),
+            ts.alias("ts"),
+            F.unix_millis(ts).alias("ts_ms"),
+        ]
+
+    nul = F.lit(None)
+    posts = lines.filter(tag == "P").select(
+        F.lit(KIND_POST).alias("kind"),
+        F.element_at(p, 2).cast("long").alias("id"),
+        F.element_at(p, 3).cast("long").alias("person_id"),
+        *_date(4),
+        F.element_at(p, 2).cast("long").alias("post_id"),
+        nul.cast("long").alias("parent_id"),
+        F.element_at(p, 9).alias("content"),
+        _parse_tags(F.element_at(p, 10)).alias("tags"),
+        F.element_at(p, 5).alias("image_file"),
+        F.element_at(p, 6).alias("location_ip"),
+        F.element_at(p, 7).alias("browser"),
+        F.element_at(p, 8).alias("language"),
+        F.element_at(p, 11).cast("long").alias("forum_id"),
+        F.element_at(p, 12).cast("long").alias("place_id"),
+    )
+    is_reply = F.element_at(p, 8) == ""
+    comments = lines.filter(tag == "C").select(
+        F.when(is_reply, KIND_REPLY).otherwise(KIND_COMMENT).alias("kind"),
+        F.element_at(p, 2).cast("long").alias("id"),
+        F.element_at(p, 3).cast("long").alias("person_id"),
+        *_date(4),
+        F.when(is_reply, F.lit(UNRESOLVED))
+        .otherwise(F.element_at(p, 8).cast("long"))
+        .cast("long")
+        .alias("post_id"),
+        F.when(is_reply, F.element_at(p, 9).cast("long")).alias("parent_id"),
+        F.element_at(p, 7).alias("content"),
+        nul.cast("array<long>").alias("tags"),
+        nul.cast("string").alias("image_file"),
+        F.element_at(p, 5).alias("location_ip"),
+        F.element_at(p, 6).alias("browser"),
+        nul.cast("string").alias("language"),
+        nul.cast("long").alias("forum_id"),
+        F.element_at(p, 10).cast("long").alias("place_id"),
+    )
+    likes = lines.filter(tag == "L").select(
+        F.lit(KIND_LIKE).alias("kind"),
+        F.element_at(p, 3).cast("long").alias("id"),  # Like.getId == postId
+        F.element_at(p, 2).cast("long").alias("person_id"),
+        *_date(4),
+        F.element_at(p, 3).cast("long").alias("post_id"),
+        nul.cast("long").alias("parent_id"),
+        nul.cast("string").alias("content"),
+        nul.cast("array<long>").alias("tags"),
+        nul.cast("string").alias("image_file"),
+        nul.cast("string").alias("location_ip"),
+        nul.cast("string").alias("browser"),
+        nul.cast("string").alias("language"),
+        nul.cast("long").alias("forum_id"),
+        nul.cast("long").alias("place_id"),
+    )
+    return posts.unionByName(comments).unionByName(likes)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixture synthesis from the driver testdata
+
+
+def _pick(options: tuple[str, ...], ix: Column) -> Column:
+    return F.element_at(F.array(*[F.lit(o) for o in options]), (ix % len(options) + 1).cast("int"))
+
+
+def synth_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + per-row synthesis columns (kind selector, latest-post /
+    latest-comment references, formatted creationDate, joined content).
+
+    The global ORDER BY window is fixture-synthesis machinery, not an
+    engine operator — it funnels through one partition by design (the
+    reference producer is a single-threaded TreeMap replay anyway,
+    `SN/Producer.java:21-46`).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    e = F.col("event_id")
+    m = e % 10
+    w_prev = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    sec = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    date_str = (
+        F.when(e % 5 == 0, sec)
+        .when(e % 5 == 1, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.S"))
+        .when(e % 5 == 2, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SS'Z'"))
+        .when(e % 5 == 3, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SS'ZZ'"))
+    )
+    base = ev.select(
+        "event_id",
+        "user_id",
+        m.alias("m"),
+        F.max(F.when(m <= 2, e)).over(w_prev).alias("last_post"),
+        F.max(F.when((m >= 3) & (m <= 8), e)).over(w_prev).alias("last_comment"),
+        date_str.alias("date_str"),
+        (e % n_docs).alias("doc_ref"),
+        F.regexp_extract("props", r"(\d+)", 1).cast("long").alias("k"),
+    )
+    return base.join(
+        F.broadcast(docs), base.doc_ref == docs.doc_id, "left"
+    ).drop("doc_id")
+
+
+def synth_activity_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize the synthetic activities through the reference wire format,
+    as three per-kind streams unioned (posts ∪ comments+replies ∪ likes —
+    the producer's 3-file merge, `SN/Producer.java:23-43`)."""
+    b = synth_base(spark, sf_dir)
+    e = F.col("event_id").cast("string")
+    person = F.col("user_id").cast("string")
+    ip = F.concat(F.lit("10.0."), (F.col("event_id") % 250).cast("string"), F.lit("."), (F.col("event_id") % 100).cast("string"))
+    browser = _pick(BROWSERS, F.col("event_id"))
+    posts = b.filter(F.col("m") <= 2).select(
+        F.concat_ws(
+            "|",
+            F.lit("P"),
+            e,
+            person,
+            "date_str",
+            F.when(F.col("event_id") % 2 == 0, F.concat(F.lit("photo"), e, F.lit(".jpg"))).otherwise(F.lit("")),
+            ip,
+            browser,
+            _pick(LANGS, F.col("event_id")),
+            "text",
+            F.concat(F.lit("["), F.col("k").cast("string"), F.lit(", "), (F.col("k") + 100).cast("string"), F.lit("]")),
+            (F.col("event_id") % 100).cast("string"),
+            (F.col("event_id") % 50).cast("string"),
+        ).alias("value")
+    )
+    comments = b.filter((F.col("m") >= 3) & (F.col("m") <= 8)).select(
+        F.concat_ws(
+            "|",
+            F.lit("C"),
+            e,
+            person,
+            "date_str",
+            ip,
+            browser,
+            "text",
+            # comment → reply_to_postId, reply → empty + reply_to_commentId
+            F.when(F.col("m") <= 6, F.col("last_post").cast("string")).otherwise(F.lit("")),
+            F.when(F.col("m") >= 7, F.col("last_comment").cast("string")).otherwise(F.lit("")),
+            (F.col("event_id") % 50).cast("string"),
+        ).alias("value")
+    )
+    likes = b.filter(F.col("m") == 9).select(
+        F.concat_ws(
+            "|", F.lit("L"), person, F.col("last_post").cast("string"), "date_str"
+        ).alias("value")
+    )
+    return posts.unionByName(comments).unionByName(likes)
+
+
+def load_activities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parsed synthetic activity stream (wire-format round trip)."""
+    return parse_activities(synth_activity_lines(spark, sf_dir))
