@@ -13,5 +13,6 @@ from . import windowed  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import vectors  # noqa: E402,F401
 from . import social  # noqa: E402,F401
+from . import task2  # noqa: E402,F401
 
 __all__ = ["QuerySpec", "register", "all_queries", "oracle_map"]
