@@ -1,0 +1,202 @@
+"""Batch cleaning jobs C1–C3 (`SN/cleaning/StreamsCleaner.java:23-204`,
+`SN/cleaning/OrderedFileGenerator.java:17-210`,
+`SN/cleaning/OrderedFileChecker.java:13-82`).
+
+- C1 StreamsCleaner: posts pass through; likes dated at-or-before their post
+  are DROPPED (join-filter, J6); comments/replies whose root-path timestamps
+  are not strictly increasing are dropped with their whole subtree.
+- C2 OrderedFileGenerator: REPAIR instead of delete — a child dated
+  at-or-before its (already-repaired) parent is bumped to
+  ``child + 2·(parent − child)`` (diff 0 → 10 s), cascading down the tree
+  (F12). Repairs keep millisecond precision (the reference re-formats
+  repaired dates at second precision — a serialization artifact, not a
+  semantic we preserve).
+- C3 OrderedFileChecker: invariant queries — every like/comment strictly
+  after its post, every reply strictly after its parent; violation counts
+  must be zero on repaired data.
+
+Both tree walks are level-by-level join iterations (bounded by comment-tree
+depth, which is small in any real forum). The fixture "raw" stream is the
+parsed synthetic stream with a deterministic backdating perturbation so the
+cleaners have real violations to fix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import KIND_COMMENT, KIND_LIKE, KIND_POST, KIND_REPLY
+
+BACKDATE_MS = 7_200_000  # 2 h deterministic perturbation
+BACKDATE_MOD = 17
+MIN_BUMP_MS = 10_000  # Time.seconds(10), `OrderedFileGenerator.java:44`
+MAX_DEPTH = 64
+
+
+def with_raw_ts(acts: DataFrame) -> DataFrame:
+    """Fixture perturbation: backdate every BACKDATE_MOD-th comment/reply
+    (by id) and like (by person+post id — likes carry no own id) by 2 h,
+    producing parent-after-child violations for the cleaners to handle.
+    Posts keep their timestamps (the reference cleaners never touch posts).
+    """
+    key = F.when(F.col("kind") == KIND_LIKE, F.col("person_id") + F.col("id")).otherwise(
+        F.col("id")
+    )
+    backdate = F.when(
+        (F.col("kind") != KIND_POST) & (key % BACKDATE_MOD == 0),
+        F.lit(BACKDATE_MS),
+    ).otherwise(F.lit(0))
+    return acts.withColumn("raw_ts", F.col("ts_ms") - backdate)
+
+
+def _posts_ts(acts: DataFrame) -> DataFrame:
+    return acts.filter(F.col("kind") == KIND_POST).select(
+        F.col("id").alias("pid"), F.col("raw_ts").alias("parent_ts")
+    )
+
+
+def valid_likes(acts: DataFrame) -> DataFrame:
+    """C1 like filter (J6): keep likes strictly after their post."""
+    posts = _posts_ts(acts)
+    return (
+        acts.filter(F.col("kind") == KIND_LIKE)
+        .join(posts, F.col("post_id") == F.col("pid"))
+        .filter(F.col("raw_ts") > F.col("parent_ts"))
+        .select("person_id", "post_id", F.col("raw_ts").alias("ts_ms"))
+    )
+
+
+def _fix(child: Column, parent: Column) -> Column:
+    """F12: bump child past its repaired parent (diff 0 → 10 s)."""
+    diff = parent - child
+    bump = 2 * F.when(diff == 0, F.lit(MIN_BUMP_MS)).otherwise(diff)
+    return F.when(parent >= child, child + bump).otherwise(child)
+
+
+def _forest_walk(acts: DataFrame, keep_semantics: bool) -> DataFrame:
+    """Level-by-level walk of the comment forest.
+
+    keep_semantics=True → C1: (id, kind, ts_ms·valid) where a node is valid
+    iff its raw path from the post is strictly increasing (invalid nodes
+    and their subtrees are dropped).
+    keep_semantics=False → C2: (id, kind, ts_fixed) with cascaded repairs.
+    """
+    posts = _posts_ts(acts)
+    comments = (
+        acts.filter(F.col("kind") == KIND_COMMENT)
+        .join(posts, F.col("post_id") == F.col("pid"))
+        .select(
+            "id",
+            "kind",
+            "raw_ts",
+            _fix(F.col("raw_ts"), F.col("parent_ts")).alias("ts_fixed"),
+            (F.col("raw_ts") > F.col("parent_ts")).alias("valid"),
+        )
+    )
+    done = comments.localCheckpoint(eager=True)
+    frontier = done
+    pending = acts.filter(F.col("kind") == KIND_REPLY).select(
+        "id", "kind", "raw_ts", "parent_id"
+    ).localCheckpoint(eager=True)
+    for _ in range(MAX_DEPTH):
+        if pending.limit(1).count() == 0:
+            break
+        hit = (
+            pending.alias("c")
+            .join(frontier.alias("p"), F.col("c.parent_id") == F.col("p.id"))
+            .select(
+                F.col("c.id").alias("id"),
+                F.col("c.kind").alias("kind"),
+                F.col("c.raw_ts").alias("raw_ts"),
+                _fix(F.col("c.raw_ts"), F.col("p.ts_fixed")).alias("ts_fixed"),
+                (
+                    F.col("p.valid") & (F.col("c.raw_ts") > F.col("p.raw_ts"))
+                ).alias("valid"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        pending = pending.join(hit.select("id"), "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        done = done.unionByName(hit)
+        frontier = hit
+    if keep_semantics:
+        return done.filter(F.col("valid")).select(
+            "id", "kind", F.col("raw_ts").alias("ts_ms")
+        )
+    return done.select("id", "kind", "ts_fixed")
+
+
+def valid_comment_tree(acts: DataFrame) -> DataFrame:
+    """C1 comment-forest filter: nodes on strictly-increasing root paths."""
+    return _forest_walk(acts, keep_semantics=True)
+
+
+def repair_comment_tree(acts: DataFrame) -> DataFrame:
+    """C2 cascading timestamp repair over the comment forest."""
+    return _forest_walk(acts, keep_semantics=False)
+
+
+def repaired_likes(acts: DataFrame) -> DataFrame:
+    posts = _posts_ts(acts)
+    return (
+        acts.filter(F.col("kind") == KIND_LIKE)
+        .join(posts, F.col("post_id") == F.col("pid"))
+        .select(
+            "person_id",
+            "post_id",
+            _fix(F.col("raw_ts"), F.col("parent_ts")).alias("ts_fixed"),
+        )
+    )
+
+
+def invariant_counts(acts: DataFrame) -> DataFrame:
+    """C3 checker over the repaired stream: counts + violation counts
+    (child at-or-before parent) per rule — all violation counts must be 0.
+    """
+    posts = _posts_ts(acts)
+    likes = repaired_likes(acts)
+    tree = repair_comment_tree(acts)
+    like_viol = (
+        likes.join(posts, F.col("post_id") == F.col("pid"))
+        .filter(F.col("ts_fixed") <= F.col("parent_ts"))
+        .count()
+    )
+    comments = tree.filter(F.col("kind") == KIND_COMMENT).select(
+        "id", "ts_fixed"
+    )
+    cacts = acts.filter(F.col("kind") == KIND_COMMENT).select("id", "post_id")
+    comment_viol = (
+        comments.join(cacts, "id")
+        .join(posts, F.col("post_id") == F.col("pid"))
+        .filter(F.col("ts_fixed") <= F.col("parent_ts"))
+        .count()
+    )
+    racts = acts.filter(F.col("kind") == KIND_REPLY).select("id", "parent_id")
+    parents = tree.select(
+        F.col("id").alias("parent_id"), F.col("ts_fixed").alias("parent_fixed")
+    )
+    reply_viol = (
+        tree.filter(F.col("kind") == KIND_REPLY)
+        .join(racts, "id")
+        .join(parents, "parent_id")
+        .filter(F.col("ts_fixed") <= F.col("parent_fixed"))
+        .count()
+    )
+    spark = acts.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                likes.count(),
+                comments.count(),
+                tree.count() - comments.count(),
+                like_viol,
+                comment_viol,
+                reply_viol,
+            )
+        ],
+        "n_likes bigint, n_comments bigint, n_replies bigint, "
+        "like_violations bigint, comment_violations bigint, "
+        "reply_violations bigint",
+    )

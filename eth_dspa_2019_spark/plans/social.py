@@ -56,6 +56,14 @@ _O_BASE = """
     )
 """
 
+# base with the wire-visible id (likes carry no own id: Like.getId == postId)
+_O_ACTS = """
+    acts AS (
+      SELECT * REPLACE (CASE WHEN kind = 'like' THEN last_post ELSE id END AS id)
+      FROM base
+    )
+"""
+
 # Recursive resolution of the comment forest (batch spec of
 # `SN/validation/GenerateExpectedMappings.java:25-57`).
 _O_RESOLVE = """

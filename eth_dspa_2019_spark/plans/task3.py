@@ -15,14 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.anomaly import FEATURES, HOUR_MS, Q, anomalies, user_features
 from ..sources.activity import load_activities
 from .registry import register
-from .social import _O_BASE
-
-_O_ACTS = """
-    acts AS (
-      SELECT * REPLACE (CASE WHEN kind = 'like' THEN last_post ELSE id END AS id)
-      FROM base
-    )
-"""
+from .social import _O_ACTS, _O_BASE
 
 _RATIO = (
     "len(list_distinct(regexp_split_to_array(content, '\\s+')))"
