@@ -1,0 +1,123 @@
+"""Streaming window/state operators mirroring the batch plans.
+
+Late-data policy (W8): Flink separates out-of-orderness (watermark) from
+``allowedLateness`` (state retention + re-firing); Spark has one knob. The
+engine's policy: watermark = outOfOrderness + allowedLateness with
+``update`` output — every on-time and in-allowance refinement is emitted;
+records later than that are dropped by the state store, and a "late side
+output" (P8) is a parallel filter ``event_time < observed watermark`` fed
+from StreamingQueryProgress (see late_rows_filter).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def tumbling_counts_stream(
+    events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming W1/A1: 30-min tumbling counts per event_type with a
+    30-min bounded-out-of-orderness watermark
+    (`SN/SocialNetwork.java:78-83`, `.../WikipediaAnalysisWindowed.java`).
+    Same expressions as the batch `tumbling_counts_30m` oracle query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def unique_users_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming W3/A4: sliding 12h/1h distinct users."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "12 hours", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("n_users_approx"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "n_users_approx",
+        )
+    )
+
+
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Streaming A8/O7: per-user running value totals — unwindowed keyed
+    aggregation, emitted per update (the session-1 running reduce,
+    `session-1-flink/.../WikipediaAnalysis.java:79-86`)."""
+    return events.groupBy("user_id").agg(
+        F.sum("value").alias("running_value"), F.count(F.lit(1)).alias("n")
+    )
+
+
+_STATE_SCHEMA = "total double, n bigint"
+_OUT_SCHEMA = "user_id bigint, running_value double, n bigint"
+
+
+def _running_sum_fn(key, pdf_iter, state: GroupState):
+    """applyInPandasWithState update fn: Flink `ValueState` running sum
+    (O1/O7 — `session-9/.../FlinkKafkaConsumer.java:107-137`)."""
+    if state.exists:
+        total, n = state.get
+    else:
+        total, n = 0.0, 0
+    for pdf in pdf_iter:
+        total += float(pdf["value"].sum())
+        n += int(len(pdf))
+    state.update((total, n))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "running_value": [total], "n": [n]}
+    )
+
+
+def running_totals_stateful(events: DataFrame) -> DataFrame:
+    """O1/O2/O7: per-key mutable state via ``applyInPandasWithState`` — the
+    `KeyedProcessFunction`/`ValueState` analog (Arrow-batched, grouped by
+    key; state lives in the state store, checkpointable)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_sum_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    df: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+    name: str | None = None,
+) -> DataFrame:
+    """Execute a bounded streaming query with Trigger.AvailableNow into a
+    memory sink (S7-style) with checkpointing (O6) and return the result
+    as a DataFrame. The reference's replay-to-completion test mode."""
+    name = name or f"q_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def late_rows_filter(df: DataFrame, watermark_ts: str) -> DataFrame:
+    """P8/W8 late side output: rows behind an observed watermark (taken
+    from StreamingQueryProgress.eventTime['watermark'] by the caller) —
+    the records Flink would route to the late OutputTag."""
+    return df.filter(F.col("ts") < F.lit(watermark_ts).cast("timestamp"))
