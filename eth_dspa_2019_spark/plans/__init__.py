@@ -16,5 +16,6 @@ from . import social  # noqa: E402,F401
 from . import task2  # noqa: E402,F401
 from . import task3  # noqa: E402,F401
 from . import cleaning  # noqa: E402,F401
+from . import multimodal  # noqa: E402,F401
 
 __all__ = ["QuerySpec", "register", "all_queries", "oracle_map"]
