@@ -1,0 +1,242 @@
+"""Registered queries covering the remaining scalar/set/top-k operator
+surface: regex + bit-flag decode (F11/S9), min–max normalization (F8),
+modulo sharding (F9), running averages (A11), set intersection (U3),
+sorted thread assembly (T3), and the scalable distinct-user variants
+(two-stage exact + HLL approx) promised next to ``unique_users_12h_1h``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io.readers import load_table
+from ..operators.resolve import resolved_activities
+from ..sources.activity import load_activities
+from .registry import register
+from .social import _O_BASE, _O_RESOLVE, _O_RESOLVED
+
+
+@register(
+    "event_flag_decode",
+    oracle="""
+    SELECT event_id,
+           cast(regexp_extract(props, '(\\d+)', 1) AS bigint) AS k,
+           cast(regexp_extract(props, '(\\d+)', 1) AS bigint) & 1 AS is_minor,
+           (cast(regexp_extract(props, '(\\d+)', 1) AS bigint) >> 1) & 1 AS is_new,
+           (cast(regexp_extract(props, '(\\d+)', 1) AS bigint) >> 2) & 1 AS is_bot,
+           (cast(regexp_extract(props, '(\\d+)', 1) AS bigint) >> 3) & 7 AS priority
+    FROM events
+    """,
+)
+def event_flag_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11/S9: regexp field extraction + bit-flag decode — the wiki-edit
+    Kafka deserializer's flag parsing
+    (`session-4-kafka/.../FlinkKafkaConsumer.java:108-128`)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"(\d+)", 1).cast("bigint")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        k.bitwiseAND(1).alias("is_minor"),
+        F.shiftright(k, 1).bitwiseAND(1).alias("is_new"),
+        F.shiftright(k, 2).bitwiseAND(1).alias("is_bot"),
+        F.shiftright(k, 3).bitwiseAND(7).alias("priority"),
+    )
+
+
+@register(
+    "minmax_normalized_values",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, min(value) AS vmin, max(value) AS vmax
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           CASE WHEN r.vmax > r.vmin
+                THEN (e.value - r.vmin) / (r.vmax - r.vmin)
+                ELSE 1.0 END AS norm_value
+    FROM events e JOIN r USING (event_type)
+    """,
+)
+def minmax_normalized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: min–max normalization with the degenerate-span→1.0 rule
+    (`FriendRecommender.java:383-391`), as a grouped-range join — the
+    ranges are a tiny broadcast, the fact scan is untouched."""
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    return ev.join(F.broadcast(r), "event_type").select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("vmax") > F.col("vmin"),
+            (F.col("value") - F.col("vmin")) / (F.col("vmax") - F.col("vmin")),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("norm_value"),
+    )
+
+
+@register(
+    "user_shards",
+    oracle="""
+    SELECT user_id % 8 AS shard, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def user_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: modulo sharding (`AnomalousUserDetector.java:270`) — `%` (not
+    pmod) to match DuckDB's truncated modulo on the oracle side."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 8).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "running_user_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           cast(sum(cast(value AS decimal(38,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS double)
+             / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS running_avg
+    FROM events
+    """,
+)
+def running_user_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: per-key running average — the session-5 custom unary operator
+    (`session-5-custom-operators/average/src/main.rs:15-34`) as a running
+    window frame; the partial+final design its submission describes is
+    Spark's built-in partial aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("running_avg"),
+    )
+
+
+@register(
+    "users_purchase_and_error",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def users_purchase_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: set intersection (`FriendRecommender.java:190` retainAll) — as
+    a left-semi join of the two distinct key sets."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "post_thread_children",
+    oracle=f"""
+    WITH RECURSIVE {_O_BASE}, {_O_RESOLVE}, {_O_RESOLVED}
+    SELECT post_id,
+           string_agg(cast(id AS varchar), ',' ORDER BY ts_ms, id) AS thread,
+           count(*) AS n_children
+    FROM resolved
+    WHERE kind IN ('comment', 'reply')
+    GROUP BY post_id
+    """,
+)
+def post_thread_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: a post's activity thread, children time-ordered
+    (`BatchPostIdResolver.java:46-52`) — sort_array over collected
+    (ts, id) structs, no global sort."""
+    acts = resolved_activities(load_activities(spark, sf_dir))
+    kids = acts.filter(F.col("kind").isin("comment", "reply"))
+    return (
+        kids.groupBy("post_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts_ms", "id"))
+                    ),
+                    lambda s: s["id"].cast("string"),
+                ),
+            ).alias("thread"),
+            F.count(F.lit(1)).alias("n_children"),
+        )
+    )
+
+
+@register(
+    "unique_users_two_stage",
+    oracle="""
+    WITH dedup AS (
+      SELECT DISTINCT cast(floor(epoch(ts) / 3600) * 3600 AS bigint) AS h,
+             user_id
+      FROM events
+    )
+    SELECT cast(h - i * 3600 AS bigint) AS window_start,
+           count(DISTINCT user_id) AS n_users
+    FROM dedup, range(0, 12) t(i)
+    GROUP BY 1
+    """,
+)
+def unique_users_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 scale path (exact): dedupe (hour-bucket, user) FIRST — a
+    map-side-combinable distinct that shrinks the stream to ≤ users/hour —
+    then sliding-window countDistinct over the deduped pairs. Replicates
+    12× only the deduped rows instead of every event
+    (vs `unique_users_12h_1h`, whose docstring promised this variant)."""
+    ev = load_table(spark, sf_dir, "events")
+    dedup = ev.select(
+        (F.floor(F.col("ts").cast("double") / 3600) * 3600)
+        .cast("long")
+        .alias("h"),
+        "user_id",
+    ).distinct()
+    return (
+        dedup.groupBy(
+            F.window(F.timestamp_seconds("h"), "12 hours", "1 hour").alias("w")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"), "n_users"
+        )
+    )
+
+
+@register("unique_users_approx", oracle=None)
+def unique_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 approx scale path: HLL sketches per 12h/1h window
+    (approx_count_distinct merges associatively — partial aggregation does
+    the per-bucket pre-merge). No SQL oracle: HLL estimates are
+    engine-specific; rows-only check, exactness covered by the exact
+    variants."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "12 hours", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("n_users_approx"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "n_users_approx",
+        )
+    )
