@@ -247,3 +247,44 @@ def synth_activity_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 def load_activities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The parsed synthetic activity stream (wire-format round trip)."""
     return parse_activities(synth_activity_lines(spark, sf_dir))
+
+
+def split_side_outputs(
+    lines: DataFrame,
+    watermark_ts: str | None = None,
+    value_col: str = "value",
+) -> dict[str, DataFrame]:
+    """P8/O5: route one line stream into side outputs the way the reference
+    routes OutputTags (`SN/util/Config.java:58-61`,
+    `SN/task/postidresolution/PostIdResolver.java:144,203-223`):
+
+    - ``main``: well-formed P/C/L activities (parsed),
+    - ``tombstones``: ``T|partition|date`` end-of-stream markers
+      (`SN/Producer.java:77-81` — control records, not errors),
+    - ``errors``: unknown tag or unparseable creationDate,
+    - ``late``: main records with event time behind ``watermark_ts``
+      (the allowedLateness side output, W8 — only if a watermark is given).
+
+    Spark shape: one source, N independent filters — Catalyst merges the
+    scans; in streaming each output becomes its own query/sink.
+    """
+    p = F.split(F.col(value_col), r"\|", -1)
+    tag = F.element_at(p, 1)
+    date_ix = F.when(tag == "T", 3).otherwise(4)
+    ts = parse_creation_date(F.element_at(p, date_ix))
+    ok = tag.isin("P", "C", "L") & ts.isNotNull()
+    out = {
+        "main": parse_activities(lines.filter(ok), value_col),
+        "tombstones": lines.filter((tag == "T") & ts.isNotNull()).select(
+            F.element_at(p, 2).cast("long").alias("partition_id"),
+            ts.alias("ts"),
+        ),
+        "errors": lines.filter(
+            ~tag.isin("P", "C", "L", "T") | ts.isNull()
+        ),
+    }
+    if watermark_ts is not None:
+        out["late"] = out["main"].filter(
+            F.col("ts") < F.lit(watermark_ts).cast("timestamp")
+        )
+    return out

@@ -1,0 +1,74 @@
+"""Unit tests for operator-library edge cases not reachable from the
+registered fixture queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eth_dspa_2019_spark.operators import dedup as dd
+from eth_dspa_2019_spark.operators.resolve import resolve_post_ids
+from eth_dspa_2019_spark.schemas import KIND_COMMENT, KIND_REPLY
+
+
+def test_minhash_lsh_param_validation(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        dd.minhash_lsh_pairs(df, num_perm=16, bands=5)
+    with pytest.raises(ValueError, match="bands"):
+        dd.minhash_lsh_pairs(df, num_perm=4, bands=8)
+
+
+def test_simhash_pigeonhole_guard(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_hamming"):
+        dd.simhash_pairs(df, bits=48, band_bits=12, max_hamming=6)
+
+
+def test_resolve_deep_chain(spark):
+    """Pointer doubling resolves a 40-deep reply chain (far beyond the
+    fixture's natural depth) in O(log depth) iterations."""
+    rows = [(0, KIND_COMMENT, 100, None)]  # comment 0 → post 100
+    rows += [(i, KIND_REPLY, None, i - 1) for i in range(1, 41)]
+    acts = spark.createDataFrame(
+        rows, "id long, kind string, post_id long, parent_id long"
+    )
+    m = resolve_post_ids(acts)
+    got = {r["id"]: r["root_post_id"] for r in m.collect()}
+    assert got == {i: 100 for i in range(41)}
+
+
+def test_exact_dedup_canonical_min(spark):
+    df = spark.createDataFrame(
+        [(5, "x"), (2, "x"), (9, "y")], "doc_id long, text string"
+    )
+    out = {
+        r["canonical_id"]: r["n_docs"]
+        for r in dd.exact_dedup(df, "doc_id", F.col("text")).collect()
+    }
+    assert out == {2: 2, 9: 1}
+
+
+def test_lsh_plan_has_no_allpairs_join(spark):
+    """The LSH verify step must compute Jaccard for candidates only — the
+    optimized plan must not contain a shingle-shingle self-join without the
+    candidate restriction (the round-1 quadratic-blowup bug)."""
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} common tail here") for i in range(6)],
+        "doc_id long, text string",
+    )
+    pairs = dd.minhash_lsh_pairs(df, num_perm=8, bands=4, threshold=0.1)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    # the candidate pairs relation must sit below the common-shingle join:
+    # the optimized plan joins shingles via the candidate ids, and the only
+    # shingle=shingle equi-join also carries the candidate id equi-conditions
+    import re
+
+    selfjoins = [
+        ln
+        for ln in plan.splitlines()
+        if "shingle" in ln and "Join" in ln
+    ]
+    for ln in selfjoins:
+        assert "id" in ln, f"shingle self-join without id restriction: {ln}"
+    pairs.collect()  # and it runs
