@@ -185,18 +185,57 @@ def recommendations(
     the reference's dynamic-only branch — score = 0.7·dynamicPart with no
     static term — is structurally empty); absent dynamic similarity
     defaults to 0, normalized against the window's dynamic range
-    (`FriendRecommender.java:377-392`)."""
+    (`FriendRecommender.java:377-392`).
+
+    Scale plan — never materialize windows × users: users WITHOUT a dynamic
+    entry in a window all share the same dynamicPart, so their score order
+    is their static order, and the true top-5 of a (window, eigen) can only
+    contain (a) that window's dynamic users and (b) the first
+    5 + |dynamic users| entries of the eigen's static ranking (at most that
+    many static-ranked users can be displaced). The scored relation is
+    O(windows × (5 + max_dyn)) instead of O(windows × users)."""
     sranges = static.groupBy("eigen_id").agg(
         F.min("s").alias("smin"), F.max("s").alias("smax")
     )
     dranges = dynamic.groupBy("window_end", "eigen_id").agg(
-        F.min("d").alias("dmin"), F.max("d").alias("dmax")
+        F.min("d").alias("dmin"),
+        F.max("d").alias("dmax"),
+        F.count(F.lit(1)).alias("dc"),
+    )
+    srk = Window.partitionBy("eigen_id").orderBy(F.desc("s"), F.asc("user_id"))
+    static_rk = static.withColumn("srank", F.row_number().over(srk))
+    max_dc_row = dranges.agg(F.max("dc")).collect()[0][0]
+    max_dc = int(max_dc_row or 0)
+    static_head = static_rk.filter(F.col("srank") <= TOP_N + max_dc)
+    # (a) the window's dynamic users, with their static similarity attached
+    dyn_cand = dynamic.join(static.withColumnRenamed("s", "s2"), ["eigen_id", "user_id"])
+    dyn_cand = dyn_cand.select(
+        "window_end", "eigen_id", "user_id", F.col("s2").alias("s"), "d"
+    )
+    # (b) the static head, replicated per window, minus users already in (a)
+    stat_cand = (
+        windows.crossJoin(F.broadcast(static_head))
+        .join(
+            dynamic.select("window_end", "eigen_id", "user_id"),
+            ["window_end", "eigen_id", "user_id"],
+            "left_anti",
+        )
+        .select(
+            "window_end",
+            "eigen_id",
+            "user_id",
+            "s",
+            F.lit(None).cast("long").alias("d"),
+        )
     )
     cand = (
-        windows.crossJoin(static)
-        .join(dynamic, ["window_end", "eigen_id", "user_id"], "left")
+        dyn_cand.unionByName(stat_cand)
         .join(F.broadcast(sranges), "eigen_id")
-        .join(F.broadcast(dranges), ["window_end", "eigen_id"], "left")
+        .join(
+            F.broadcast(dranges.select("window_end", "eigen_id", "dmin", "dmax")),
+            ["window_end", "eigen_id"],
+            "left",
+        )
     )
     spart = F.when(
         F.col("smax") > F.col("smin"),

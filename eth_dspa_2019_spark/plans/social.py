@@ -151,8 +151,17 @@ def reply_post_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Resolved-activity cache — same rationale as sources.activity._ACTS_CACHE:
+# the resolution fixpoint is iterative, run it once per session+scale.
+_RESOLVED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return resolved_activities(load_activities(spark, sf_dir))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _RESOLVED_CACHE:
+        df = resolved_activities(load_activities(spark, sf_dir))
+        _RESOLVED_CACHE[key] = df.localCheckpoint(eager=True)
+    return _RESOLVED_CACHE[key]
 
 
 def _task1_counts(spark: SparkSession, sf_dir: str, kind: str, out: str) -> DataFrame:

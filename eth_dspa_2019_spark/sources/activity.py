@@ -244,9 +244,21 @@ def synth_activity_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return posts.unionByName(comments).unionByName(likes)
 
 
+# Parsed-activity cache: every social query starts from the same parsed
+# stream; materialize it once per (session, sf_dir). Keyed by applicationId
+# so a fresh SparkSession never sees another session's plan.
+_ACTS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def load_activities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The parsed synthetic activity stream (wire-format round trip)."""
-    return parse_activities(synth_activity_lines(spark, sf_dir))
+    """The parsed synthetic activity stream (wire-format round trip),
+    materialized once per session+scale (persist + localCheckpoint frees
+    every downstream query from re-running the synth sort and the parse)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ACTS_CACHE:
+        acts = parse_activities(synth_activity_lines(spark, sf_dir))
+        _ACTS_CACHE[key] = acts.localCheckpoint(eager=True)
+    return _ACTS_CACHE[key]
 
 
 def split_side_outputs(
