@@ -5,15 +5,20 @@ Flink/Timely streaming social-network analytics), re-expressed Spark-first.
 Layout
 ------
 - ``session``    : tuned SparkSession factory (AQE, UTC, Arrow, shuffle sizing)
-- ``schemas``    : StructTypes for the social-network activity stream and the
-                   driver testdata tables
-- ``io``         : batch + streaming readers/writers (pipe-CSV, parquet, kafka)
+- ``schemas``    : the unified Activity StructType + person-edge schema
+- ``io``         : testdata readers; single-writer text/CSV + console sinks
+- ``sources``    : pipe-format activity parser (tag dispatch, timestamp zoo,
+                   side outputs, tombstones) + deterministic fixture synth
 - ``functions``  : scalar/array/text/hash column expressions (SURVEY §2.8)
-- ``operators``  : reusable operator library — windows, top-k, dedup,
-                   similarity search, reply-resolution fixpoint, cleaning
-- ``tasks``      : the reference's three analytics tasks (batch + streaming)
-- ``streaming``  : Structured Streaming sources/state/late-data patterns
-- ``plans``      : the query registry consumed by ``__spark_entry__``/bench
+- ``operators``  : reusable operator library — dedup (exact/Jaccard/MinHash-
+                   LSH/SimHash), embedding similarity search, reply-resolution
+                   fixpoint, Task 2 recommendation, Task 3 anomaly features,
+                   cleaning walks, multimodal binary columns
+- ``streaming``  : Structured Streaming sources, watermarked windows,
+                   applyInPandasWithState, bounded replay, Kafka builders
+- ``harness``    : golden diff (exceptAll both ways), disorder replay
+- ``plans``      : the query registry (Spark plan + DuckDB oracle pairs)
+                   consumed by ``__spark_entry__``/bench
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

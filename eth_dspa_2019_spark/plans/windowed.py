@@ -96,10 +96,10 @@ def unique_users_12h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3/A3/A4: unique users per 12h/1h sliding window
     (`SN/task/activepost/ActivePostStatistician.java:92-96,224-271`).
 
-    Exact distinct (the reference's Set-union semantics). The scale path for
-    very high cardinality is the approx variant (`unique_users_approx` —
-    HLL sketches merge associatively, so they pre-aggregate per tumbling
-    bucket); exact countDistinct here expands rows 12× before the shuffle.
+    Exact distinct (the reference's Set-union semantics). Scale paths live
+    in plans/misc.py: `unique_users_two_stage` (exact — dedupes
+    (hour, user) before the 12× window replication) and
+    `unique_users_approx` (HLL sketches, associatively merged).
     """
     ev = load_table(spark, sf_dir, "events")
     return (

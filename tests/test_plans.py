@@ -1,0 +1,53 @@
+"""Physical-plan audits: the properties that matter at 100 TB must be
+visible in the optimized plan, not assumed (SURVEY §4.2)."""
+
+from __future__ import annotations
+
+from eth_dspa_2019_spark.plans import all_queries
+
+
+def _executed_plan(spark, sf_dir, name: str) -> str:
+    df = all_queries()[name].spark(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = _executed_plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    # shipdate/discount/quantity predicates must reach the parquet reader
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read the full 16-column lineitem
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read_schema  # untouched column stays unread
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = _executed_plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_whole_stage_codegen_and_partial_agg(spark, sf_dir):
+    df = all_queries()["q1_pricing_summary"].spark(spark, sf_dir)
+    df.collect()  # finalize the AQE plan so codegen spans are visible
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # whole-stage codegen spans show as `*(n)` operator prefixes
+    assert "*(1)" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_windowed_two_stage_single_expand(spark, sf_dir):
+    """sliding_counts_12h_30m pre-aggregates into 30-min tumbling buckets:
+    the 24× sliding `Expand` must run over the partials, i.e. AFTER the
+    first aggregation, never over the raw events."""
+    df = all_queries()["sliding_counts_12h_30m"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    expand_pos = plan.find("Expand")
+    assert expand_pos != -1
+    # at least one HashAggregate must appear BELOW (after in text) Expand —
+    # the tumbling pre-aggregation feeding it
+    assert "HashAggregate" in plan[expand_pos:]
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    plan = _executed_plan(spark, sf_dir, "cosine_topk_bruteforce")
+    assert "Broadcast" in plan  # query vectors replicated, corpus scanned once
