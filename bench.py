@@ -34,6 +34,16 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
+    # The round-1 baseline (BENCH_r01.json, 14.36 s) covered these 13
+    # queries; report their subtotal so rounds stay comparable while the
+    # registry grows.
+    core13 = (
+        "q1_pricing_summary q3_shipping_priority q5_local_supplier_volume "
+        "q6_forecast_revenue top3_customers_per_nation "
+        "customers_without_urgent_orders order_priority_counts "
+        "tumbling_counts_30m sliding_counts_12h_30m unique_users_12h_1h "
+        "session_windows_30m_gap running_user_totals windowed_value_stats"
+    ).split()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -41,6 +51,10 @@ def main() -> None:
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
+                "n_queries": len(timings),
+                "core13_seconds": round(
+                    sum(timings.get(q, 0.0) for q in core13), 4
+                ),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

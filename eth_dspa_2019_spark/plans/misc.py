@@ -224,6 +224,50 @@ def unique_users_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tumbling_counts_10s",
+    oracle="""
+    SELECT cast(floor(epoch(ts) / 10) * 10 AS bigint) AS window_start,
+           user_id, count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_counts_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: 10-second keyed tumbling counts — the session-1/4 wiki-edit
+    window (`session-1-flink/.../WikipediaAnalysisWindowed.java:78-87`)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 seconds").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "word_counts",
+    oracle="""
+    SELECT w AS word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY 1
+    """,
+)
+def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/A10: the canonical flatMap + hash-routed fold — Timely's word
+    count (`session-2-timely/timely-playground/src/wc.rs:30-43`) as
+    explode + groupBy (partial aggregation does the per-worker fold)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @register("unique_users_approx", oracle=None)
 def unique_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 approx scale path: HLL sketches per 12h/1h window
