@@ -186,6 +186,65 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """(id, cluster_id): connected components over a near-dup pair relation,
+    cluster_id = min doc id of the component — the step that turns pair
+    output into actionable dedup groups (keep cluster_id, drop the rest).
+
+    Min-label propagation: each round replaces every node's label with the
+    min label in its neighborhood — O(component diameter) hash joins, and
+    near-dup components are tiny-diameter by construction (every member
+    shares a band with a hub). No driver-side graph, no GraphFrames
+    dependency; for adversarial long-chain graphs add a label-of-label
+    contraction step to get O(log diameter).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
+            )
+        )
+        .distinct()
+    )
+    labels = (
+        edges.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select(
+            F.col("a").alias("id"), F.least(F.col("a"), F.col("mb")).alias("lbl")
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(64):
+        # neighbor-min pass: lbl'(v) = min(lbl(v), min over neighbors lbl(u))
+        nbr = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        nxt = (
+            labels.join(nbr, labels.id == nbr.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

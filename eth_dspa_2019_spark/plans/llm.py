@@ -219,6 +219,51 @@ def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters_q",
+    oracle=f"""
+    WITH RECURSIVE {_O_SHINGLES},
+    {_o_minhash_bands()},
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS common
+      FROM cand c
+      JOIN sh a ON a.id = c.doc_a
+      JOIN sh b ON b.id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    pairs AS ({_o_jaccard_select('common')}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components (min-label propagation) over
+    the MinHash-LSH pair relation — the step that turns pair detection into
+    dedup groups with a canonical keeper per cluster. The oracle computes
+    the same components by recursive transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=SHINGLE_N,
+        num_perm=NUM_PERM,
+        bands=BANDS,
+        threshold=JACCARD_THRESHOLD,
+    )
+    return dd.dedup_clusters(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Text quality / language ID
 
