@@ -11,10 +11,12 @@ them (the reference's own dual-implementation methodology,
 """
 
 from .sources import stream_events, kafka_activity_source, kafka_sink_options
+from .resolution import IncrementalResolver, resolve_lines_stream
 from .windows import (
     running_totals_stream,
     running_totals_stateful,
     run_to_memory,
+    sliding_counts_two_stage_stream,
     tumbling_counts_stream,
     unique_users_stream,
 )
@@ -24,8 +26,11 @@ __all__ = [
     "kafka_activity_source",
     "kafka_sink_options",
     "tumbling_counts_stream",
+    "sliding_counts_two_stage_stream",
     "unique_users_stream",
     "running_totals_stream",
     "running_totals_stateful",
     "run_to_memory",
+    "IncrementalResolver",
+    "resolve_lines_stream",
 ]

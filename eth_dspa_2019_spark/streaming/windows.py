@@ -39,6 +39,35 @@ def tumbling_counts_stream(
     )
 
 
+def sliding_counts_two_stage_stream(
+    events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming W2/A2 with the reference's two-stage decomposition
+    (`ActivePostStatistician.java:56-78`): 30-min tumbling partials feeding
+    a 12h/30m sliding sum — CHAINED stateful window aggregations
+    (window_time re-timestamps the partials), supported since Spark 3.4.
+    The sliding state holds partials, not raw events: 24× less state."""
+    partial = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "30 minutes").alias("w30"), "event_type")
+        .agg(F.count(F.lit(1)).alias("pn"))
+    )
+    return (
+        partial.groupBy(
+            F.window(
+                F.window_time("w30"), "12 hours", "30 minutes"
+            ).alias("w"),
+            "event_type",
+        )
+        .agg(F.sum("pn").alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def unique_users_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Streaming W3/A4: sliding 12h/1h distinct users."""
     return (

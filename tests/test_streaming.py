@@ -13,6 +13,7 @@ from eth_dspa_2019_spark.streaming import (
     run_to_memory,
     running_totals_stateful,
     running_totals_stream,
+    sliding_counts_two_stage_stream,
     stream_events,
     tumbling_counts_stream,
 )
@@ -70,6 +71,35 @@ def test_stateful_running_sum_equals_batch(spark, sf_dir, tmp_path):
     g = {r["user_id"]: (round(r["rv"], 6), r["n"]) for r in final.collect()}
     b = {r["user_id"]: (round(r["rv"], 6), r["n"]) for r in batch.collect()}
     assert g == b
+
+
+def test_two_stage_sliding_stream_equals_batch_prefix(spark, sf_dir, tmp_path):
+    """Chained stateful window aggregations (30-min partials → 12h/30m
+    sliding sum): every window emitted before the final watermark must
+    equal the batch two-stage result, with no gaps before the tail."""
+    stream = sliding_counts_two_stage_stream(stream_events(spark, sf_dir))
+    got = run_to_memory(stream, str(tmp_path / "ckpt"), "append")
+    ev = load_table(spark, sf_dir, "events")
+    partial = ev.groupBy(
+        F.window("ts", "30 minutes").alias("w30"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("pn"))
+    batch = (
+        partial.groupBy(
+            F.window(F.col("w30.start"), "12 hours", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.sum("pn").alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    cols = ["window_start", "event_type", "n_events"]
+    got_rows, batch_rows = set(_rows(got, cols)), set(_rows(batch, cols))
+    assert got_rows and got_rows <= batch_rows
+    max_emitted = max(r[0] for r in got_rows)
+    assert not {r for r in batch_rows - got_rows if r[0] <= max_emitted}
 
 
 def test_watermark_append_drops_only_incomplete_windows(spark, sf_dir, tmp_path):
