@@ -74,13 +74,14 @@ def _fix(child: Column, parent: Column) -> Column:
     return F.when(parent >= child, child + bump).otherwise(child)
 
 
-def _forest_walk(acts: DataFrame, keep_semantics: bool) -> DataFrame:
-    """Level-by-level walk of the comment forest.
+def _forest_walk(acts: DataFrame, keep_semantics: bool | None = None) -> DataFrame:
+    """Level-by-level walk of the comment forest computing BOTH cleaning
+    outcomes per node: ``valid`` (C1 — raw post→node path strictly
+    increasing) and ``ts_fixed`` (C2 — cascaded repair). Returns
+    (id, kind, raw_ts, ts_fixed, valid); the C1/C2 wrappers project.
 
-    keep_semantics=True → C1: (id, kind, ts_ms·valid) where a node is valid
-    iff its raw path from the post is strictly increasing (invalid nodes
-    and their subtrees are dropped).
-    keep_semantics=False → C2: (id, kind, ts_fixed) with cascaded repairs.
+    keep_semantics retains the legacy projection behavior: True → C1
+    filter+project, False → C2 project, None → full frame.
     """
     posts = _posts_ts(acts)
     comments = (
@@ -121,11 +122,13 @@ def _forest_walk(acts: DataFrame, keep_semantics: bool) -> DataFrame:
         )
         done = done.unionByName(hit)
         frontier = hit
-    if keep_semantics:
+    if keep_semantics is True:
         return done.filter(F.col("valid")).select(
             "id", "kind", F.col("raw_ts").alias("ts_ms")
         )
-    return done.select("id", "kind", "ts_fixed")
+    if keep_semantics is False:
+        return done.select("id", "kind", "ts_fixed")
+    return done
 
 
 def valid_comment_tree(acts: DataFrame) -> DataFrame:
@@ -151,13 +154,15 @@ def repaired_likes(acts: DataFrame) -> DataFrame:
     )
 
 
-def invariant_counts(acts: DataFrame) -> DataFrame:
+def invariant_counts(acts: DataFrame, tree: DataFrame | None = None) -> DataFrame:
     """C3 checker over the repaired stream: counts + violation counts
     (child at-or-before parent) per rule — all violation counts must be 0.
+    Pass a precomputed ``tree`` (repair_comment_tree output) to reuse it.
     """
     posts = _posts_ts(acts)
     likes = repaired_likes(acts)
-    tree = repair_comment_tree(acts)
+    if tree is None:
+        tree = repair_comment_tree(acts)
     like_viol = (
         likes.join(posts, F.col("post_id") == F.col("pid"))
         .filter(F.col("ts_fixed") <= F.col("parent_ts"))

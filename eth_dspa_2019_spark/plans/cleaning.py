@@ -69,8 +69,34 @@ _O_LIKES_FIXED = f"""
 """
 
 
+# The three cleaning queries share the raw stream and (two of them) the
+# forest walk — materialize each once per session+scale.
+_RAW_CACHE: dict[tuple[str, str], DataFrame] = {}
+_WALK_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _raw_acts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return with_raw_ts(load_activities(spark, sf_dir))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _RAW_CACHE:
+        _RAW_CACHE[key] = with_raw_ts(
+            load_activities(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+    return _RAW_CACHE[key]
+
+
+def _walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forest walk computes both C1 validity and C2 repairs in one
+    pass — shared by three queries, materialized once."""
+    from ..operators.cleaning import _forest_walk
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WALK_CACHE:
+        # no outer checkpoint: the walk's per-level frames are already
+        # localCheckpointed, so the cached plan is a cheap union of
+        # materialized RDDs (and Spark 4's constraint rewrite rejects a
+        # checkpoint directly on that union).
+        _WALK_CACHE[key] = _forest_walk(_raw_acts(spark, sf_dir))
+    return _WALK_CACHE[key]
 
 
 @register(
@@ -99,7 +125,13 @@ def clean_comment_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1: keep only comments/replies whose post→node timestamp path is
     strictly increasing (subtree delete, `StreamsCleaner.java:115-203`) —
     level-by-level join walk of the comment forest."""
-    return valid_comment_tree(_raw_acts(spark, sf_dir))
+    from pyspark.sql import functions as F
+
+    return (
+        _walk(spark, sf_dir)
+        .filter(F.col("valid"))
+        .select("id", "kind", F.col("raw_ts").alias("ts_ms"))
+    )
 
 
 @register(
@@ -112,7 +144,7 @@ def clean_comment_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repair_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2/F12: cascading child-past-parent timestamp repair
     (`OrderedFileGenerator.java:38-56`) down the comment forest."""
-    return repair_comment_tree(_raw_acts(spark, sf_dir))
+    return _walk(spark, sf_dir).select("id", "kind", "ts_fixed")
 
 
 @register(
@@ -141,4 +173,7 @@ def cleaned_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3: OrderedFileChecker invariants on the repaired stream — every
     like/comment strictly after its post, every reply strictly after its
     parent (`OrderedFileChecker.java:31-76`); violation counts must be 0."""
-    return invariant_counts(_raw_acts(spark, sf_dir))
+    return invariant_counts(
+        _raw_acts(spark, sf_dir),
+        tree=_walk(spark, sf_dir).select("id", "kind", "ts_fixed"),
+    )
