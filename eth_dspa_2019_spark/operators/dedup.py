@@ -206,6 +206,9 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
             )
         )
         .distinct()
+        # materialize: the propagation loop re-reads edges every round —
+        # without this the whole upstream pair pipeline re-runs per round
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.groupBy("a")
@@ -259,14 +262,21 @@ def simhash(
     carries one ``bits``-column partial per doc per map partition — Spark's
     partial+final aggregation does the per-partition pre-sum for free.
     """
+    # count occurrences per (doc, token) first: one md5 per DISTINCT token
+    # per doc, and the 48 vote aggregates run over the deduped rows with
+    # count weights (identical integer sums, smaller input)
     tok = (
         df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
         .select("id", F.explode("toks").alias("tok"))
-        .select("id", h64("tok").alias("h"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("id", h64("tok").alias("h"), "cnt")
     )
     vote_aggs = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt"))
         ).alias(f"v{b}")
         for b in range(bits)
     ]

@@ -119,16 +119,19 @@ def cosine_topk(
 
 
 def bucket_expr(emb_col: str, signs: list[list[int]]) -> Column:
-    """LSH bucket id: bit p = [Σ_i s_{p,i}·x_i ≥ 0]. The projection is a
-    fixed left-to-right double expression — deterministic and identical to
-    the SQL oracle's expression tree."""
+    """LSH bucket id: bit p = [Σ_i s_{p,i}·x_i ≥ 0]. The projection folds
+    left-to-right in double over a zipped ±1 literal array — the same
+    addition order as the oracle's left-associated ``a+b+c`` chain, so the
+    doubles are bit-identical. (An unrolled 8×64-term scalar expression
+    gives the same result but costs seconds of codegen compile.)"""
     bucket = None
     for p, row in enumerate(signs):
-        proj = None
-        for i, s in enumerate(row):
-            term = F.element_at(F.col(emb_col), i + 1).cast("double")
-            term = term if s > 0 else -term
-            proj = term if proj is None else proj + term
+        arr = F.array(*[F.lit(float(s)) for s in row])
+        proj = F.aggregate(
+            F.zip_with(F.col(emb_col), arr, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bit = F.when(proj >= 0, F.lit(1 << p).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
