@@ -11,6 +11,12 @@ No external K/V store, no per-record RPC: the mapping is an ordinary
 DataFrame, and at cluster scale each iteration is one hash-partitioned join
 of the (still-unresolved) mapping against itself. ``localCheckpoint``
 truncates the growing lineage between iterations.
+
+The reference disambiguates overlapping post/comment id spaces with string
+key prefixes ``p_``/``r_`` in memcached (F13,
+`SN/task/postidresolution/PostIdResolver.java:87-91`); typed columns make
+that encoding unnecessary here — comment ids and post ids live in separate
+columns (``id`` vs ``root``/``post_id``) and never meet in one key space.
 """
 
 from __future__ import annotations

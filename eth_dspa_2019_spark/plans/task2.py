@@ -123,6 +123,28 @@ def task2_static_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "task2_activity_counts",
+    oracle=f"""
+    WITH RECURSIVE {_O_BASE}, {_O_RESOLVE}, {_O_RESOLVED},
+    cnts AS (
+      SELECT (ts_ms // 3600000) * 3600 - i * 3600 + 14400 AS window_end,
+             post_id, person_id, count(*) AS c
+      FROM resolved, range(0, 4) t(i)
+      GROUP BY 1, 2, 3
+    )
+    SELECT window_end, post_id, person_id, c FROM cnts
+    """,
+)
+def task2_activity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/W4: per-user activity counts per post per 4h/1h sliding window —
+    the map-accumulator aggregate feeding Task 2
+    (`FriendRecommender.java:212-238`), flattened into rows."""
+    from .social import _resolved
+
+    return windowed_activity_counts(_resolved(spark, sf_dir))
+
+
+@register(
     "task2_dynamic_similarity",
     oracle=f"""
     WITH RECURSIVE {_O_BASE}, {_O_RESOLVE}, {_O_RESOLVED}, {_O_STATIC},

@@ -128,10 +128,16 @@ def run_to_memory(
     checkpoint_dir: str,
     output_mode: str = "complete",
     name: str | None = None,
+    collect_progress: list | None = None,
 ) -> DataFrame:
     """Execute a bounded streaming query with Trigger.AvailableNow into a
     memory sink (S7-style) with checkpointing (O6) and return the result
-    as a DataFrame. The reference's replay-to-completion test mode."""
+    as a DataFrame. The reference's replay-to-completion test mode.
+
+    Pass a list as ``collect_progress`` to receive the per-batch
+    StreamingQueryProgress dicts — watermark position, state-store rows,
+    input rates: the O8 progress/frontier surface (Timely's
+    probe/frontier, `session-2-timely/.../main.rs:24-40`)."""
     name = name or f"q_{uuid.uuid4().hex[:8]}"
     q = (
         df.writeStream.format("memory")
@@ -142,7 +148,23 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+    if collect_progress is not None:
+        import json
+
+        collect_progress.extend(json.loads(p.json) for p in q.recentProgress)
     return df.sparkSession.table(name)
+
+
+#: O6: the RocksDB state store provider (incremental, spill-to-disk state —
+#: the reference's RocksDB backend + incremental checkpoints,
+#: `session-9/wiki-edits/.../FlinkKafkaConsumer.java:66-73`). Set per
+#: session: get_spark(extra_conf=ROCKSDB_STATE_CONF).
+ROCKSDB_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
 
 
 def late_rows_filter(df: DataFrame, watermark_ts: str) -> DataFrame:
