@@ -268,6 +268,24 @@ def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "salted_event_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM events GROUP BY 1
+    """,
+)
+def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-stage count on a deliberately hot key (5 event
+    types over all rows): shard each key across 16 salts, merge partials —
+    identical result to a direct groupBy, but no single reducer ever sees
+    a whole hot key (operators/skew.py; the reference's broadcast +
+    mod-shard trick restructured, `AnomalousUserDetector.java:66,270`)."""
+    from ..operators.skew import salted_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count(ev, ["event_type"], n_salt=16)
+
+
 @register("unique_users_approx", oracle=None)
 def unique_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 approx scale path: HLL sketches per 12h/1h window
