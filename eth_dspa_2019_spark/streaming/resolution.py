@@ -87,6 +87,74 @@ class IncrementalResolver:
         )
 
 
+def resolve_activities_stream(
+    spark: SparkSession,
+    lines_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> "IncrementalResolver":
+    """The reference's full resolver topology in streaming form
+    (`PostIdResolver.buildPipeline`, `SN/SocialNetwork.java:37`): parse the
+    line stream, resolve incrementally, and EMIT each activity to the
+    resolved-stream sink as soon as its root post is known — posts/likes/
+    comments immediately, replies when their chain resolves (possibly in a
+    later batch, exactly like the reference's timer re-emission). The sink
+    is a parquet directory, i.e. the bronze→silver file hop that downstream
+    windowed tasks consume as their own stream."""
+    from ..schemas import KIND_LIKE, KIND_POST, KIND_REPLY
+    from ..sources.activity import parse_activities
+
+    resolver = IncrementalResolver(spark)
+    out_cols = ["kind", "id", "person_id", "ts_ms", "post_id"]
+    # reply rows seen but not yet resolvable, carried across batches
+    parked = spark.createDataFrame(
+        [], "kind string, id long, person_id long, ts_ms long, parent_id long"
+    )
+
+    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+        nonlocal parked
+        batch_df = batch_df.localCheckpoint(eager=True)
+        newly = resolver.process_batch(batch_df).localCheckpoint(eager=True)
+        direct = batch_df.filter(
+            F.col("kind").isin(KIND_POST, KIND_LIKE, KIND_COMMENT)
+        ).select(*out_cols)
+        reply_rows = batch_df.filter(F.col("kind") == KIND_REPLY).select(
+            "kind", "id", "person_id", "ts_ms", "parent_id"
+        ).unionByName(parked)
+        hit = (
+            reply_rows.join(
+                newly.withColumnRenamed("id", "rid"),
+                F.col("id") == F.col("rid"),
+            )
+            .select(
+                "kind",
+                "id",
+                "person_id",
+                "ts_ms",
+                F.col("root_post_id").alias("post_id"),
+            )
+        )
+        parked = reply_rows.join(
+            hit.select("id"), "id", "left_anti"
+        ).localCheckpoint(eager=True)
+        direct.unionByName(hit).write.mode("append").parquet(out_dir)
+
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(lines_dir)
+    )
+    q = (
+        parse_activities(lines)
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return resolver
+
+
 def resolve_lines_stream(
     spark: SparkSession, lines_dir: str, checkpoint_dir: str
 ) -> "IncrementalResolver":

@@ -52,6 +52,70 @@ def test_incremental_reverse_order_parks_then_resolves(spark):
     assert got == {i: 100 for i in range(6)}
 
 
+def test_streaming_task1_pipeline(spark, sf_dir, tmp_path):
+    """The full streaming topology: lines → parse → incremental resolution
+    (emit-on-resolve to a parquet hop) → windowed per-post comment counts
+    read as a second stream — equals the batch task1 query up to the final
+    watermark (the reference's SocialNetwork.main shape)."""
+    from eth_dspa_2019_spark.plans.registry import all_queries
+    from eth_dspa_2019_spark.plans.social import _resolved
+    from eth_dspa_2019_spark.streaming import run_to_memory
+    from eth_dspa_2019_spark.streaming.resolution import (
+        resolve_activities_stream,
+    )
+    from eth_dspa_2019_spark.sources.activity import synth_activity_lines
+
+    lines = synth_activity_lines(spark, sf_dir).withColumn(
+        "part", (F.crc32(F.col("value")) % 3).cast("int")
+    )
+    ldir = str(tmp_path / "lines")
+    lines.write.partitionBy("part").mode("overwrite").text(ldir)
+    out_dir = str(tmp_path / "resolved")
+    resolver = resolve_activities_stream(
+        spark, f"{ldir}/part=*", out_dir, str(tmp_path / "ck1")
+    )
+    assert resolver.pending.count() == 0
+
+    # emitted resolved stream == batch resolved stream (multiset equality)
+    emitted = spark.read.parquet(out_dir)
+    batch_resolved = _resolved(spark, sf_dir).select(
+        "kind", "id", "person_id", "ts_ms", "post_id"
+    )
+    assert sorted(map(tuple, emitted.collect())) == sorted(
+        map(tuple, batch_resolved.collect())
+    )
+
+    # second hop: windowed per-post comment counts over the parquet stream
+    res_stream = (
+        spark.readStream.schema(emitted.schema).parquet(out_dir)
+        .withColumn("ets", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("ets", "30 minutes")
+    )
+    counts = (
+        res_stream.groupBy(
+            F.window("ets", "12 hours", "30 minutes").alias("w"), "post_id"
+        )
+        .agg(
+            F.sum(F.when(F.col("kind") == "comment", 1).otherwise(0)).alias(
+                "n_comments"
+            )
+        )
+        .select(
+            F.col("w.end").cast("long").alias("window_end"),
+            "post_id",
+            "n_comments",
+        )
+    )
+    got = run_to_memory(counts, str(tmp_path / "ck2"), "append")
+    batch = all_queries()["task1_comment_counts"].spark(spark, sf_dir)
+    cols = ["window_end", "post_id", "n_comments"]
+    got_rows = set(map(tuple, got.select(*cols).collect()))
+    batch_rows = set(map(tuple, batch.select(*cols).collect()))
+    assert got_rows and got_rows <= batch_rows
+    max_emitted = max(r[0] for r in got_rows)
+    assert not {r for r in batch_rows - got_rows if r[0] <= max_emitted}
+
+
 def test_foreachbatch_stream_resolution(spark, sf_dir, tmp_path):
     """End-to-end: text-file micro-batches → parser → foreachBatch state
     fold equals the batch fixpoint."""
