@@ -51,3 +51,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def read_pipe_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    keep_columns: list[str] | None = None,
+) -> DataFrame:
+    """S5: pipe-delimited CSV with a single header line — the reference's
+    static-table format (`person_knows_person.csv` etc.,
+    `SN/util/Config.java:73-82`). ``keep_columns`` mirrors the reference's
+    habit of ignoring trailing columns (classYear/workFrom,
+    `SN/task/recommendation/FriendRecommender.java:158-194`)."""
+    reader = spark.read.option("header", True).option("sep", "|")
+    df = (
+        reader.schema(schema).csv(path)
+        if schema is not None
+        else reader.option("inferSchema", True).csv(path)
+    )
+    return df.select(*keep_columns) if keep_columns else df

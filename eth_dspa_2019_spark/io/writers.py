@@ -27,10 +27,16 @@ def write_single_text(df: DataFrame, path: str, sep: str = "|") -> None:
     )
 
 
-def write_single_csv(df: DataFrame, path: str) -> None:
-    """S6 CSV form with header (the cleaning jobs' output shape,
-    `SN/cleaning/StreamsCleaner.java:48,65,177`)."""
-    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+def write_single_csv(df: DataFrame, path: str, sep: str = "|") -> None:
+    """S6 CSV form: single pipe-delimited file with header — the cleaning
+    jobs' output shape (`SN/cleaning/StreamsCleaner.java:48,65,177`)."""
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("sep", sep)
+        .csv(path)
+    )
 
 
 def console_sink(df: DataFrame, n: int = 20) -> None:

@@ -89,6 +89,26 @@ def test_side_outputs(spark):
     assert [r["kind"] for r in late] == ["post", "comment"] or len(late) == 2
 
 
+def test_read_pipe_csv_roundtrip(spark, sf_dir, tmp_path):
+    """S5: pipe-CSV write → read round trip, extra columns droppable."""
+    from eth_dspa_2019_spark.io.readers import read_pipe_csv
+
+    df = spark.createDataFrame(
+        [(1, 10, 2001), (2, 20, 2002)],
+        "person_id long, object_id long, classYear long",
+    )
+    p = str(tmp_path / "person_studyAt_organisation")
+    write_single_csv(df.selectExpr(
+        "person_id as `Person.id`", "object_id as `Organisation.id`",
+        "classYear",
+    ), p)
+    back = read_pipe_csv(
+        spark, p, keep_columns=["`Person.id`", "`Organisation.id`"]
+    )
+    assert back.columns == ["Person.id", "Organisation.id"]
+    assert back.count() == 2
+
+
 def test_repartition_and_broadcast_plan(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     # P5/P6: rebalance / random repartition
