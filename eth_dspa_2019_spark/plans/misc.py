@@ -269,6 +269,31 @@ def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "global_time_order_sample",
+    oracle="""
+    SELECT rn, event_id
+    FROM (SELECT event_id,
+                 row_number() OVER (ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn % 997 = 0
+    """,
+)
+def global_time_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: global timestamp sort (the producer's TreeMap merge,
+    `SN/Producer.java:21-46`) verified positionally — every 997th rank of
+    the total (ts, id) order. Range-partitioned global sort; the sampled
+    output keeps the hash compare order-insensitive yet order-sensitive to
+    the sort itself."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    return (
+        ev.select("event_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") % 997 == 0)
+        .select("rn", "event_id")
+    )
+
+
+@register(
     "salted_event_counts",
     oracle="""
     SELECT event_type, count(*) AS n FROM events GROUP BY 1

@@ -102,6 +102,41 @@ def test_two_stage_sliding_stream_equals_batch_prefix(spark, sf_dir, tmp_path):
     assert not {r for r in batch_rows - got_rows if r[0] <= max_emitted}
 
 
+def test_stateful_task3_features_equal_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState Task 3 feature extraction (per-user ring
+    state) == the oracle-checked batch window-function form, over an
+    in-order bounded replay."""
+    import tempfile
+
+    from eth_dspa_2019_spark.operators.anomaly import user_features
+    from eth_dspa_2019_spark.sources.activity import (
+        load_activities,
+        parse_activities,
+        synth_activity_lines,
+    )
+    from eth_dspa_2019_spark.streaming.features import user_features_stateful
+
+    lines = synth_activity_lines(spark, sf_dir)
+    ldir = str(tmp_path / "flines")
+    lines.coalesce(1).write.mode("overwrite").text(ldir)
+    acts_stream = parse_activities(
+        spark.readStream.format("text").load(ldir)
+    )
+    got = run_to_memory(
+        user_features_stateful(acts_stream),
+        str(tmp_path / "fckpt"),
+        "append",
+    )
+    batch = user_features(load_activities(spark, sf_dir)).select(
+        "person_id", "ts_ms", "id", "kind", "freq", "clen", "plen",
+        "cratio", "pratio",
+    )
+    cols = batch.columns
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
 def test_watermark_append_drops_only_incomplete_windows(spark, sf_dir, tmp_path):
     """Append mode + watermark: after a bounded replay the emitted windows
     are exactly the batch windows whose end precedes the final watermark
