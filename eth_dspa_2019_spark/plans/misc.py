@@ -269,6 +269,32 @@ def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_rollup",
+    oracle="""
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(cast(user_id % 8 AS varchar), '<all>') AS shard,
+           count(*) AS n
+    FROM events
+    GROUP BY ROLLUP (event_type, user_id % 8)
+    """,
+)
+def event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals (type → type×shard → grand total) — the
+    multi-level aggregation surface the reference lacks and Spark provides
+    natively (SURVEY §2.4 note); one Expand-based pass, no re-scans."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type", (F.col("user_id") % 8).cast("string").alias("shard"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("shard", F.lit("<all>")).alias("shard"),
+            "n",
+        )
+    )
+
+
+@register(
     "global_time_order_sample",
     oracle="""
     SELECT rn, event_id

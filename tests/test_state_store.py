@@ -52,3 +52,58 @@ def test_rocksdb_state_store_and_progress(spark, sf_dir, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_checkpoint_restart_resumes_state(spark, sf_dir, tmp_path):
+    """O6: a restarted query on the same checkpoint ingests ONLY new files
+    and its recovered state still carries the first run's aggregates — the
+    reference's checkpoint/restart story
+    (`session-9/.../FlinkKafkaConsumer.java:66-73`)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    a.coalesce(1).write.mode("append").parquet(src)
+
+    def run(name):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = [p for p in q.recentProgress]
+        return (
+            {r["event_type"]: r["n"] for r in spark.table(name).collect()},
+            progress,
+        )
+
+    first, _ = run("restart_t1")
+    assert first == {
+        r["event_type"]: r["n"]
+        for r in a.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    b.coalesce(1).write.mode("append").parquet(src)
+    second, progress2 = run("restart_t2")
+    # recovered state + only-new input → totals over a ∪ b
+    assert second == {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows_read = sum(p.numInputRows for p in progress2)
+    assert rows_read <= b.count()  # file A was NOT re-ingested
