@@ -19,8 +19,12 @@ from eth_dspa_2019_spark.plans import all_queries, oracle_map
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    spec = all_queries()["q1_pricing_summary"]
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Task 1 active-post comment counts — the reference's headline workload:
+    pipe-format ingest → timestamp-zoo parse → reply→post resolution
+    fixpoint → two-stage 12h/30m sliding window per post."""
+    spec = all_queries()["task1_comment_counts"]
     return spec.spark(spark, "/root/testdata/sf0.001")
 
 
