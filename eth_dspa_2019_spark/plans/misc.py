@@ -269,6 +269,48 @@ def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_percentiles_exact",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           max(CASE WHEN rn = 1 + (n - 1) // 2 THEN value END) AS p50,
+           max(CASE WHEN rn = 1 + ((n - 1) * 9) // 10 THEN value END) AS p90,
+           max(CASE WHEN rn = 1 + ((n - 1) * 99) // 100 THEN value END) AS p99
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rank-based percentiles per key (p50/p90/p99 as the value at
+    row index 1+⌊p·(n−1)⌋ of the (value, id) order) — integer indexing
+    instead of interpolation, so both engines pick the same physical row.
+    One window pass + one aggregate; at scale this is the sort-based exact
+    path next to `approx_percentile` sketches."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def pick(num: int, den: int):
+        idx = 1 + ((F.col("n") - 1) * num) / den
+        return F.max(F.when(F.col("rn") == F.floor(idx), F.col("value")))
+
+    return ranked.groupBy("event_type").agg(
+        pick(1, 2).alias("p50"), pick(9, 10).alias("p90"), pick(99, 100).alias("p99")
+    )
+
+
+@register(
     "event_rollup",
     oracle="""
     SELECT coalesce(event_type, '<all>') AS event_type,
