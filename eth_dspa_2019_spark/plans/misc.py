@@ -269,6 +269,45 @@ def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_last_purchase",
+    oracle="""
+    SELECT l.event_id, l.user_id,
+           cast(floor(epoch(l.ts)) AS bigint) AS ts_s,
+           cast(floor(epoch(r.ts)) AS bigint) AS purchase_ts_s,
+           r.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every non-purchase event enriched with the user's most
+    recent prior purchase (operators/asof.py union–window plan — one
+    key-partitioned sort, no range-join blowup). Oracle: DuckDB's native
+    ASOF LEFT JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["ts", "value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.col("ts_asof").cast("long").alias("purchase_ts_s"),
+        F.col("value_asof").alias("purchase_value"),
+    )
+
+
+@register(
     "value_percentiles_exact",
     oracle="""
     WITH ranked AS (

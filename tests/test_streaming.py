@@ -102,6 +102,40 @@ def test_two_stage_sliding_stream_equals_batch_prefix(spark, sf_dir, tmp_path):
     assert not {r for r in batch_rows - got_rows if r[0] <= max_emitted}
 
 
+def test_session_windows_stream_prefix(spark, sf_dir, tmp_path):
+    """W7 streaming: session_window + watermark (merging session state) —
+    emitted sessions equal the batch session query up to the watermark."""
+    ev = stream_events(spark, sf_dir)
+    stream = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("long").alias("session_start"),
+            F.col("sw.end").cast("long").alias("session_end"),
+            "n_events",
+        )
+    )
+    got = run_to_memory(stream, str(tmp_path / "swck"), "append")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("long").alias("session_start"),
+            F.col("sw.end").cast("long").alias("session_end"),
+            "n_events",
+        )
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    got_rows, batch_rows = set(_rows(got, cols)), set(_rows(batch, cols))
+    assert got_rows and got_rows <= batch_rows
+    max_end = max(r[2] for r in got_rows)
+    assert not {r for r in batch_rows - got_rows if r[2] <= max_end}
+
+
 def test_stateful_task3_features_equal_batch(spark, sf_dir, tmp_path):
     """applyInPandasWithState Task 3 feature extraction (per-user ring
     state) == the oracle-checked batch window-function form, over an
