@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..schemas import KIND_COMMENT, KIND_POST, KIND_REPLY
+from .prefix import global_running_sums
 
 HOUR_MS = 3_600_000
 Q = 1_000_000  # fixed-point scale for fractional features
@@ -88,23 +89,22 @@ def anomalies(acts: DataFrame) -> DataFrame:
     running means *including the current activity* (`Task3Evaluator.java:
     81-89`: signature update precedes the isNormal check).
 
-    The global running scan is inherently sequential (single ordered
-    partition) — that IS the reference's semantics; at scale the running
-    means would be replaced by a two-pass (global means then compare) or a
-    per-batch prefix aggregation."""
+    The global running means are computed with the two-stage range-prefix
+    plan (`operators/prefix.py`) — per-range-partition running sums plus
+    broadcast partition offsets — bit-identical to a single global ordered
+    scan (the sums are BIGINT fixed-point, hence associative), but with no
+    single-partition window anywhere in the plan."""
     feats = user_features(acts)
-    w_run = Window.orderBy("ts_ms", "id", "person_id", "kind").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cols = {}
+    order = ["ts_ms", "id", "person_id", "kind"]
+    exprs = {}
     for f in FEATURES:
         c = F.col(f)
-        cols[f"{f}_avg"] = (
-            F.sum(F.when(c != -1, c)).over(w_run).cast("double")
-            / F.sum(F.when(c != -1, 1)).over(w_run)
-        )
-    scored = feats.select("ts_ms", "person_id", *FEATURES, *[
-        v.alias(k) for k, v in cols.items()
+        exprs[f"{f}_s"] = F.when(c != -1, c)
+        exprs[f"{f}_c"] = F.when(c != -1, F.lit(1))
+    run = global_running_sums(feats, order, exprs)
+    scored = run.select("ts_ms", "person_id", *FEATURES, *[
+        (F.col(f"{f}_s").cast("double") / F.col(f"{f}_c")).alias(f"{f}_avg")
+        for f in FEATURES
     ])
 
     def hi_lo(f: str) -> Column:

@@ -388,16 +388,16 @@ def event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def global_time_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2: global timestamp sort (the producer's TreeMap merge,
     `SN/Producer.java:21-46`) verified positionally — every 997th rank of
-    the total (ts, id) order. Range-partitioned global sort; the sampled
-    output keeps the hash compare order-insensitive yet order-sensitive to
-    the sort itself."""
+    the total (ts, id) order, computed with the two-stage range-prefix
+    rank (`operators/prefix.py`: range partition → partition-count offset
+    metadata → parallel per-partition row_number) so no single-partition
+    window appears in the plan. The sampled output keeps the hash compare
+    order-insensitive yet order-sensitive to the sort itself."""
+    from ..operators.prefix import global_index
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    return (
-        ev.select("event_id", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") % 997 == 0)
-        .select("rn", "event_id")
-    )
+    ranked = global_index(ev.select("event_id", "ts"), ["ts", "event_id"])
+    return ranked.filter(F.col("rn") % 997 == 0).select("rn", "event_id")
 
 
 @register(
