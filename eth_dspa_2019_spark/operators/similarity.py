@@ -33,12 +33,15 @@ from pyspark.sql.window import Window
 FIXED_POINT = int(1e15)
 
 
-def plane_signs(num_planes: int, dim: int) -> list[list[int]]:
+def plane_signs(num_planes: int, dim: int, prefix: str = "") -> list[list[int]]:
     """Deterministic ±1 hyperplane matrix (md5-parity), identical constants
-    for the Spark plan and the SQL oracle."""
+    for the Spark plan and the SQL oracle. ``prefix`` derives independent
+    matrices (one per LSH band)."""
     return [
         [
-            1 if hashlib.md5(f"plane{p}#dim{i}".encode()).digest()[0] % 2 == 0 else -1
+            1
+            if hashlib.md5(f"{prefix}plane{p}#dim{i}".encode()).digest()[0] % 2 == 0
+            else -1
             for i in range(dim)
         ]
         for p in range(num_planes)
@@ -115,6 +118,84 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "cos_sim")
+    )
+
+
+def neardup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    bands: int = 8,
+    planes_per_band: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ``(a, b, cos_sim)`` with
+    ``a < b`` and ``cos_sim >= threshold`` — the vector-space sibling of
+    MinHash LSH dedup (`operators/dedup.py`).
+
+    Multi-band hyperplane LSH: B independent sign-pattern buckets per
+    vector; a pair is a candidate iff it collides in ANY band (recall
+    ≈ 1-(1-p^P)^B with p = 1-θ/π per plane). Candidates come from a
+    per-(band, bucket) equi-self-join — ONE shuffle on the bucket key,
+    never an all-pairs product — then exact fixed-point cosine verifies
+    candidates only. Exactly the all-pairs-free shape that survives a
+    100 TB corpus; recall/bucket-granularity tune via bands/planes.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("emb"),
+        norm2_fx(F.col(emb_col)).alias("n2"),
+        *[
+            bucket_expr(emb_col, plane_signs(planes_per_band, dim, f"band{b}:")).alias(
+                f"bk{b}"
+            )
+            for b in range(bands)
+        ],
+    )
+    bucketed = base.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"bk{b}").alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    x, y = bucketed.alias("x"), bucketed.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .distinct()
+    )
+    va = base.select(
+        F.col("vec_id").alias("a"), F.col("emb").alias("a_emb"), F.col("n2").alias("a_n2")
+    )
+    vb = base.select(
+        F.col("vec_id").alias("b"), F.col("emb").alias("b_emb"), F.col("n2").alias("b_n2")
+    )
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select(
+            "a",
+            "b",
+            cosine_sim(
+                dot_fx(F.col("a_emb"), F.col("b_emb")),
+                F.col("a_n2"),
+                F.col("b_n2"),
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 

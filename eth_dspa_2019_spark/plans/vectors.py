@@ -17,6 +17,7 @@ from ..operators.similarity import (
     FIXED_POINT,
     ann_topk_lsh,
     cosine_topk,
+    neardup_pairs_lsh,
     o_bucket_expr,
     plane_signs,
 )
@@ -114,6 +115,65 @@ def _ann_oracle() -> str:
     )
     {_o_rank_select('scored')}
     """
+
+
+# Embedding-cosine near-dup: the testdata embeddings are near-random
+# (max pairwise cosine ≈ 0.48), so the threshold sits at ~p99.9 of the
+# pair distribution to yield a real non-empty pair set; on an actual
+# near-dup corpus the same operator runs with e.g. 0.95.
+ND_BANDS = 8
+ND_PLANES = 6
+ND_THRESHOLD = 0.35
+
+
+def _neardup_oracle() -> str:
+    per_band = []
+    for b in range(ND_BANDS):
+        bucket = o_bucket_expr("embedding", plane_signs(ND_PLANES, DIM, f"band{b}:"))
+        per_band.append(
+            f"SELECT vec_id, {b} AS band, {bucket} AS bucket FROM embeddings"
+        )
+    bb = " UNION ALL ".join(per_band)
+    return f"""
+    WITH {_O_ELEMENTS},
+    bb AS ({bb}),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM bb x JOIN bb y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    dots AS (
+      SELECT cd.a, cd.b,
+             sum(cast(floor(ea.x * eb.x * {FIXED_POINT}.0) AS bigint)) AS dp
+      FROM cand cd
+      JOIN el ea ON ea.vec_id = cd.a
+      JOIN el eb ON eb.vec_id = cd.b AND eb.i = ea.i
+      GROUP BY 1, 2
+    )
+    SELECT d.a, d.b,
+           cast(d.dp AS double)
+             / (sqrt(cast(na.n2 AS double)) * sqrt(cast(nb.n2 AS double)))
+             AS cos_sim
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.a
+    JOIN norms nb ON nb.vec_id = d.b
+    WHERE cast(d.dp AS double)
+            / (sqrt(cast(na.n2 AS double)) * sqrt(cast(nb.n2 AS double)))
+          >= {ND_THRESHOLD}
+    """
+
+
+@register("embedding_neardup_pairs", oracle=_neardup_oracle())
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-band hyperplane LSH
+    (8 bands × 6 planes) + exact fixed-point cosine verify of candidates
+    only — the vector-space member of the dedup family (exact / Jaccard /
+    MinHash / SimHash / cosine). Candidates come from one (band, bucket)
+    equi-self-join; the all-pairs product is never built."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs_lsh(
+        emb, ND_THRESHOLD, bands=ND_BANDS, planes_per_band=ND_PLANES, dim=DIM
+    )
 
 
 @register("ann_topk_lsh", oracle=_ann_oracle())
