@@ -92,6 +92,52 @@ def global_index(
     ).drop(_PID)
 
 
+def global_running_max(
+    df: DataFrame,
+    order_cols: list[str],
+    exprs: dict[str, Column],
+    *,
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """For each ``name -> expr``, add column ``name`` holding
+    ``max(expr) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING
+    [AND 1 PRECEDING if exclusive])`` via the two-stage range plan —
+    max is associative, so a per-partition running max plus the max of
+    all earlier partitions' totals is exact."""
+    tmp = {name: f"__pfx_{name}" for name in exprs}
+    base = df.select("*", *[c.alias(tmp[n]) for n, c in exprs.items()])
+    part = _range_partitioned(base, order_cols, num_partitions)
+
+    partials = {
+        r[_PID]: r.asDict()
+        for r in part.groupBy(_PID)
+        .agg(*[F.max(tmp[n]).alias(f"m_{n}") for n in exprs])
+        .collect()
+    }
+    end = -1 if exclusive else Window.currentRow
+    w = Window.partitionBy(_PID).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, end
+    )
+    types = dict(part.dtypes)
+    out = part
+    for name in exprs:
+        prior: dict[int, object] = {}
+        acc = None
+        for pid in sorted(partials):
+            if acc is not None:
+                prior[pid] = acc
+            m = partials[pid][f"m_{name}"]
+            if m is not None:
+                acc = m if acc is None else max(acc, m)
+        win = F.max(tmp[name]).over(w)
+        off = _pid_map(prior)[F.col(_PID)].cast(types[tmp[name]]) if prior else F.lit(
+            None
+        ).cast(types[tmp[name]])
+        out = out.withColumn(name, F.greatest(win, off))
+    return out.drop(_PID, *tmp.values())
+
+
 def global_running_sums(
     df: DataFrame,
     order_cols: list[str],

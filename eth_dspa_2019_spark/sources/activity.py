@@ -37,7 +37,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..io.readers import load_table
 from ..schemas import (
@@ -163,14 +162,27 @@ def synth_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     The global ORDER BY window is fixture-synthesis machinery, not an
     engine operator — it funnels through one partition by design (the
     reference producer is a single-threaded TreeMap replay anyway,
-    `SN/Producer.java:21-46`).
+    `SN/Producer.java:21-46`). The scale-correct form exists as
+    `operators/prefix.py::global_running_max` (measured: the two-stage
+    plan's extra metadata job costs more than the one-task window saves
+    at fixture scale, so the fixture keeps the window).
     """
+    from pyspark.sql.window import Window
+
     ev = load_table(spark, sf_dir, "events")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = docs.count()
     e = F.col("event_id")
     m = e % 10
     w_prev = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    pre = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "props",
+        F.max(F.when(m <= 2, e)).over(w_prev).alias("last_post"),
+        F.max(F.when((m >= 3) & (m <= 8), e)).over(w_prev).alias("last_comment"),
+    )
     sec = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
     date_str = (
         F.when(e % 5 == 0, sec)
@@ -179,12 +191,12 @@ def synth_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(e % 5 == 3, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
         .otherwise(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SS'ZZ'"))
     )
-    base = ev.select(
+    base = pre.select(
         "event_id",
         "user_id",
         m.alias("m"),
-        F.max(F.when(m <= 2, e)).over(w_prev).alias("last_post"),
-        F.max(F.when((m >= 3) & (m <= 8), e)).over(w_prev).alias("last_comment"),
+        "last_post",
+        "last_comment",
         date_str.alias("date_str"),
         (e % n_docs).alias("doc_ref"),
         F.regexp_extract("props", r"(\d+)", 1).cast("long").alias("k"),

@@ -121,3 +121,55 @@ def test_repartition_and_broadcast_plan(spark, sf_dir):
         F.broadcast(small), "event_type"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_paced_replay_schedule_and_stream_equivalence(spark, sf_dir, tmp_path):
+    """speedupFactor pacing (S3): chunks are scheduled at
+    (event_offset / speedup) wall seconds — asserted via an injected clock,
+    no real sleeping — and the paced directory, consumed as a file stream,
+    yields the same windowed counts as the batch query."""
+    from eth_dspa_2019_spark.harness import paced_replay
+    from eth_dspa_2019_spark.streaming import run_to_memory
+
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    lines = ev.select(
+        F.concat_ws("|", F.col("event_id"), F.col("user_id")).alias("value"),
+        "ts",
+    )
+
+    sleeps: list[float] = []
+    fake_now = [0.0]
+
+    def clock() -> float:
+        return fake_now[0]
+
+    def sleep(s: float) -> None:
+        sleeps.append(s)
+        fake_now[0] += s
+
+    speedup = 604800.0  # the reference's recommended replay acceleration
+    out = str(tmp_path / "paced")
+    emitted = paced_replay(
+        lines, out, speedup, chunk_event_seconds=6 * 3600, sleep=sleep, clock=clock
+    )
+    # schedule: chunk i lands at i*chunk_seconds/speedup on the fake clock
+    assert len(emitted) > 2
+    for path, scheduled in emitted:
+        assert abs(scheduled - int(path[-6:]) * 6 * 3600 / speedup) < 1e-9
+    assert sleeps and abs(sum(sleeps) - emitted[-1][1]) < 1e-6
+
+    # the paced directory is a valid bounded replay: same windowed counts
+    parsed = (
+        spark.readStream.format("text")
+        .load(f"{out}/chunk*")
+        .select(
+            F.element_at(F.split("value", r"\|"), 1).cast("long").alias("event_id")
+        )
+    )
+    got = run_to_memory(
+        parsed.groupBy().agg(F.count(F.lit(1)).alias("n")),
+        str(tmp_path / "ck"),
+        "complete",
+    )
+    assert got.collect()[0]["n"] == n_events

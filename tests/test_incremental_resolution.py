@@ -134,3 +134,106 @@ def test_foreachbatch_stream_resolution(spark, sf_dir, tmp_path):
     assert _mapping_rows(resolver.mappings()) == _mapping_rows(
         batch.select(F.col("id").alias("child_id"), "root_post_id")
     )
+
+
+def test_streaming_pipeline_under_bounded_disorder(spark, sf_dir, tmp_path):
+    """The reference's replay-disorder stress (`SN/Producer.java:33-37`,
+    `Config.outOfOrdernessBound` = 30 min): each line's ARRIVAL order is its
+    event time plus seeded uniform lateness in [0, 30 min), chunked into
+    sequential micro-batch files. The full topology (parse → incremental
+    resolution → emit-on-resolve → watermarked windowed counts) must
+    produce exactly the in-order results: resolution state is
+    order-independent by construction, and window emission tolerates
+    disorder up to the watermark."""
+    from pyspark.sql.window import Window
+
+    from eth_dspa_2019_spark.harness.replay import with_random_lateness
+    from eth_dspa_2019_spark.plans.registry import all_queries
+    from eth_dspa_2019_spark.plans.social import _resolved
+    from eth_dspa_2019_spark.sources.activity import (
+        parse_creation_date,
+        synth_activity_lines,
+    )
+    from eth_dspa_2019_spark.streaming import run_to_memory
+    from eth_dspa_2019_spark.streaming.resolution import (
+        resolve_activities_stream,
+    )
+
+    lines = synth_activity_lines(spark, sf_dir).withColumn(
+        "ts", parse_creation_date(F.element_at(F.split("value", r"\|", -1), 4))
+    )
+    arr = with_random_lateness(lines, bound_seconds=1800, seed=7)
+    n_chunks = 8
+    chunked = arr.withColumn(
+        "chunk",
+        F.ntile(n_chunks).over(Window.orderBy("arrival_ts", "value")) - 1,
+    ).localCheckpoint(eager=True)
+
+    # the disorder is real: some reply lands in an earlier chunk than its
+    # parent (the case that must park in pending state across batches)
+    p = F.split("value", r"\|", -1)
+    ids = chunked.select(
+        F.element_at(p, 2).cast("long").alias("id"),
+        F.when(
+            (F.element_at(p, 1) == "C") & (F.element_at(p, 8) == ""),
+            F.element_at(p, 9).cast("long"),
+        ).alias("parent_id"),
+        "chunk",
+    )
+    inverted = (
+        ids.filter(F.col("parent_id").isNotNull())
+        .alias("c")
+        .join(ids.alias("p"), F.col("c.parent_id") == F.col("p.id"))
+        .filter(F.col("c.chunk") < F.col("p.chunk"))
+        .count()
+    )
+    assert inverted > 0
+
+    ldir = tmp_path / "lines"
+    ldir.mkdir()
+    for i in range(n_chunks):  # sequential writes → arrival-ordered files
+        chunked.filter(F.col("chunk") == i).select("value").coalesce(
+            1
+        ).write.mode("overwrite").text(str(ldir / f"chunk{i}"))
+    out_dir = str(tmp_path / "resolved")
+    resolver = resolve_activities_stream(
+        spark, f"{ldir}/chunk*", out_dir, str(tmp_path / "ck1")
+    )
+    assert resolver.pending.count() == 0
+
+    emitted = spark.read.parquet(out_dir)
+    batch_resolved = _resolved(spark, sf_dir).select(
+        "kind", "id", "person_id", "ts_ms", "post_id"
+    )
+    assert sorted(map(tuple, emitted.collect())) == sorted(
+        map(tuple, batch_resolved.collect())
+    )
+
+    # watermark == disorder bound → closed windows equal the batch values
+    res_stream = (
+        spark.readStream.schema(emitted.schema)
+        .parquet(out_dir)
+        .withColumn("ets", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("ets", "30 minutes")
+    )
+    counts = (
+        res_stream.groupBy(
+            F.window("ets", "12 hours", "30 minutes").alias("w"), "post_id"
+        )
+        .agg(
+            F.sum(F.when(F.col("kind") == "comment", 1).otherwise(0)).alias(
+                "n_comments"
+            )
+        )
+        .select(
+            F.col("w.end").cast("long").alias("window_end"),
+            "post_id",
+            "n_comments",
+        )
+    )
+    got = run_to_memory(counts, str(tmp_path / "ck2"), "append")
+    batch = all_queries()["task1_comment_counts"].spark(spark, sf_dir)
+    cols = ["window_end", "post_id", "n_comments"]
+    got_rows = set(map(tuple, got.select(*cols).collect()))
+    batch_rows = set(map(tuple, batch.select(*cols).collect()))
+    assert got_rows and got_rows <= batch_rows

@@ -8,7 +8,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from eth_dspa_2019_spark.io.readers import load_table
-from eth_dspa_2019_spark.operators.prefix import global_index, global_running_sums
+from eth_dspa_2019_spark.operators.prefix import (
+    global_index,
+    global_running_max,
+    global_running_sums,
+)
 
 
 def test_global_index_matches_window(spark, sf_dir):
@@ -45,6 +49,20 @@ def test_global_running_sums_match_window_with_null_runs(spark, sf_dir):
         F.sum(F.when(expr.isNotNull(), F.lit(1))).over(w).alias("rcnt"),
     )
     want = {r["event_id"]: (r["rsum"], r["rcnt"]) for r in want_df.collect()}
+    assert got == want
+
+
+def test_global_running_max_exclusive_matches_window(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    e = F.col("event_id")
+    expr = F.when(e % 10 <= 2, e)  # sparse: long null runs
+    got_df = global_running_max(
+        ev, ["event_id"], {"last": expr}, exclusive=True, num_partitions=7
+    )
+    got = {r["event_id"]: r["last"] for r in got_df.collect()}
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    want_df = ev.select("event_id", F.max(expr).over(w).alias("last"))
+    want = {r["event_id"]: r["last"] for r in want_df.collect()}
     assert got == want
 
 
