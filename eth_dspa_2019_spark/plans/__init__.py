@@ -18,5 +18,6 @@ from . import task3  # noqa: E402,F401
 from . import cleaning  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import misc  # noqa: E402,F401
+from . import intervals  # noqa: E402,F401
 
 __all__ = ["QuerySpec", "register", "all_queries", "oracle_map"]

@@ -72,3 +72,29 @@ def test_lsh_plan_has_no_allpairs_join(spark):
     for ln in selfjoins:
         assert "id" in ln, f"shingle self-join without id restriction: {ln}"
     pairs.collect()  # and it runs
+
+
+def test_merge_intervals_semantics(spark):
+    from eth_dspa_2019_spark.operators.intervals import merge_intervals
+
+    iv = spark.createDataFrame(
+        [
+            (0, 10),   # island A
+            (5, 12),   # overlaps
+            (12, 20),  # touches (half-open => merges)
+            (12, 20),  # exact duplicate
+            (30, 35),  # island B (gap)
+        ],
+        "s long, e long",
+    )
+    got = sorted(tuple(r) for r in merge_intervals(iv).collect())
+    assert got == [(0, 20, 4), (30, 35, 1)]
+
+
+def test_interval_join_no_nested_loop(spark, sf_dir):
+    from eth_dspa_2019_spark.plans.registry import all_queries
+
+    df = all_queries()["purchases_in_error_windows"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "SinglePartition" not in plan  # merge runs on the prefix plan
