@@ -41,6 +41,22 @@ def token_count(toks: Column) -> Column:
     return F.size(toks).cast("bigint")
 
 
+# GPT-2-style pretokenizer, simplified to ASCII classes so Java regex
+# (Spark) and RE2 (DuckDB) agree: an optional leading space glued to a
+# letter run, digit run, or punctuation run. Unmatched whitespace runs are
+# not tokens — exactly the BPE pre-split behavior.
+BPE_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish subword-pretoken count (the token-budget estimator next to
+    the whitespace count — pretokens upper-bound merged BPE tokens)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0))).cast(
+        "bigint"
+    )
+
+
 def uniq_ratio(toks: Column) -> Column:
     """distinct/total tokens — `AnomalousUserDetector.java:203-207`."""
     return F.size(F.array_distinct(toks)) / F.size(toks)

@@ -21,8 +21,10 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import o_h64, o_h64_perm
 from ..functions.text import (
+    BPE_PATTERN,
     LANG_MARKERS,
     STOPWORDS,
+    bpe_token_count,
     lang_guess,
     mean_token_len,
     quality_score,
@@ -268,6 +270,29 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+@register(
+    "doc_token_budget",
+    oracle=f"""
+    SELECT doc_id,
+           cast(len(string_split(text, ' ')) AS bigint) AS ws_tokens,
+           cast(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bigint)
+             AS bpe_tokens
+    FROM documents
+    """,
+)
+def doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-data budgeting: whitespace tokens next
+    to the BPE-ish pretokenizer count (optional-space-glued letter / digit
+    / punctuation runs — ASCII-restricted so Java regex and RE2 agree).
+    One codegen projection, no UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(tokens("text")).alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
 # Text quality / language ID
 
 
