@@ -170,7 +170,9 @@ def dynamic_similarity(counts: DataFrame, friends: DataFrame) -> DataFrame:
         )
         .agg(F.sum(F.col("ec") * F.col("c")).alias("d"))
     )
-    return d.join(F.broadcast(friends), ["eigen_id", "user_id"], "left_anti")
+    return d.join(
+        F.broadcast(friends), ["eigen_id", "user_id"], "left_anti"
+    ).select("window_end", "eigen_id", "user_id", "d")
 
 
 def recommendations(

@@ -83,7 +83,7 @@ _O_DYNAMIC = """
     ),
     dyn AS (
       SELECT e.window_end, e.person_id AS eigen_id,
-             u.person_id AS user_id, sum(e.c * u.c) AS d
+             u.person_id AS user_id, CAST(sum(e.c * u.c) AS BIGINT) AS d
       FROM cnts e
       JOIN cnts u ON e.window_end = u.window_end AND e.post_id = u.post_id
       WHERE e.person_id < {n_eigen} AND u.person_id != e.person_id
