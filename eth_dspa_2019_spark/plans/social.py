@@ -231,13 +231,33 @@ def task1_reply_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def task1_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Task 1: unique users per post per 12h/1h sliding window, ALL activity
     kinds counted (`Task1Evaluator.java:75-84` — the hour-aligned
-    output_users windows are exactly the 12h/1h slide grid, A3/A4/W3)."""
-    acts = _resolved(spark, sf_dir).withColumn(
-        "ets", F.timestamp_millis(F.col("ts_ms"))
+    output_users windows are exactly the 12h/1h slide grid, A3/A4/W3).
+
+    Scale-safe two-stage shape (same as `unique_users_two_stage`): dedupe
+    (hour-bucket, post, person) FIRST — a map-side-combinable distinct that
+    bounds the stream at |posts|·|users|/hour — THEN replicate 12× through
+    the sliding-window `Expand` and countDistinct. The naive form replicated
+    every raw event 12× before deduping (SCALE.md's "known scale-killer");
+    the hop (1h) equals the bucket width, so the results are identical.
+    `tests/test_plans.py::test_task1_unique_users_dedups_before_expand`
+    asserts the aggregate-below-Expand plan shape."""
+    dedup = (
+        _resolved(spark, sf_dir)
+        .select(
+            (F.floor(F.col("ts_ms") / 3600000) * 3600)
+            .cast("long")
+            .alias("h"),
+            "post_id",
+            "person_id",
+        )
+        .distinct()
     )
     return (
-        acts.groupBy(
-            F.window("ets", "12 hours", "1 hour").alias("w"), "post_id"
+        dedup.groupBy(
+            F.window(F.timestamp_seconds("h"), "12 hours", "1 hour").alias(
+                "w"
+            ),
+            "post_id",
         )
         .agg(F.countDistinct("person_id").alias("n_users"))
         .select(

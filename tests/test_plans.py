@@ -48,6 +48,18 @@ def test_windowed_two_stage_single_expand(spark, sf_dir):
     assert "HashAggregate" in plan[expand_pos:]
 
 
+def test_task1_unique_users_dedups_before_expand(spark, sf_dir):
+    """task1_unique_users must run the (hour, post, person) distinct BEFORE
+    the 12× sliding-window Expand — replicating raw events 12× through the
+    Expand is the SCALE.md scale-killer the two-stage shape removes."""
+    df = all_queries()["task1_unique_users"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    expand_pos = plan.find("Expand")
+    assert expand_pos != -1
+    # the dedup aggregate must sit below (after in text) the Expand
+    assert "HashAggregate" in plan[expand_pos:]
+
+
 def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "cosine_topk_bruteforce")
     assert "Broadcast" in plan  # query vectors replicated, corpus scanned once
