@@ -106,14 +106,45 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
 
-    Exact but worst-case quadratic when shingles are hot — the scale path
-    is :func:`minhash_lsh_pairs`, which bounds the join to LSH buckets.
+    Candidate pairs come from a self-join on shared shingles; with
+    ``max_shingle_df`` set (default 1000, standard near-dup practice),
+    shingles appearing in more than that many documents are excluded from
+    CANDIDATE GENERATION ONLY — a df-k shingle contributes k² join rows, so
+    one boilerplate phrase shared by 1M docs would otherwise build a 10¹²
+    row join. The Jaccard itself is still computed over the FULL shingle
+    sets of each candidate pair, so every reported value is exact; a pair
+    is missed only if ALL of its shared shingles are hot, which at
+    threshold ≥ 0.8 means near-identical documents made entirely of
+    corpus-wide boilerplate. Pass ``max_shingle_df=None`` for the unbounded
+    exact mode.
     """
     sh = shingles(df, id_col, text_col, n)
-    return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
+    if max_shingle_df is None:
+        return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
+    rare = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("shingle"),
+        "shingle",
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    return _pair_jaccard(sh, candidates=candidates).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def minhash_signatures(
@@ -191,12 +222,14 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
     cluster_id = min doc id of the component — the step that turns pair
     output into actionable dedup groups (keep cluster_id, drop the rest).
 
-    Min-label propagation: each round replaces every node's label with the
-    min label in its neighborhood — O(component diameter) hash joins, and
-    near-dup components are tiny-diameter by construction (every member
-    shares a band with a hub). No driver-side graph, no GraphFrames
-    dependency; for adversarial long-chain graphs add a label-of-label
-    contraction step to get O(log diameter).
+    Min-label propagation with pointer jumping: each round takes the min
+    label over the neighborhood, then contracts label chains with a
+    label-of-label join (lbl ← lbl[lbl]) — the classic shortcutting step
+    that turns O(diameter) rounds into O(log diameter), so even
+    adversarial long-chain graphs converge in a handful of joins. The
+    convergence count() runs every CHECK_EVERY rounds (it is a full driver
+    sync; batching halves the round-trips). No driver-side graph, no
+    GraphFrames dependency.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
@@ -218,33 +251,48 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    for _ in range(64):
+    CHECK_EVERY = 2
+    prev = labels
+    for rnd in range(64):
         # neighbor-min pass: lbl'(v) = min(lbl(v), min over neighbors lbl(u))
         nbr = (
             edges.join(labels, edges.b == labels.id)
             .groupBy("a")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        nxt = labels.join(nbr, labels.id == nbr.a, "left").select(
+            "id",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+        # pointer jump: lbl''(v) = lbl'(lbl'(v)) — shortcut label chains
+        # (every label is itself a node id, so the self-join is total)
+        jump = nxt.select(
+            F.col("id").alias("jid"), F.col("lbl").alias("jlbl")
+        )
         nxt = (
-            labels.join(nbr, labels.id == nbr.a, "left")
+            nxt.join(jump, nxt.lbl == jump.jid, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                    F.col("lbl"), F.coalesce(F.col("jlbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            nxt.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
         labels = nxt
-        if changed == 0:
-            break
+        if (rnd + 1) % CHECK_EVERY == 0:
+            changed = (
+                labels.alias("n")
+                .join(prev.alias("o"), "id")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
+            prev = labels
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 
