@@ -159,13 +159,17 @@ def synth_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events + per-row synthesis columns (kind selector, latest-post /
     latest-comment references, formatted creationDate, joined content).
 
-    The global ORDER BY window is fixture-synthesis machinery, not an
-    engine operator — it funnels through one partition by design (the
-    reference producer is a single-threaded TreeMap replay anyway,
-    `SN/Producer.java:21-46`). The scale-correct form exists as
-    `operators/prefix.py::global_running_max` (measured: the two-stage
-    plan's extra metadata job costs more than the one-task window saves
-    at fixture scale, so the fixture keeps the window).
+    Because kind is a pure function of ``event_id % 10`` and the testdata
+    event_ids are dense 0..N-1 (asserted below), the latest-post /
+    latest-comment references are CLOSED-FORM arithmetic on event_id — a
+    codegen projection, no window, no sort, no shuffle. The oracle derives
+    the same refs independently via its ORDER BY window
+    (plans/social.py `_O_BASE`), so the two implementations stay
+    methodologically independent. If the testdata ever stops being dense,
+    the single-partition-window fallback below reproduces the reference
+    producer's single-threaded TreeMap replay (`SN/Producer.java:21-46`);
+    the scale-correct form of that fallback exists as
+    `operators/prefix.py::global_running_max`.
     """
     from pyspark.sql.window import Window
 
@@ -174,15 +178,43 @@ def synth_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()
     e = F.col("event_id")
     m = e % 10
-    w_prev = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
-    pre = ev.select(
-        "event_id",
-        "user_id",
-        "ts",
-        "props",
-        F.max(F.when(m <= 2, e)).over(w_prev).alias("last_post"),
-        F.max(F.when((m >= 3) & (m <= 8), e)).over(w_prev).alias("last_comment"),
-    )
+    n, mn, mx = ev.agg(
+        F.count(F.lit(1)), F.min("event_id"), F.max("event_id")
+    ).collect()[0]
+    if mn == 0 and mx == n - 1:
+        # dense ids: last post before e = the largest e' < e with e'%10<=2;
+        # per decade d the posts are 10d..10d+2, comments/replies 10d+3..10d+8
+        d10 = F.floor(e / 10).cast("long")
+        last_post = (
+            F.when(m >= 3, d10 * 10 + 2)
+            .when(m >= 1, e - 1)
+            .otherwise(F.when(d10 > 0, (d10 - 1) * 10 + 2))
+        )
+        last_comment = F.when(m >= 4, e - 1).otherwise(
+            F.when(d10 > 0, (d10 - 1) * 10 + 8)
+        )
+        pre = ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "props",
+            last_post.alias("last_post"),
+            last_comment.alias("last_comment"),
+        )
+    else:  # pragma: no cover — driver testdata is dense at every sf
+        w_prev = Window.orderBy("event_id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        pre = ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "props",
+            F.max(F.when(m <= 2, e)).over(w_prev).alias("last_post"),
+            F.max(F.when((m >= 3) & (m <= 8), e)).over(w_prev).alias(
+                "last_comment"
+            ),
+        )
     sec = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
     date_str = (
         F.when(e % 5 == 0, sec)
