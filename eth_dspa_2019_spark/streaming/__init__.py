@@ -10,9 +10,15 @@ them (the reference's own dual-implementation methodology,
 `SN/validation/SlidingWindowEvaluator.java:35-59`) in tests/test_streaming.py.
 """
 
-from .sources import stream_events, kafka_activity_source, kafka_sink_options
+from .sources import (
+    stream_events,
+    kafka_activity_source,
+    kafka_sink_options,
+    parse_kafka_frames,
+)
 from .resolution import IncrementalResolver, resolve_lines_stream
 from .windows import (
+    dedup_stream,
     running_totals_stream,
     running_totals_stateful,
     run_to_memory,
@@ -25,6 +31,8 @@ __all__ = [
     "stream_events",
     "kafka_activity_source",
     "kafka_sink_options",
+    "parse_kafka_frames",
+    "dedup_stream",
     "tumbling_counts_stream",
     "sliding_counts_two_stage_stream",
     "unique_users_stream",

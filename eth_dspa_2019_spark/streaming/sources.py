@@ -53,6 +53,24 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
+def parse_kafka_frames(frames: DataFrame) -> DataFrame:
+    """The Kafka value-deserialization projection, factored out so it can
+    be golden-tested against kafka-SHAPED static frames without a broker:
+    takes any DataFrame with the connector's wire columns
+    (``key BINARY, value BINARY`` — plus topic/partition/offset/timestamp,
+    all ignored), UTF-8-decodes the value, and tag-dispatch-parses it —
+    `Activity.Deserializer.deserialize(byte[])`
+    (`SN/util/Activity.java:96-110`). Works identically on a static frame
+    and on the live `readStream.format("kafka")` output because the parse
+    is a pure projection.
+    """
+    from ..sources.activity import parse_activities
+
+    return parse_activities(
+        frames.select(F.col("value").cast("string").alias("value"))
+    )
+
+
 def kafka_activity_source(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -69,18 +87,13 @@ def kafka_activity_source(
     unbounded runs filter ``kind = 'tombstone'`` and stop the query from a
     monitor when one arrives per partition.
     """
-    from ..sources.activity import parse_activities
-
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
     )
-    lines = reader.load().select(
-        F.col("value").cast("string").alias("value")
-    )
-    return parse_activities(lines)
+    return parse_kafka_frames(reader.load())
 
 
 def kafka_sink_options(
