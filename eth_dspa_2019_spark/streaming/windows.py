@@ -6,7 +6,10 @@ engine's policy: watermark = outOfOrderness + allowedLateness with
 ``update`` output — every on-time and in-allowance refinement is emitted;
 records later than that are dropped by the state store, and a "late side
 output" (P8) is a parallel filter ``event_time < observed watermark`` fed
-from StreamingQueryProgress (see late_rows_filter).
+from StreamingQueryProgress (see late_rows_filter). The full contract —
+re-fire on in-allowance stragglers, drop + side-output capture beyond the
+allowance, listener-observed watermark — is end-to-end-tested in
+`tests/test_late_data.py`.
 """
 
 from __future__ import annotations
@@ -165,6 +168,24 @@ ROCKSDB_STATE_CONF = {
     ),
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
 }
+
+
+def dedup_stream(
+    df: DataFrame, keys: list[str], watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: keep the first row per
+    key, holding each key's dedup state only until the event-time
+    watermark passes it (``dropDuplicatesWithinWatermark``). The streaming
+    counterpart of `operators/dedup.py::exact_dedup`: at 100 TB/day the
+    unbounded `dropDuplicates` state would grow forever — bounding
+    retention by the out-of-orderness window is the standard contract
+    (duplicates straggling beyond the watermark are late data, W8 policy).
+    The event-time column must already be present; caller picks the keys
+    (e.g. activity id, or a content hash for payload dedup).
+    """
+    return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
 
 
 def late_rows_filter(df: DataFrame, watermark_ts: str) -> DataFrame:
