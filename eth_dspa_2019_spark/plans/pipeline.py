@@ -1,0 +1,366 @@
+"""Training-data pipeline queries beyond dedup/similarity: PII redaction,
+benchmark-contamination detection, repetition-based quality filtering,
+canonical-document selection, and deterministic stratified sampling.
+
+These are the curation steps a 100-TB pretraining pipeline runs after
+ingest (the reference's closest surface is the text-feature extraction of
+`SN/task/anomalydetection/AnomalousUserDetector.java:123-131`; this module
+is the LLM-pipeline generalization, same dual-implementation methodology).
+Everything is pure column expressions + joins: no UDFs, no shuffles beyond
+the stated ones, and every randomized-looking choice (sampling, PII
+placement) is a deterministic hash/modulo so the DuckDB oracle reproduces
+it bit-for-bit.
+
+Scale shapes: PII/repetition/sampling are per-row projections (map-only,
+codegen); contamination is an equi-join on gram strings with the small
+benchmark side broadcast; keep-best is the cluster relation (already
+sub-quadratic via LSH) joined to a per-doc quality projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h64, o_h64
+from ..functions.text import quality_score, tokens
+from ..io.readers import load_table
+from .llm import _lsh_pairs, _O_SHINGLES, _o_minhash_bands, _o_jaccard_select
+from ..operators import dedup as dd
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Shared constants (single source of truth for Spark plan + DuckDB oracle)
+
+CONTAM_GRAM = 4  # token-gram width for contamination overlap
+BENCH_MOD = 20  # doc_id % 20 == 0 → held-out "benchmark" split
+PII_MOD = 3  # doc_id % 3 == 0 → gets synthetic PII appended
+#: per-language sampling rate in percent; REST_RATE for unlisted languages
+SAMPLE_RATES = {"en": 50, "de": 30, "fr": 20, "es": 10}
+REST_RATE = 25
+_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+_PHONE_RE = "[+]1-555-[0-9]{4}"
+_IP_RE = "10[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {PII_MOD} = 0 THEN
+               text || ' contact user' || doc_id ||
+               '@example.com or +1-555-' || (1000 + doc_id % 9000) ||
+               ' from 10.' || doc_id % 250 || '.' || doc_id % 100 ||
+               '.' || doc_id % 50
+             ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           cast(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS bigint)
+             AS n_emails,
+           cast(len(regexp_extract_all(t, '{_PHONE_RE}')) AS bigint)
+             AS n_phones,
+           cast(len(regexp_extract_all(t, '{_IP_RE}')) AS bigint) AS n_ips,
+           {o_h64("regexp_replace(regexp_replace(regexp_replace(t,"
+                  f" '{_EMAIL_RE}', '<EMAIL>', 'g'),"
+                  f" '{_PHONE_RE}', '<PHONE>', 'g'),"
+                  f" '{_IP_RE}', '<IP>', 'g')")} AS redacted_hash
+    FROM aug
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: count and mask emails / phone numbers /
+    IPv4 addresses with a chain of regexp_replace — one codegen projection,
+    the map-only shape that runs at input bandwidth at 100 TB.
+
+    The synthetic corpus carries no natural PII, so both engines append a
+    DETERMINISTIC PII suffix to every third document first (same
+    expression on both sides); the redaction is then verified on real
+    matches via the hash of the redacted text. Patterns are ASCII
+    character-class only, so Java regex and RE2 agree.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            d % PII_MOD == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                d.cast("string"),
+                F.lit("@example.com or +1-555-"),
+                (d % 9000 + 1000).cast("string"),
+                F.lit(" from 10."),
+                (d % 250).cast("string"),
+                F.lit("."),
+                (d % 100).cast("string"),
+                F.lit("."),
+                (d % 50).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(t, '{_EMAIL_RE}', 0)"))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(t, '{_PHONE_RE}', 0)"))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.expr(f"regexp_extract_all(t, '{_IP_RE}', 0)"))
+        .cast("long")
+        .alias("n_ips"),
+        h64(redacted).alias("redacted_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination
+
+
+def _o_grams(n: int) -> str:
+    parts = " || ' ' || ".join(f"t[i + {k}]" for k in range(n))
+    return f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(range(1, len(t) - {n - 2})) AS i
+            FROM toks WHERE len(t) >= {n}),
+    grams AS (SELECT DISTINCT doc_id AS id, {parts} AS g FROM idx)
+    """
+
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH {_o_grams(CONTAM_GRAM)},
+    bench AS (SELECT * FROM grams WHERE id % {BENCH_MOD} = 0),
+    train AS (SELECT * FROM grams WHERE id % {BENCH_MOD} != 0)
+    SELECT t.id AS doc_id,
+           count(DISTINCT t.g) AS n_shared_grams,
+           count(DISTINCT b.id) AS n_bench_docs
+    FROM train t JOIN bench b ON t.g = b.g
+    GROUP BY 1
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: flag training documents sharing
+    any {CONTAM_GRAM}-token gram with the held-out benchmark split
+    (doc_id % {BENCH_MOD} == 0 — the deterministic stand-in for an eval
+    set), with the distinct shared-gram and benchmark-doc counts.
+
+    Scale shape: gram equi-join with the benchmark side BROADCAST — an
+    eval set is tiny next to a 100-TB corpus, so the join is map-side and
+    the only shuffle is the final per-doc aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = dd.shingles(docs, "doc_id", "text", n=CONTAM_GRAM)
+    bench = grams.filter(F.col("id") % BENCH_MOD == 0).select(
+        F.col("id").alias("bench_id"), F.col("shingle").alias("g")
+    )
+    train = grams.filter(F.col("id") % BENCH_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), train.shingle == bench.g)
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filter
+
+
+@register(
+    "doc_repetition",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    big AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+               AS bg
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT doc_id,
+           cast(len(bg) AS bigint) AS n_bigrams,
+           cast(len(list_distinct(bg)) AS bigint) AS n_distinct,
+           (len(bg) - len(list_distinct(bg))) / len(bg) AS rep_ratio,
+           (len(bg) - len(list_distinct(bg))) / len(bg) > 0.1 AS flagged
+    FROM big
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter: fraction of duplicated token
+    bigrams per document (boilerplate / degenerate-generation detector in
+    training-data curation), with the filter flag at ratio > 0.1. Pure
+    array expressions — map-only, codegen, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    bg = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat_ws(' ', split(text, ' ')[i - 1], split(text, ' ')[i]))"
+    )
+    n = F.size("bg").cast("long")
+    nd = F.size(F.array_distinct("bg")).cast("long")
+    ratio = (n - nd) / n
+    return (
+        docs.filter(F.size(t) >= 2)
+        .select("doc_id", bg.alias("bg"))
+        .select(
+            "doc_id",
+            n.alias("n_bigrams"),
+            nd.alias("n_distinct"),
+            ratio.alias("rep_ratio"),
+            (ratio > 0.1).alias("flagged"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-document selection (dedup "keep best")
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_O_SHINGLES},
+    {_o_minhash_bands()},
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS common
+      FROM cand c
+      JOIN sh a ON a.id = c.doc_a
+      JOIN sh b ON b.id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    pairs AS ({_o_jaccard_select('common')}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    clusters AS (
+      SELECT src AS id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    q AS (
+      SELECT doc_id,
+             0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+               + 0.3 * (len(list_distinct(string_split(text, ' ')))
+                        / len(string_split(text, ' ')))
+               + 0.2 AS qs
+      FROM documents
+    ),
+    scored AS (
+      SELECT c.cluster_id, c.id, q.qs FROM clusters c
+      JOIN q ON q.doc_id = c.id
+    ),
+    best AS (SELECT cluster_id, max(qs) AS mq FROM scored GROUP BY 1)
+    SELECT s.cluster_id,
+           min(s.id) FILTER (s.qs = b.mq) AS keep_doc_id,
+           count(*) AS n_members,
+           cast(count(*) - 1 AS bigint) AS n_dropped
+    FROM scored s JOIN best b ON s.cluster_id = b.cluster_id
+    GROUP BY 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: for every near-dup cluster keep the
+    highest-quality member (max blended score, ties → min doc_id) and
+    count the drops — the step that turns cluster detection into an
+    actionable training-set reduction.
+
+    The simplified score here is length + lexical diversity (the stopword
+    term is constant 0.2 since these metrics are cluster-relative); the
+    cluster relation reuses the LSH pair cache, so the added cost over
+    `dedup_clusters_q` is one broadcast-joined projection + one tiny
+    aggregate.
+    """
+    clusters = dd.dedup_clusters(_lsh_pairs(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    qs = (
+        0.5 * F.least(F.size(t) / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (F.size(F.array_distinct(t)) / F.size(t))
+        + F.lit(0.2)
+    )
+    scored = clusters.join(
+        F.broadcast(docs.select("doc_id", qs.alias("qs"))),
+        clusters.id == F.col("doc_id"),
+    )
+    best = scored.groupBy("cluster_id").agg(F.max("qs").alias("mq"))
+    return (
+        scored.join(best, "cluster_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.min(F.when(F.col("qs") == F.col("mq"), F.col("id"))).alias(
+                "keep_doc_id"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+
+
+def _o_rate_case() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lg}' THEN {r}" for lg, r in SAMPLE_RATES.items()
+    )
+    return f"CASE {whens} ELSE {REST_RATE} END"
+
+
+@register(
+    "stratified_sample_docs",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             {o_h64("'s#' || doc_id")} % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket
+    FROM b
+    WHERE bucket < {_o_rate_case()}
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling: hash-bucket each
+    doc into 0..99 and keep it when the bucket falls under its stratum's
+    rate — reproducible across runs/engines (no RNG), map-only, and the
+    standard way to rebalance language mix in a pretraining corpus.
+    Rates: {SAMPLE_RATES}, {REST_RATE}% for other languages.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(REST_RATE)
+    for lg, r in reversed(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lg, r).otherwise(rate)
+    bucket = h64(F.concat(F.lit("s#"), F.col("doc_id").cast("string"))) % 100
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("r"))
+        .filter(F.col("bucket") < F.col("r"))
+        .select("doc_id", "lang", "bucket")
+    )
