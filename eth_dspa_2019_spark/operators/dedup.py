@@ -85,6 +85,12 @@ def _pair_jaccard(sh: DataFrame, candidates: DataFrame | None = None) -> DataFra
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("common"))
         )
+    return _jaccard_ratio(sizes, common)
+
+
+def _jaccard_ratio(sizes: DataFrame, common: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) from per-doc shingle sizes and per-pair
+    common-shingle counts."""
     sa = sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))
     return (
@@ -125,24 +131,63 @@ def ngram_jaccard_pairs(
     sh = shingles(df, id_col, text_col, n)
     if max_shingle_df is None:
         return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
-    rare = sh.join(
+    # The shingle relation feeds 3-4 consumers below (df scan, sizes, both
+    # join sides); persist so the tokenize+explode runs once. Spill-safe
+    # (MEMORY_AND_DISK default) and LRU-evicted; at cluster scale this is
+    # the standard materialize-the-shingle-table trade.
+    sh = sh.persist()
+    # Hot shingles are FEW in number by construction (≤ corpus/cap distinct
+    # values), so the hot-key list broadcasts; the split is two broadcast
+    # joins, adding NO shuffle of the shingle relation. The pair join runs
+    # over the rare rows only; the hot correction re-adds hot-shingle
+    # matches for the already-found candidate pairs, so reported Jaccard
+    # values stay exact over FULL shingle sets.
+    hot_keys = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_shingle_df)
-        .select("shingle"),
-        "shingle",
+        .filter(F.col("df") > max_shingle_df)
+        .select("shingle")
     )
+    # Data-dependent fast path (an AQE-style runtime re-plan): one tiny
+    # aggregate job decides whether any shingle is hot at all — in clean
+    # corpora none is, and the plain single-join plan needs no split or
+    # correction machinery. The check costs one partial-aggregated pass
+    # over the shingle relation; the three joins it avoids cost far more.
+    if hot_keys.isEmpty():
+        return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
+    rare = sh.join(F.broadcast(hot_keys), "shingle", "left_anti")
     a, b = rare.alias("a"), rare.alias("b")
-    candidates = (
+    common_rare = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("rc"))
     )
-    return _pair_jaccard(sh, candidates=candidates).filter(
+    hot = sh.join(F.broadcast(hot_keys), "shingle", "left_semi")
+    common_hot = (
+        common_rare.select("doc_a", "doc_b")
+        .join(hot.alias("ha"), F.col("ha.id") == F.col("doc_a"))
+        .join(
+            hot.alias("hb"),
+            (F.col("hb.id") == F.col("doc_b"))
+            & (F.col("ha.shingle") == F.col("hb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("hc"))
+    )
+    common = (
+        common_rare.join(common_hot, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("rc") + F.coalesce(F.col("hc"), F.lit(0))).alias("common"),
+        )
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    return _jaccard_ratio(sizes, common).filter(
         F.col("jaccard") >= threshold
     )
 

@@ -42,24 +42,52 @@ def resolve_post_ids(acts: DataFrame) -> DataFrame:
         F.when(F.col("kind") == KIND_REPLY, F.col("parent_id")).alias("ptr"),
     )
     mapping = mapping.localCheckpoint(eager=True)
+    # Working-set iteration: only the still-unresolved rows are re-chased
+    # and re-materialized each round, so the per-round checkpoint volume
+    # shrinks geometrically (the fixpoint's 100-TB property) instead of
+    # re-writing the full mapping every round. `parts` accumulates lazy
+    # filters over already-checkpointed rounds — the final union reads each
+    # row exactly once. The lookup side is parts ∪ working, i.e. every
+    # node's LATEST entry, which is what makes the chase pointer-DOUBLING
+    # (a static lookup would degrade to one hop per round).
+    parts = [mapping.filter(F.col("root").isNotNull())]
+    working = mapping.filter(
+        F.col("root").isNull() & F.col("ptr").isNotNull()
+    )
+    # dangling pointers (parent id absent) can never resolve: root stays
+    # null, matching the pre-rewrite output for dirty inputs
+    parts.append(mapping.filter(F.col("root").isNull() & F.col("ptr").isNull()))
     for _ in range(MAX_ITERS):
-        unresolved = mapping.filter(F.col("root").isNull())
-        if unresolved.limit(1).count() == 0:
+        if working.limit(1).count() == 0:
             break
-        resolved = mapping.filter(F.col("root").isNotNull())
+        lookup = parts[0]
+        for p in parts[1:]:
+            lookup = lookup.unionByName(p)
+        lookup = lookup.unionByName(working)
         # chase one hop: parent resolved → take its root; else point to
         # parent's parent (path doubling halves remaining chain depth)
         chased = (
-            unresolved.alias("u")
-            .join(mapping.alias("p"), F.col("u.ptr") == F.col("p.id"), "left")
+            working.alias("u")
+            .join(lookup.alias("p"), F.col("u.ptr") == F.col("p.id"), "left")
             .select(
                 F.col("u.id").alias("id"),
                 F.col("p.root").alias("root"),
                 F.col("p.ptr").alias("ptr"),
             )
+            .localCheckpoint(eager=True)
         )
-        mapping = resolved.unionByName(chased).localCheckpoint(eager=True)
-    return mapping.select("id", F.col("root").alias("root_post_id"))
+        parts.append(chased.filter(F.col("root").isNotNull()))
+        parts.append(
+            chased.filter(F.col("root").isNull() & F.col("ptr").isNull())
+        )
+        working = chased.filter(
+            F.col("root").isNull() & F.col("ptr").isNotNull()
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.unionByName(working)
+    return out.select("id", F.col("root").alias("root_post_id"))
 
 
 def resolved_activities(acts: DataFrame) -> DataFrame:

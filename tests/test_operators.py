@@ -49,6 +49,40 @@ def test_exact_dedup_canonical_min(spark):
     assert out == {2: 2, 9: 1}
 
 
+def test_ngram_jaccard_df_cap_keeps_values_exact(spark):
+    """With a cap low enough that shingles actually go hot ("common tail
+    here" has df=3 > 2), every pair the capped path reports must carry the
+    EXACT full-set Jaccard (the hot correction re-adds hot-shingle
+    matches). Pairs sharing ONLY hot shingles — (1,3) here — are the
+    documented recall trade-off and disappear; pairs that also share a
+    rare shingle — (1,2) — survive with the exact value."""
+    docs = spark.createDataFrame(
+        [
+            (1, "common tail here alpha beta gamma"),
+            (2, "common tail here alpha beta delta"),
+            (3, "common tail here zeta eta theta"),
+            (4, "unrelated words entirely different text"),
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(
+            docs, threshold=0.1, max_shingle_df=None
+        ).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(
+            docs, threshold=0.1, max_shingle_df=2
+        ).collect()
+    }
+    assert (1, 2) in capped and capped[(1, 2)] == uncapped[(1, 2)]
+    assert (1, 3) in uncapped and (1, 3) not in capped  # hot-only pair
+    for k, v in capped.items():
+        assert v == uncapped[k]
+
+
 def test_lsh_plan_has_no_allpairs_join(spark):
     """The LSH verify step must compute Jaccard for candidates only — the
     optimized plan must not contain a shingle-shingle self-join without the
