@@ -10,6 +10,11 @@ Two paths:
   own bucket. At 100 TB the bucket join replaces the corpus×queries product
   with an equi-join on the bucket key (and buckets can be made multi-probe
   by unioning neighbor buckets).
+- :func:`ivf_topk` — inverted-file ANN: corpus partitioned into K
+  data-adaptive lists by nearest coarse centroid (:func:`stride_centroids`
+  seed, optionally :func:`kmeans_refine`d); queries scan their top-nprobe
+  lists. Data-dependent buckets where LSH's are oblivious; recall tunes at
+  query time via nprobe.
 
 Cross-engine determinism: per-element products are computed in double
 (float32→double widening is exact, IEEE multiply is deterministic), then
@@ -197,6 +202,187 @@ def neardup_pairs_lsh(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def stride_centroids(
+    corpus: DataFrame,
+    stride: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse-quantizer seed: every ``stride``-th vector by id
+    becomes a centroid — K ≈ N/stride, SQL-mirrorable (``vec_id % stride``),
+    and a reasonable diversity sample when ids are uncorrelated with
+    embedding geometry. Production IVF refines these with
+    :func:`kmeans_refine`; the stride seed keeps the registered query
+    oracle-checkable."""
+    return corpus.filter((F.col(id_col) % stride) == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(emb_col).alias("c_emb")
+    )
+
+
+def _centroid_scores(
+    df: DataFrame, centroids: DataFrame, id_col: str, emb_col: str
+) -> DataFrame:
+    """(id, emb, n2, centroid_id, cs): cosine of every row against every
+    centroid. The centroid side is broadcast — K is tiny (≈√N or N/stride)
+    — so this is a shuffle-free map-side expansion of N×K rows."""
+    cents = F.broadcast(
+        centroids.select(
+            "centroid_id", "c_emb", norm2_fx(F.col("c_emb")).alias("c_n2")
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(emb_col).alias("emb"),
+            norm2_fx(F.col(emb_col)).alias("n2"),
+        )
+        .join(cents)
+        .select(
+            "id",
+            "emb",
+            "n2",
+            "centroid_id",
+            cosine_sim(
+                dot_fx(F.col("emb"), F.col("c_emb")),
+                F.col("n2"),
+                F.col("c_n2"),
+            ).alias("cs"),
+        )
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine, centroid-id
+    tie-break): (vec_id, centroid_id, emb, n2) — the IVF inverted lists.
+
+    The argmax is a groupBy(id) max over the broadcast-join expansion; the
+    K rows per id are produced consecutively in the same partition, so the
+    partial (map-side) aggregate collapses them before the exchange — the
+    shuffle carries ~N rows, not N×K. The max struct leads with
+    (cs, -centroid_id), which is a total order per group, so the trailing
+    emb/n2 fields ride along without ever being compared."""
+    scored = _centroid_scores(corpus, centroids, id_col, emb_col)
+    best = scored.groupBy("id").agg(
+        F.max(
+            F.struct(
+                F.col("cs"),
+                (-F.col("centroid_id")).alias("nc"),
+                F.col("emb"),
+                F.col("n2"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        F.col("id").alias("vec_id"),
+        (-F.col("m.nc")).alias("centroid_id"),
+        F.col("m.emb").alias("emb"),
+        F.col("m.n2").alias("n2"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate cosine top-k: (query_id, vec_id, rank, cos_sim).
+
+    The inverted-file shape that survives a 100 TB corpus: corpus vectors
+    are partitioned into K data-adaptive lists by nearest centroid
+    (:func:`ivf_assign` — one ~N-row shuffle, buildable once and reusable
+    across query batches); each query ranks the K centroids and scans only
+    its top-``nprobe`` lists. The probe relation (queries × nprobe, with
+    the query vector riding along) is broadcast against the lists, so the
+    scan is an equi-join on centroid_id touching ~nprobe/K of the corpus —
+    never the corpus×queries product. Versus LSH buckets: centroids track
+    the actual density of the corpus, and recall tunes at query time via
+    nprobe with no index rebuild."""
+    assigned = ivf_assign(corpus, centroids, id_col, emb_col)
+    qscored = _centroid_scores(queries, centroids, id_col, emb_col)
+    wq = Window.partitionBy("id").orderBy(F.desc("cs"), F.asc("centroid_id"))
+    probe = (
+        qscored.withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= nprobe)
+        .select(
+            F.col("id").alias("query_id"),
+            "centroid_id",
+            F.col("emb").alias("q_emb"),
+            F.col("n2").alias("q_n2"),
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(probe), "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_sim(
+                dot_fx(F.col("q_emb"), F.col("emb")),
+                F.col("q_n2"),
+                F.col("n2"),
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cos_sim")
+    )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's refinement of an IVF coarse quantizer, pure DataFrame ops:
+    assign (broadcast argmax, as :func:`ivf_assign`) → per-dimension means
+    via posexplode + a single (centroid, dim)-keyed partial-aggregated
+    shuffle → array rebuild. Empty clusters keep their previous centroid.
+    Each iteration is checkpointed so the lineage stays O(1) deep. The
+    refined centroids plug straight into :func:`ivf_topk`; refinement is
+    float math (means), so queries over refined centroids are verified by
+    recall against brute force rather than a SQL oracle."""
+    cur = centroids.localCheckpoint(eager=True)
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cur, id_col, emb_col)
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode("emb").alias("pos", "x")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("new_emb")
+            )
+        )
+        cur = (
+            cur.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("new_emb"), F.col("c_emb")).alias("c_emb"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cur
 
 
 def bucket_expr(emb_col: str, signs: list[list[int]]) -> Column:

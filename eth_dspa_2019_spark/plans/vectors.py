@@ -17,9 +17,11 @@ from ..operators.similarity import (
     FIXED_POINT,
     ann_topk_lsh,
     cosine_topk,
+    ivf_topk,
     neardup_pairs_lsh,
     o_bucket_expr,
     plane_signs,
+    stride_centroids,
 )
 from .registry import register
 
@@ -174,6 +176,88 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs_lsh(
         emb, ND_THRESHOLD, bands=ND_BANDS, planes_per_band=ND_PLANES, dim=DIM
     )
+
+
+IVF_STRIDE = 31  # K = ceil(N/31) coarse centroids
+IVF_NPROBE = 3
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH {_O_ELEMENTS},
+    cdots AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS cid,
+             sum(cast(floor(a.x * b.x * {FIXED_POINT}.0) AS bigint)) AS dp
+      FROM el a JOIN el b ON a.i = b.i AND b.vec_id % {IVF_STRIDE} = 0
+      GROUP BY 1, 2
+    ),
+    cscored AS (
+      SELECT c.vec_id, c.cid,
+             cast(c.dp AS double)
+               / (sqrt(cast(na.n2 AS double)) * sqrt(cast(nb.n2 AS double)))
+               AS cs
+      FROM cdots c
+      JOIN norms na ON na.vec_id = c.vec_id
+      JOIN norms nb ON nb.vec_id = c.cid
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cid) AS rn
+        FROM cscored
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cid) AS rn
+        FROM cscored WHERE vec_id < {N_QUERIES}
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probe p JOIN assign a ON a.cid = p.cid
+      WHERE a.vec_id != p.query_id
+    ),
+    dots AS (
+      SELECT cd.query_id, cd.vec_id,
+             sum(cast(floor(a.x * b.x * {FIXED_POINT}.0) AS bigint)) AS dp
+      FROM cand cd
+      JOIN el a ON a.vec_id = cd.query_id
+      JOIN el b ON b.vec_id = cd.vec_id AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.vec_id,
+             cast(d.dp AS double)
+               / (sqrt(cast(na.n2 AS double)) * sqrt(cast(nb.n2 AS double)))
+               AS cos_sim
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.query_id
+      JOIN norms nb ON nb.vec_id = d.vec_id
+    )
+    {_o_rank_select('scored')}
+    """
+
+
+@register("ivf_topk", oracle=_ivf_oracle())
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: corpus vectors are bucketed into data-adaptive
+    inverted lists by nearest coarse centroid (deterministic stride seed,
+    K≈N/31); each query scans only its top-3 centroid lists via a
+    broadcast probe → centroid_id equi-join. The third ANN strategy next
+    to brute force and hyperplane LSH — centroids follow corpus density
+    and recall tunes at query time via nprobe, no index rebuild. The
+    oracle runs the identical algorithm (parity gate, as `ann_topk_lsh`);
+    recall vs brute force is asserted in pytest with k-means-refined
+    centroids (`kmeans_refine`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    cents = stride_centroids(emb, IVF_STRIDE)
+    df = ivf_topk(emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE)
+    return df.withColumn("rank", F.col("rank").cast("int"))
 
 
 @register("ann_topk_lsh", oracle=_ann_oracle())

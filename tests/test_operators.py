@@ -25,6 +25,36 @@ def test_simhash_pigeonhole_guard(spark):
         dd.simhash_pairs(df, bits=48, band_bits=12, max_hamming=6)
 
 
+def test_ivf_kmeans_refine_recall(spark, sf_dir):
+    """Lloyd-refined IVF centroids must (a) preserve the centroid count —
+    empty clusters keep their previous centroid, (b) reach recall@5 ≥ 0.4
+    vs brute force at nprobe=3 on the near-random fixture embeddings
+    (measured: stride 0.50, refined 0.54 at sf0.001 — random data is the
+    worst case for IVF; clustered corpora do far better)."""
+    from eth_dspa_2019_spark.io.readers import load_table
+    from eth_dspa_2019_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_refine,
+        stride_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    seed = stride_centroids(emb, 31)
+    refined = kmeans_refine(emb, seed, iters=2)
+    assert refined.count() == seed.count()
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, queries, refined, k=5, nprobe=3).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.4
+
+
 def test_resolve_deep_chain(spark):
     """Pointer doubling resolves a 40-deep reply chain (far beyond the
     fixture's natural depth) in O(log depth) iterations."""

@@ -63,3 +63,13 @@ def test_task1_unique_users_dedups_before_expand(spark, sf_dir):
 def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "cosine_topk_bruteforce")
     assert "Broadcast" in plan  # query vectors replicated, corpus scanned once
+
+
+def test_ivf_topk_never_builds_unbroadcast_product(spark, sf_dir):
+    """The only row expansions in the IVF plan are broadcast-backed: the
+    N×K centroid scoring (K tiny) and the probe join on centroid_id. A
+    plain CartesianProduct — corpus shuffled against queries — must never
+    appear; that is the product IVF exists to avoid."""
+    plan = _executed_plan(spark, sf_dir, "ivf_topk")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
