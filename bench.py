@@ -22,9 +22,20 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     # Warm the JVM / codegen paths once so per-query numbers measure the
-    # plan, not first-run JIT.
+    # plan, not first-run JIT; also touch every testdata table once so no
+    # single query absorbs the session's first-parquet-footer cost.
+    from eth_dspa_2019_spark.io.readers import TESTDATA_TABLES, load_table
+
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).count()
     warm = all_queries()["q1_pricing_summary"].spark(spark, sf_dir)
     warm.collect()
+    # spin up the Arrow/Python worker pool so the first mapInPandas query
+    # doesn't absorb per-core interpreter startup
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(10_000).repartition(cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(all_queries().items()):

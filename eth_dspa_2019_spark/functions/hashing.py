@@ -8,14 +8,39 @@ identical value is computable in DuckDB (the correctness oracle):
     DuckDB: cast(('0x' || substring(md5(x), 1, 15)) as bigint)
 
 15 hex digits = 60 bits, always positive, no overflow games. MinHash
-permutations are derived hashes ``h64(x || '#' || i)`` rather than the
-classic ``(a*x+b) mod p`` family — one primitive, same collision behavior.
+permutations use the classic universal-hash family
+``(a_p·(h mod P) + b_p) mod P`` over the single base hash ``h = h64(x)``
+with P = 2³¹−1: one md5 per value instead of one per (value, permutation) —
+the md5→hex→conv chain is ~16× the cost of the integer ops — with
+md5-derived (a_p, b_p) literals embedded identically in both engines.
+All intermediates fit signed 64-bit: a_p < P and (h mod P) < P, so
+a_p·(h mod P) + b_p < 2⁶².
 """
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+MERSENNE31 = (1 << 31) - 1
+
+
+def perm_coeffs(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a_p, b_p) universal-hash coefficients, a_p ∈ [1,P−1],
+    b_p ∈ [0,P−1], derived from md5 so Spark and the SQL oracle embed the
+    same literals."""
+    out = []
+    for p in range(num_perm):
+        da = int.from_bytes(
+            hashlib.md5(f"minhash-a#{p}".encode()).digest()[:8], "big"
+        )
+        db = int.from_bytes(
+            hashlib.md5(f"minhash-b#{p}".encode()).digest()[:8], "big"
+        )
+        out.append((1 + da % (MERSENNE31 - 1), db % MERSENNE31))
+    return out
 
 
 def h64(col: Column | str) -> Column:
@@ -23,16 +48,6 @@ def h64(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
-def h64_perm(col: Column | str, perm: int) -> Column:
-    """The ``perm``-th independent hash of a value (MinHash permutation)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return h64(F.concat(c, F.lit(f"#{perm}")))
-
-
 def o_h64(expr: str) -> str:
     """DuckDB mirror of :func:`h64`."""
     return f"cast(('0x' || substring(md5({expr}), 1, 15)) as bigint)"
-
-
-def o_h64_perm(expr: str, perm: int) -> str:
-    return o_h64(f"{expr} || '#{perm}'")

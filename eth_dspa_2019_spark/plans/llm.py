@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import o_h64, o_h64_perm
+from ..functions.hashing import MERSENNE31, o_h64, perm_coeffs
 from ..functions.text import (
     BPE_PATTERN,
     LANG_MARKERS,
@@ -117,7 +117,8 @@ def _o_minhash_bands() -> str:
     """DuckDB mirror of minhash_signatures + banded explode."""
     rows = NUM_PERM // BANDS
     mins = ", ".join(
-        f"min({o_h64_perm('shingle', p)}) AS m{p}" for p in range(NUM_PERM)
+        f"min(({a} * hb + {b}) % {MERSENNE31}) AS m{p}"
+        for p, (a, b) in enumerate(perm_coeffs(NUM_PERM))
     )
     band_selects = " UNION ALL ".join(
         f"SELECT id, {b} AS band_id, "
@@ -126,7 +127,11 @@ def _o_minhash_bands() -> str:
         for b in range(BANDS)
     )
     return f"""
-    sigs AS (SELECT id, {mins} FROM sh GROUP BY id),
+    sigs AS (
+      SELECT id, {mins}
+      FROM (SELECT id, {o_h64('shingle')} % {MERSENNE31} AS hb FROM sh)
+      GROUP BY id
+    ),
     band_rows AS ({band_selects}),
     cand AS (
       SELECT DISTINCT a.id AS doc_a, b.id AS doc_b

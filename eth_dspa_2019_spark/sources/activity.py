@@ -300,8 +300,16 @@ def load_activities(spark: SparkSession, sf_dir: str) -> DataFrame:
     every downstream query from re-running the synth sort and the parse)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ACTS_CACHE:
-        acts = parse_activities(synth_activity_lines(spark, sf_dir))
-        _ACTS_CACHE[key] = acts.localCheckpoint(eager=True)
+        # Materialize the wire lines BEFORE the parse: the parser's three
+        # per-kind branches each re-execute their input subtree, and the
+        # synth union has three branches of its own — 9 scans of the events
+        # table without this checkpoint, one with it.
+        lines = synth_activity_lines(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+        _ACTS_CACHE[key] = parse_activities(lines).localCheckpoint(
+            eager=True
+        )
     return _ACTS_CACHE[key]
 
 
