@@ -253,6 +253,39 @@ def lsh_buckets_batches(
     return gen
 
 
+def vec_bucket_batches(num_planes: int, dim: int) -> "callable":
+    """Arrow-batched single-table LSH prep: (vec_id, emb) → (vec_id, emb,
+    n2, bucket) in one numpy pass — the bucket via the left-fold projection
+    (bit-identical to ``bucket_expr``), the norm via pre-quantized int64
+    sums (order-independent). Echoing emb through Arrow avoids a join back
+    to the vector table; the pass stays partition-local."""
+    signs = np.array(plane_signs(num_planes, dim), dtype=np.float64)
+    weights = (1 << np.arange(num_planes, dtype=np.int64))[None, :]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            proj = _left_fold_projections(mat, signs)
+            bucket = ((proj >= 0).astype(np.int64) * weights).sum(axis=1)
+            n2 = (
+                np.floor(mat * mat * float(FIXED_POINT))
+                .astype(np.int64)
+                .sum(axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "emb": pdf["emb"].to_numpy(),
+                    "n2": n2,
+                    "bucket": bucket,
+                }
+            )
+
+    return gen
+
+
 def pair_cosine_batches(
     ids: tuple[str, str] = ("a", "b"),
     embs: tuple[str, str] = ("a_emb", "b_emb"),
@@ -550,18 +583,31 @@ def ann_topk_lsh(
     is compared only against corpus vectors in its own bucket (recall
     follows the hyperplane collision curve; the oracle implements the same
     algorithm, so correctness is checked as implementation parity)."""
-    signs = plane_signs(num_planes, dim)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(emb_col).alias("q_emb"),
-        norm2_fx(F.col(emb_col)).alias("q_n2"),
-        bucket_expr(emb_col, signs).alias("bucket"),
+    kernel = vec_bucket_batches(num_planes, dim)
+    schema = "vec_id long, emb array<float>, n2 long, bucket long"
+    q = (
+        queries.select(
+            F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb")
+        )
+        .mapInPandas(kernel, schema=schema)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("n2").alias("q_n2"),
+            "bucket",
+        )
     )
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(emb_col).alias("c_emb"),
-        norm2_fx(F.col(emb_col)).alias("c_n2"),
-        bucket_expr(emb_col, signs).alias("bucket"),
+    c = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb")
+        )
+        .mapInPandas(kernel, schema=schema)
+        .select(
+            "vec_id",
+            F.col("emb").alias("c_emb"),
+            F.col("n2").alias("c_n2"),
+            "bucket",
+        )
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
