@@ -20,5 +20,6 @@ from . import multimodal  # noqa: E402,F401
 from . import misc  # noqa: E402,F401
 from . import intervals  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
+from . import corpus  # noqa: E402,F401
 
 __all__ = ["QuerySpec", "register", "all_queries", "oracle_map"]

@@ -1,0 +1,250 @@
+"""Corpus-assembly queries: the steps between "curated documents" and
+"training batches" — token-budget chunk packing, per-language quality
+quantile filtering, and embedding label-centroid outlier distances.
+
+The reference's closest surface is the text-feature extraction of
+`SN/task/anomalydetection/AnomalousUserDetector.java:123-131` (per-entity
+feature scoring feeding a threshold filter); these queries are the
+LLM-pipeline generalization of that shape at the corpus level, same
+dual-implementation (Spark plan + generated DuckDB oracle) methodology as
+:mod:`eth_dspa_2019_spark.plans.pipeline`.
+
+Scale shapes:
+
+- ``doc_pack_chunks`` is a GLOBAL prefix sum (concat-and-chunk packing is
+  order-dependent by definition), so it runs on the two-stage range-prefix
+  plan (:mod:`eth_dspa_2019_spark.operators.prefix`) — never a
+  single-partition window; the widest window any reducer sees is one range
+  partition.
+- ``quality_quantile_filter`` windows per language. Language is a
+  low-cardinality skewed key (a real corpus is mostly English), so the
+  docstring documents the histogram/range-partition escape hatch; the
+  quantile itself is exact, not approximate, because dedup/filter decisions
+  must be reproducible run-to-run.
+- ``embedding_centroid_dist`` never shuffles wide vectors: it explodes to
+  the long (id, label, pos, val) layout, partial-aggregates per (label,
+  pos) map-side, broadcasts the tiny centroid table back, and reduces
+  per-vector with order-independent fixed-point integer sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import STOPWORDS, quality_score, token_count, tokens
+from ..io.readers import load_table
+from ..operators.prefix import global_running_sums
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Shared constants (single source of truth for Spark plan + DuckDB oracle)
+
+PACK_BUDGET = 512  # tokens per packed training chunk
+KEEP_FRAC = 0.7  # per-language quality quantile to keep
+CENT_FX = int(1e12)  # fixed-point scale for centroid / distance sums
+
+
+# ---------------------------------------------------------------------------
+# Token-budget chunk packing
+
+
+@register(
+    "doc_pack_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             cast(len(string_split(text, ' ')) AS bigint) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS cum_before
+      FROM t
+    )
+    SELECT doc_id, n_tokens, cum_before,
+           cum_before // {PACK_BUDGET} AS chunk_id,
+           cum_before % {PACK_BUDGET} AS chunk_off
+    FROM c
+    """,
+)
+def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end in
+    doc_id order and split every {PACK_BUDGET} tokens — each doc learns the
+    training chunk its first token lands in and the offset within it (the
+    standard pretraining packing layout; a doc straddling a boundary
+    continues into the next chunk exactly as the token stream would).
+
+    The running token total is a GLOBAL prefix sum, computed on the
+    two-stage range-prefix plan (`operators/prefix.py`): range-partition by
+    doc_id, per-partition window, partition-count-sized driver offsets —
+    bit-identical to the single-partition window but with no single-reducer
+    stage, the only packing plan that survives 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(tokens("text")).alias("n_tokens")
+    )
+    cum = global_running_sums(docs, ["doc_id"], {"cum": F.col("n_tokens")})
+    before = (F.col("cum") - F.col("n_tokens")).alias("cum_before")
+    return cum.select("doc_id", "n_tokens", before).select(
+        "doc_id",
+        "n_tokens",
+        "cum_before",
+        F.expr(f"cum_before div {PACK_BUDGET}").alias("chunk_id"),
+        (F.col("cum_before") % PACK_BUDGET).alias("chunk_off"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-language quality quantile filter
+
+
+def _sql_in_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_O_QS = f"""
+    0.5 * least(len(t) / 100.0, 1.0)
+    + 0.3 * (len(list_distinct(t)) / len(t))
+    + 0.2 * (1.0 - len(list_filter(t, x ->
+        list_contains({_sql_in_list(STOPWORDS)}, x))) / len(t))
+"""
+
+
+@register(
+    "quality_quantile_filter",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                  FROM documents),
+    scored AS (SELECT doc_id, lang, {_O_QS} AS qs FROM toks),
+    ranked AS (
+      SELECT doc_id, lang, qs,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY qs DESC, doc_id) AS q_rank,
+             count(*) OVER (PARTITION BY lang) AS n_lang
+      FROM scored
+    )
+    SELECT doc_id, lang, q_rank, qs AS quality_score
+    FROM ranked
+    WHERE q_rank <= ceil({KEEP_FRAC} * n_lang)
+    """,
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quality quantile filter: keep the top
+    {KEEP_FRAC:.0%} of documents by blended quality score within each
+    language — the reproducible form of "filter to the best X% of the
+    corpus" (an approximate quantile would make the kept set
+    run-dependent). Ties break on doc_id, so the cut is deterministic.
+
+    Scale note: the window partitions by language, a low-cardinality skewed
+    key. At 100 TB the same exact cut computes with a per-(lang,
+    score-bucket) histogram — find the threshold bucket driver-side, keep
+    everything above it, rank only within the boundary bucket — turning the
+    hot-language window into an aggregate + map-side filter; the window
+    form here is the semantics both plans must match.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    scored = docs.select(
+        "doc_id", "lang", quality_score(t).alias("quality_score")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        F.row_number().over(w).alias("q_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    return ranked.filter(
+        F.col("q_rank") <= F.ceil(KEEP_FRAC * F.col("n_lang"))
+    ).select("doc_id", "lang", "q_rank", "quality_score")
+
+
+# ---------------------------------------------------------------------------
+# Embedding label-centroid distances
+
+
+@register(
+    "embedding_centroid_dist",
+    oracle=f"""
+    WITH pos AS (
+      SELECT vec_id, label,
+             unnest(embedding) AS val,
+             unnest(range(1, len(embedding) + 1)) AS pos
+      FROM embeddings
+    ),
+    base AS (
+      SELECT vec_id, label, pos,
+             cast(val AS double) AS v,
+             cast(floor(cast(val AS double) * {CENT_FX}) AS bigint) AS qv
+      FROM pos
+    ),
+    cent AS (
+      SELECT label, pos,
+             cast(sum(qv) AS double) / (count(*) * {CENT_FX}) AS c
+      FROM base GROUP BY 1, 2
+    )
+    SELECT b.vec_id, b.label,
+           cast(sum(cast(floor((b.v - c.c) * (b.v - c.c) * {CENT_FX})
+                         AS bigint)) AS bigint) AS dist2_fx
+    FROM base b JOIN cent c ON b.label = c.label AND b.pos = c.pos
+    GROUP BY 1, 2
+    """,
+)
+def embedding_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector squared L2 distance to its label's centroid — the
+    cluster-coherence / outlier signal used to prune mislabeled or
+    off-distribution embeddings from a training corpus (each class's worst
+    members are its farthest-from-centroid ones).
+
+    Fully relational and cross-engine deterministic: vectors explode to the
+    long (label, pos, val) layout; centroids are exact integer sums of
+    1e12-fixed-point components (decimal accumulator — no int64 overflow at
+    any corpus size, order-independent) divided once in double; per-vector
+    distances re-quantize each squared residual to int64 BEFORE the sum, so
+    the reduction is order-independent (same discipline as
+    `operators/similarity.py`). Plan shape: one (label, pos)-keyed shuffle
+    with map-side partials for the centroids (labels × dim rows — tiny),
+    broadcast back, one (vec_id)-keyed reduce. The wide embedding array is
+    never shuffled.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    v = F.col("val").cast("double")
+    base = pos.select(
+        "vec_id",
+        "label",
+        "pos",
+        v.alias("v"),
+        F.floor(v * F.lit(float(CENT_FX))).cast("bigint").alias("qv"),
+    )
+    cent = (
+        base.groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("qv").cast("decimal(38,0)")).cast("double").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            (F.col("s") / (F.col("n") * F.lit(float(CENT_FX)))).alias("c"),
+        )
+    )
+    d = F.col("v") - F.col("c")
+    return (
+        base.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.floor(d * d * F.lit(float(CENT_FX))).cast("bigint"))
+            .cast("bigint")
+            .alias("dist2_fx")
+        )
+    )

@@ -65,6 +65,21 @@ def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     assert "Broadcast" in plan  # query vectors replicated, corpus scanned once
 
 
+def test_doc_pack_chunks_has_no_single_partition_window(spark, sf_dir):
+    """Packing is a global prefix sum; it must run on the two-stage
+    range-prefix plan, never an unkeyed (single-reducer) window."""
+    plan = _executed_plan(spark, sf_dir, "doc_pack_chunks")
+    assert "windowspecdefinition(__pfx_pid" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_embedding_centroid_dist_broadcasts_centroids(spark, sf_dir):
+    """The labels×dim centroid table is broadcast back to the exploded
+    vector relation — the wide embedding arrays are never shuffled."""
+    plan = _executed_plan(spark, sf_dir, "embedding_centroid_dist")
+    assert "BroadcastHashJoin" in plan
+
+
 def test_ivf_topk_never_builds_unbroadcast_product(spark, sf_dir):
     """The only row expansions in the IVF plan are broadcast-backed: the
     N×K centroid scoring (K tiny) and the probe join on centroid_id. A
