@@ -213,15 +213,18 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     array expressions — map-only, codegen, no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     t = tokens("text")
+    # tokenize ONCE into a bound column: a split() inside the transform
+    # lambda re-splits the whole string per element (O(L²) per doc)
     bg = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1), "
-        "i -> concat_ws(' ', split(text, ' ')[i - 1], split(text, ' ')[i]))"
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), "
+        "(x, y) -> concat_ws(' ', x, y))"
     )
     n = F.size("bg").cast("long")
     nd = F.size(F.array_distinct("bg")).cast("long")
     ratio = (n - nd) / n
     return (
         docs.filter(F.size(t) >= 2)
+        .select("doc_id", t.alias("t"))
         .select("doc_id", bg.alias("bg"))
         .select(
             "doc_id",
