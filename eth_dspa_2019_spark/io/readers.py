@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TESTDATA_TABLES = (
     "region",
@@ -36,16 +37,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     # Defensive: the caller may hand us a session built without our factory
     # (the driver harness does). Both confs are runtime-settable and required
-    # for cross-engine parity: UTC pins NTZ→epoch math, nanosAsLong makes the
-    # events table readable at all.
+    # for cross-engine parity: UTC pins NTZ→epoch math, nanosAsLong makes a
+    # nanos-precision events table readable at all.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file, surfaced as int64 nanos via
-        # spark.sql.legacy.parquet.nanosAsLong (session.py). Truncate to
-        # micros exactly like DuckDB does when it loads the same file.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # The driver has shipped two physical layouts across rounds: TIMESTAMP
+    # (NANOS) columns (surfaced as int64 nanos via nanosAsLong) and plain
+    # micros TIMESTAMP_NTZ. Normalize both to session-UTC TIMESTAMP so every
+    # downstream plan sees one schema; DuckDB reads the same files as micros
+    # TIMESTAMP, so wall-clock values agree in either layout.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+        elif (
+            name == "events"
+            and field.name == "ts"
+            and isinstance(field.dataType, LongType)
+        ):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 
