@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, TimestampNTZType
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TESTDATA_TABLES = (
     "region",
@@ -46,10 +46,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (NANOS) columns (surfaced as int64 nanos via nanosAsLong) and plain
     # micros TIMESTAMP_NTZ. Normalize both to session-UTC TIMESTAMP so every
     # downstream plan sees one schema; DuckDB reads the same files as micros
-    # TIMESTAMP, so wall-clock values agree in either layout.
+    # TIMESTAMP, so wall-clock values agree in either layout. The cast does
+    # wrap the column in an expression, which keeps ts predicates out of
+    # PushedFilters in the NTZ layout — accepted: every windowed plan scans
+    # the full time range anyway, and the explicit TimestampType() target is
+    # conf-independent (spark.sql.timestampType may be NTZ in the harness).
     for field in df.schema.fields:
         if isinstance(field.dataType, TimestampNTZType):
-            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+            df = df.withColumn(
+                field.name, F.col(field.name).cast(TimestampType())
+            )
         elif (
             name == "events"
             and field.name == "ts"

@@ -366,25 +366,23 @@ def simhash(
     (≤62 keeps the BIGINT positive).
 
     All ``bits`` bit-votes are computed as conditional aggregates in ONE
-    groupBy over the token rows (no (token, bit) explode): the shuffle
-    carries one ``bits``-column partial per doc per map partition — Spark's
-    partial+final aggregation does the per-partition pre-sum for free.
+    groupBy over the exploded token occurrences (±1 per occurrence — the
+    same integer sums as count-weighted votes over distinct (doc, token)
+    rows, without the extra full shuffle that dedup step cost). A doc's
+    exploded tokens sit in the doc's own map partition, so Spark's partial
+    aggregation collapses them to one ``bits``-column row per doc before
+    the exchange: the shuffle carries ~one row per doc, never per token.
     """
-    # count occurrences per (doc, token) first: one md5 per DISTINCT token
-    # per doc, and the 48 vote aggregates run over the deduped rows with
-    # count weights (identical integer sums, smaller input)
     tok = (
         df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
         .select("id", F.explode("toks").alias("tok"))
-        .groupBy("id", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("id", h64("tok").alias("h"), "cnt")
+        .select("id", h64("tok").alias("h"))
     )
     vote_aggs = [
         F.sum(
             F.when(
-                F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, F.col("cnt")
-            ).otherwise(-F.col("cnt"))
+                F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
         ).alias(f"v{b}")
         for b in range(bits)
     ]

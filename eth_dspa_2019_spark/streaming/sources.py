@@ -13,18 +13,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet stores TIMESTAMP(NANOS); with nanosAsLong the file schema is
-# int64 nanos (see session.py) — declared as such and converted after read.
-_EVENTS_FILE_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_file_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Probe the parquet footer for the ts layout the driver shipped this
+    round: TIMESTAMP(NANOS) (surfaced as int64 with nanosAsLong) in early
+    rounds, plain micros TIMESTAMP_NTZ since. The file stream source needs
+    an explicit schema, so declare whichever layout the file actually has
+    (mirrors the dual-layout normalization in ``io/readers.load_table``)."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -35,22 +30,27 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file stream source watches a *directory*; the testdata dir mixes
     all tables, so a temp watch dir holding a symlink to events.parquet is
     staged per call (in production the stream would watch a landing dir).
+    Whatever the physical ts layout (int64 nanos or TIMESTAMP_NTZ micros),
+    the returned frame always carries session-UTC ``ts TIMESTAMP``.
     """
     import os
     import tempfile
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    file_schema = _events_file_schema(spark, sf_dir)
     watch = tempfile.mkdtemp(prefix="stream_events_")
     os.symlink(
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(watch, "events.parquet"),
     )
-    raw = (
-        spark.readStream.schema(_EVENTS_FILE_SCHEMA)
-        .format("parquet")
-        .load(watch)
-    )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    raw = spark.readStream.schema(file_schema).format("parquet").load(watch)
+    ts_type = file_schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Explicit TimestampType(): conf-independent even if the harness session
+    # sets spark.sql.timestampType=TIMESTAMP_NTZ (ADVICE r3).
+    return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 
 def parse_kafka_frames(frames: DataFrame) -> DataFrame:

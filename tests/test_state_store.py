@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from eth_dspa_2019_spark.io.readers import load_table
 from eth_dspa_2019_spark.streaming import (
     run_to_memory,
     stream_events,
@@ -29,11 +30,7 @@ def test_rocksdb_state_store_and_progress(spark, sf_dir, tmp_path):
             collect_progress=progress,
         )
         batch_n = (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .select(
-                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-                "event_type",
-            )
+            load_table(spark, sf_dir, "events")
             .groupBy(F.window("ts", "30 minutes"), "event_type")
             .count()
             .count()
@@ -63,7 +60,7 @@ def test_checkpoint_restart_resumes_state(spark, sf_dir, tmp_path):
 
     from pyspark.sql import functions as F
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     a = ev.filter(F.col("event_id") % 2 == 0)
     b = ev.filter(F.col("event_id") % 2 == 1)
     src = str(tmp_path / "src")
@@ -74,7 +71,6 @@ def test_checkpoint_restart_resumes_state(spark, sf_dir, tmp_path):
         stream = (
             spark.readStream.schema(ev.schema)
             .parquet(src)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"))
         )
