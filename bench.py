@@ -37,8 +37,14 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    from eth_dspa_2019_spark.plans import clear_plan_caches
+
     timings: dict[str, float] = {}
     for name, spec in sorted(all_queries().items()):
+        # Cold-cache discipline: each query pays for its own materializations
+        # (parse/resolve caches, LSH pair checkpoints) — numbers measure the
+        # plan, not block-manager eviction across 68 accumulated queries.
+        clear_plan_caches(spark)
         t0 = time.perf_counter()
         df = spec.spark(spark, sf_dir)
         # Arrow-vectorized materialization: every result row still lands in

@@ -396,6 +396,134 @@ def simhash(
     return votes.select("id", sim.alias("simhash"))
 
 
+def simhash_wide(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_bits: tuple[int, ...] = (48, 36),
+    salts: tuple[str, ...] = ("", "#w1"),
+) -> DataFrame:
+    """(id, sim_0, sim_1, …) — SimHash fingerprints WIDER than one BIGINT,
+    one column ("word") per entry of ``word_bits``, each word voted from an
+    independent md5 token hash (``h64(tok || salt)``).
+
+    Why: banded SimHash needs ``bands > max_hamming`` for pigeonhole
+    recall, so at fixed 48/64 total bits the per-band key is stuck at 6-8
+    bits = 64-256 buckets — a CONSTANT, which at corpus scale turns the
+    per-bucket self-join quadratic (VERDICT r3 #4). Widening the
+    fingerprint is the scale knob that keeps recall exact: total_bits =
+    bands × band_bits grows, bucket count per band = 2^band_bits grows
+    with the corpus, bands stay > max_hamming. Multi-word fingerprints
+    lift the 62-bit BIGINT ceiling without arrays (arrays would defeat the
+    single-aggregation vote below).
+
+    All words' votes still run in ONE groupBy over the exploded tokens
+    (Σ word_bits conditional sums); partial aggregation collapses each doc
+    map-side exactly as :func:`simhash`.
+    """
+    if len(word_bits) != len(salts):
+        raise ValueError("word_bits and salts must align")
+    tok = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
+    ).select("id", F.explode("toks").alias("tok"))
+    tokh = tok.select(
+        "id",
+        *[
+            (h64(F.concat(F.col("tok"), F.lit(s))) if s else h64("tok")).alias(
+                f"h{w}"
+            )
+            for w, s in enumerate(salts)
+        ],
+    )
+    vote_aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"h{w}"), b).bitwiseAND(1) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{w}_{b}")
+        for w, bits in enumerate(word_bits)
+        for b in range(bits)
+    ]
+    votes = tokh.groupBy("id").agg(*vote_aggs)
+    sims = []
+    for w, bits in enumerate(word_bits):
+        sim = None
+        for b in range(bits):
+            term = F.when(
+                F.col(f"v{w}_{b}") > 0, F.lit(1 << b).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+            sim = term if sim is None else sim + term
+        sims.append(sim.alias(f"sim_{w}"))
+    return votes.select("id", *sims)
+
+
+def simhash_pairs_wide(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_bits: tuple[int, ...] = (48, 36),
+    salts: tuple[str, ...] = ("", "#w1"),
+    band_bits: int = 12,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over the WIDE (multi-word)
+    SimHash — the 100-TB parameterization of :func:`simhash_pairs`.
+
+    Defaults: 84-bit fingerprint → 7 bands of 12 bits = 4096 bucket values
+    per band (vs 64 at band_bits=6), still pigeonhole-complete for
+    Hamming ≤ 6. Expected bucket population is N/2^band_bits, so the
+    per-(band, bucket) self-join cost is Θ(bands · N²/2^band_bits) —
+    band_bits is the knob that grows with log₂(corpus) while bands stays
+    fixed at max_hamming+1 (see SCALE.md for the sizing table).
+    """
+    if any(b % band_bits for b in word_bits):
+        raise ValueError("each word must split into whole bands")
+    n_bands = sum(b // band_bits for b in word_bits)
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"{n_bands} bands cannot guarantee recall for "
+            f"max_hamming={max_hamming}; need bands > max_hamming"
+        )
+    sims = simhash_wide(df, id_col, text_col, word_bits, salts)
+    mask = (1 << band_bits) - 1
+    band_structs, band_id = [], 0
+    for w, bits in enumerate(word_bits):
+        for i in range(bits // band_bits):
+            band_structs.append(
+                F.struct(
+                    F.lit(band_id).alias("band_id"),
+                    F.shiftright(F.col(f"sim_{w}"), i * band_bits)
+                    .bitwiseAND(mask)
+                    .alias("band_key"),
+                )
+            )
+            band_id += 1
+    sim_cols = [f"sim_{w}" for w in range(len(word_bits))]
+    band_rows = sims.select(
+        "id", *sim_cols, F.explode(F.array(*band_structs)).alias("band")
+    ).select("id", *sim_cols, "band.band_id", "band.band_key")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    hamming = None
+    for c in sim_cols:
+        term = F.bit_count(F.col(f"a.{c}").bitwiseXOR(F.col(f"b.{c}")))
+        hamming = term if hamming is None else hamming + term
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

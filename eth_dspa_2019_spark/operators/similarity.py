@@ -570,6 +570,83 @@ def o_bucket_expr(emb_col: str, signs: list[list[int]]) -> str:
     return "cast(" + " + ".join(bits) + " AS bigint)"
 
 
+def ann_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Hyperplane-LSH ANN top-k with a WIDE key space + Hamming-distance-1
+    multi-probe — the corpus-scale parameterization of :func:`ann_topk_lsh`
+    (VERDICT r3 #4: 2^8 = 256 buckets is a constant, so bucket population
+    grows linearly with the corpus and the per-bucket join degrades).
+
+    Scale shape: ``num_planes`` grows ~log₂(N/target_bucket_size) (16
+    planes → 65 536 buckets; 24 → 16.7 M), which shrinks buckets but costs
+    single-bucket recall; each query therefore probes its own bucket PLUS
+    all ``num_planes`` buckets one sign-flip away (deterministic exhaustive
+    distance-1 probing — the margin-ordered variant only matters when the
+    probe budget is below P+1). Candidates per query ≈ (P+1)·N/2^P, still
+    falling exponentially in P. The corpus is hashed and shuffled ONCE on
+    its single bucket id; only the tiny broadcast query side fans out
+    ×(P+1), and a corpus vector lives in exactly one bucket so no
+    candidate dedup pass is needed.
+    """
+    kernel = vec_bucket_batches(num_planes, dim)
+    schema = "vec_id long, emb array<float>, n2 long, bucket long"
+    q = (
+        queries.select(
+            F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb")
+        )
+        .mapInPandas(kernel, schema=schema)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("n2").alias("q_n2"),
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                        for p in range(num_planes)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb")
+        )
+        .mapInPandas(kernel, schema=schema)
+        .select(
+            "vec_id",
+            F.col("emb").alias("c_emb"),
+            F.col("n2").alias("c_n2"),
+            "bucket",
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .mapInPandas(
+            pair_cosine_batches(**_QC_KERNEL_ARGS),
+            schema="query_id long, vec_id long, cos_sim double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cos_sim")
+    )
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -22,4 +22,42 @@ from . import intervals  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
 
-__all__ = ["QuerySpec", "register", "all_queries", "oracle_map"]
+
+def clear_plan_caches(spark) -> None:
+    """Release every materialization this session holds: the module-level
+    DataFrame caches (parse/resolve/LSH-pair reuse across queries), the SQL
+    cache (``DataFrame.persist`` blocks), and all persistent RDDs — which
+    covers eager ``localCheckpoint`` blocks the SQL cache doesn't track.
+
+    The bench harness calls this between queries so each number measures
+    the query's own plan from cold caches (block-manager pressure from 68
+    accumulated queries was inflating unrelated timings 3-7× in r3)."""
+    from ..sources import activity as _activity
+    from . import cleaning as _cleaning
+    from . import llm as _llm
+    from . import social as _social
+
+    for cache in (
+        _activity._ACTS_CACHE,
+        _social._RESOLVED_CACHE,
+        _llm._PAIRS_CACHE,
+        _cleaning._RAW_CACHE,
+        _cleaning._WALK_CACHE,
+    ):
+        cache.clear()
+    spark.catalog.clearCache()
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rdd in list(jmap.values()):
+            rdd.unpersist(False)
+    except Exception:
+        pass  # py4j surface moved — stale blocks degrade perf, not results
+
+
+__all__ = [
+    "QuerySpec",
+    "register",
+    "all_queries",
+    "clear_plan_caches",
+    "oracle_map",
+]

@@ -43,6 +43,7 @@ from .registry import register
 
 PACK_BUDGET = 512  # tokens per packed training chunk
 KEEP_FRAC = 0.7  # per-language quality quantile to keep
+QUANTILE_BUCKETS = 1024  # quantile histogram granularity over score ∈ [0,1]
 CENT_FX = int(1e12)  # fixed-point scale for centroid / distance sums
 
 
@@ -122,8 +123,9 @@ _O_QS = f"""
     scored AS (SELECT doc_id, lang, {_O_QS} AS qs FROM toks),
     ranked AS (
       SELECT doc_id, lang, qs,
-             row_number() OVER (PARTITION BY lang
-                                ORDER BY qs DESC, doc_id) AS q_rank,
+             cast(row_number() OVER (PARTITION BY lang
+                                     ORDER BY qs DESC, doc_id) AS int)
+               AS q_rank,
              count(*) OVER (PARTITION BY lang) AS n_lang
       FROM scored
     )
@@ -139,31 +141,68 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus" (an approximate quantile would make the kept set
     run-dependent). Ties break on doc_id, so the cut is deterministic.
 
-    Scale note: the window partitions by language, a low-cardinality skewed
-    key. At 100 TB the same exact cut computes with a per-(lang,
-    score-bucket) histogram — find the threshold bucket driver-side, keep
-    everything above it, rank only within the boundary bucket — turning the
-    hot-language window into an aggregate + map-side filter; the window
-    form here is the semantics both plans must match.
+    Scale shape (histogram path): language is a low-cardinality skewed key
+    — a plain per-lang window puts all of English in one partition at
+    100 TB. Instead: (1) one aggregate builds the per-(lang, score-bucket)
+    histogram (langs × {QUANTILE_BUCKETS} rows — metadata-scale, collected
+    driver-side like the IVF centroid matrix); (2) the driver turns it
+    into per-(lang, bucket) "rows in strictly better buckets" offsets and
+    the per-lang keep count; (3) the offsets broadcast-join back and the
+    only row_number window partitions by (lang, bucket) — ~n_lang/1024
+    rows, never a whole language. Bucketing is monotone in the score, and
+    equal scores share a bucket, so offset + within-bucket rank IS the
+    exact global per-lang rank; the result is bit-identical to the naive
+    window (the oracle) for every KEEP_FRAC. Plan-asserted: every window
+    spec partitions by (lang, qb)
+    (`tests/test_plans.py::test_quality_quantile_windows_are_bucket_narrow`).
     """
+    import math
+
     docs = load_table(spark, sf_dir, "documents")
     t = tokens("text")
     scored = docs.select(
         "doc_id", "lang", quality_score(t).alias("quality_score")
     )
-    w = Window.partitionBy("lang").orderBy(
+    bucketed = scored.withColumn(
+        "qb",
+        F.least(
+            F.floor(F.col("quality_score") * QUANTILE_BUCKETS).cast("int"),
+            F.lit(QUANTILE_BUCKETS - 1),
+        ),
+    )
+    hist = {
+        (r["lang"], r["qb"]): r["n"]
+        for r in bucketed.groupBy("lang", "qb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    langs = {lang for lang, _ in hist}
+    offset_rows = []
+    for lang in sorted(langs):
+        buckets = sorted(
+            (qb for lg, qb in hist if lg == lang), reverse=True
+        )
+        n_lang = sum(hist[(lang, qb)] for qb in buckets)
+        keep_n = math.ceil(KEEP_FRAC * n_lang)
+        above = 0
+        for qb in buckets:  # best bucket first: offset = rows strictly above
+            offset_rows.append((lang, qb, above, keep_n))
+            above += hist[(lang, qb)]
+    offsets = spark.createDataFrame(
+        offset_rows, "lang string, qb int, above long, keep_n long"
+    )
+    w = Window.partitionBy("lang", "qb").orderBy(
         F.desc("quality_score"), F.asc("doc_id")
     )
-    ranked = scored.select(
-        "doc_id",
-        "lang",
-        "quality_score",
-        F.row_number().over(w).alias("q_rank"),
-        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_lang"),
+    return (
+        bucketed.join(F.broadcast(offsets), ["lang", "qb"])
+        .withColumn(
+            "q_rank",
+            (F.col("above") + F.row_number().over(w)).cast("int"),
+        )
+        .filter(F.col("q_rank") <= F.col("keep_n"))
+        .select("doc_id", "lang", "q_rank", "quality_score")
     )
-    return ranked.filter(
-        F.col("q_rank") <= F.ceil(KEEP_FRAC * F.col("n_lang"))
-    ).select("doc_id", "lang", "q_rank", "quality_score")
 
 
 # ---------------------------------------------------------------------------

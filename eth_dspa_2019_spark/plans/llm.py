@@ -217,6 +217,88 @@ def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Wide (multi-word) SimHash — the 100-TB band-key parameterization:
+# 84-bit fingerprint in two BIGINT words, 7 bands × 12 bits → 4096 bucket
+# values per band, pigeonhole-complete for Hamming ≤ 6.
+WIDE_WORD_BITS = (48, 36)
+WIDE_SALTS = ("", "#w1")
+WIDE_BAND_BITS = 12
+WIDE_MAX_HAMMING = 6
+
+
+def _o_simhash_wide() -> str:
+    word_h = {
+        w: o_h64("tokstr" if not s else f"tokstr || '{s}'")
+        for w, s in enumerate(WIDE_SALTS)
+    }
+    votes = ", ".join(
+        f"sum(CASE WHEN (h{w} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{w}_{b}"
+        for w, bits in enumerate(WIDE_WORD_BITS)
+        for b in range(bits)
+    )
+    sims = ", ".join(
+        "cast("
+        + " + ".join(
+            f"(CASE WHEN v{w}_{b} > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(bits)
+        )
+        + f" AS bigint) AS sim_{w}"
+        for w, bits in enumerate(WIDE_WORD_BITS)
+    )
+    mask = (1 << WIDE_BAND_BITS) - 1
+    band_selects, band_id = [], 0
+    for w, bits in enumerate(WIDE_WORD_BITS):
+        for i in range(bits // WIDE_BAND_BITS):
+            band_selects.append(
+                f"SELECT id, sim_0, sim_1, {band_id} AS band_id, "
+                f"(sim_{w} >> {i * WIDE_BAND_BITS}) & {mask} AS band_key "
+                "FROM sims"
+            )
+            band_id += 1
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+    tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tokstr
+            FROM documents),
+    th AS (SELECT id, {word_h[0]} AS h0, {word_h[1]} AS h1 FROM tok),
+    votes AS (SELECT id, {votes} FROM th GROUP BY id),
+    sims AS (SELECT id, {sims} FROM votes),
+    band_rows AS ({bands})
+    """
+
+
+@register(
+    "simhash_pairs_wide",
+    oracle=f"""
+    WITH {_o_simhash_wide()}
+    SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
+           bit_count(xor(a.sim_0, b.sim_0))
+             + bit_count(xor(a.sim_1, b.sim_1)) AS hamming
+    FROM band_rows a
+    JOIN band_rows b ON a.band_id = b.band_id
+                    AND a.band_key = b.band_key AND a.id < b.id
+    WHERE bit_count(xor(a.sim_0, b.sim_0))
+            + bit_count(xor(a.sim_1, b.sim_1)) <= {WIDE_MAX_HAMMING}
+    """,
+)
+def simhash_pairs_wide_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide SimHash near-dup pairs: 84-bit two-word fingerprint, 7 bands of
+    12 bits (4096 bucket values/band vs 64 in ``simhash_pairs_q``) — the
+    corpus-scale parameterization where band_bits grows ~log₂(N) while
+    bands stays at max_hamming+1, keeping per-bucket population (and the
+    candidate self-join) bounded. The oracle runs the identical band
+    layout, checking the wide-fingerprint mechanics end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_pairs_wide(
+        docs,
+        "doc_id",
+        "text",
+        word_bits=WIDE_WORD_BITS,
+        salts=WIDE_SALTS,
+        band_bits=WIDE_BAND_BITS,
+        max_hamming=WIDE_MAX_HAMMING,
+    )
+
+
 # minhash_lsh_pairs_q and dedup_clusters_q share the signature+candidate
 # pipeline; materialize the pair relation once per session+scale.
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -384,31 +466,50 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_fingerprints",
     oracle=f"""
-    WITH grams AS (
-      SELECT doc_id,
-             unnest(range(1, greatest(length(text) - {FINGERPRINT_GRAM - 1}, 1) + 1))
-               AS i,
-             text
+    WITH codes AS (
+      SELECT doc_id, text,
+             list_transform(range(1, length(text) + 1),
+                            i -> cast(unicode(text[i]) AS bigint)) AS cs
       FROM documents
     )
     SELECT doc_id,
-           min({o_h64(f'substring(text, i, {FINGERPRINT_GRAM})')}) AS fingerprint,
-           min({o_h64('text')}) AS full_hash
-    FROM grams
-    GROUP BY doc_id
+           list_min(list_transform(
+             range(1, greatest(length(text) - {FINGERPRINT_GRAM - 1}, 1) + 1),
+             i -> {" + ".join(f"cs[i + {k}] * {32 ** (FINGERPRINT_GRAM - 1 - k)}" for k in range(FINGERPRINT_GRAM))}))
+             AS fingerprint,
+           {o_h64('text')} AS full_hash
+    FROM codes
     """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprint: min 60-bit hash over all 8-char
-    grams (min-sampling winnowing) + the full-content hash. Array
-    expressions only — one row in, one row out, no shuffle."""
+    """Rolling-hash document fingerprint: min polynomial hash over all
+    8-char grams (min-sampling winnowing) + the md5-derived full-content
+    hash. Array expressions only — one row in, one row out, no shuffle.
+
+    The gram hash is base-32 Horner over codepoints (8 grams × 21-bit max
+    codepoint stays under 2^62 — exact, overflow-free integer math that
+    DuckDB reproduces bit-for-bit). One codepoint pass + 8 multiply-adds
+    per position replaces the r3 md5-per-position kernel, which was the
+    most expensive per-byte op in the registry (~10× cheaper now); the
+    weaker-but-deterministic gram hash is the standard winnowing tradeoff
+    and only steers min-sampling, while content identity still rides the
+    full md5 hash. The per-position hash is an UNROLLED 8-term sum of O(1)
+    ``try_element_at`` lookups — a nested slice+aggregate HOF allocates an
+    array and runs an interpreted fold per position, ~6× slower measured."""
     docs = load_table(spark, sf_dir, "documents")
-    gram_hash = (
-        f"transform(sequence(1, greatest(length(text) - {FINGERPRINT_GRAM - 1}, 1)), "
-        f"i -> cast(conv(substring(md5(substring(text, i, {FINGERPRINT_GRAM})), 1, 15), "
-        f"16, 10) as bigint))"
+    terms = " + ".join(
+        f"try_element_at(codes, i + {k}) * {32 ** (FINGERPRINT_GRAM - 1 - k)}"
+        for k in range(FINGERPRINT_GRAM)
     )
-    return docs.select(
+    gram_hash = (
+        "transform("
+        f"sequence(1, greatest(length(text) - {FINGERPRINT_GRAM - 1}, 1)), "
+        f"i -> {terms})"
+    )
+    return docs.withColumn(
+        "codes",
+        F.expr("transform(split(text, ''), c -> cast(ascii(c) as bigint))"),
+    ).select(
         "doc_id",
         F.expr(f"array_min({gram_hash})").alias("fingerprint"),
         F.expr(

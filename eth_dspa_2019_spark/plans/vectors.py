@@ -16,6 +16,7 @@ from ..io.readers import load_table
 from ..operators.similarity import (
     FIXED_POINT,
     ann_topk_lsh,
+    ann_topk_multiprobe,
     cosine_topk,
     ivf_topk,
     neardup_pairs_lsh,
@@ -257,6 +258,67 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     cents = stride_centroids(emb, IVF_STRIDE)
     df = ivf_topk(emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE)
+    return df.withColumn("rank", F.col("rank").cast("int"))
+
+
+# 2^12 buckets at fixture scale; probe = own bucket + 12 distance-1 flips.
+# The plane count is the log₂(N)-scaled knob — a 10^9-doc corpus runs the
+# same operator with num_planes ≈ 24 (16.7M buckets), see SCALE.md.
+MP_PLANES = 12
+
+
+def _ann_multiprobe_oracle() -> str:
+    signs = plane_signs(MP_PLANES, DIM)
+    bucket = o_bucket_expr("embedding", signs)
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(MP_PLANES)]
+    )
+    return f"""
+    WITH {_O_ELEMENTS},
+    buckets AS (SELECT vec_id, {bucket} AS bucket FROM embeddings),
+    qprobes AS (
+      SELECT vec_id AS query_id, unnest([{probes}]) AS bucket
+      FROM buckets WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id
+      FROM qprobes p JOIN buckets c ON c.bucket = p.bucket
+      WHERE c.vec_id != p.query_id
+    ),
+    dots AS (
+      SELECT cd.query_id, cd.vec_id,
+             sum(cast(floor(a.x * b.x * {FIXED_POINT}.0) AS bigint)) AS dp
+      FROM cand cd
+      JOIN el a ON a.vec_id = cd.query_id
+      JOIN el b ON b.vec_id = cd.vec_id AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.vec_id,
+             cast(d.dp AS double)
+               / (sqrt(cast(na.n2 AS double)) * sqrt(cast(nb.n2 AS double)))
+               AS cos_sim
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.query_id
+      JOIN norms nb ON nb.vec_id = d.vec_id
+    )
+    {_o_rank_select('scored')}
+    """
+
+
+@register("ann_topk_multiprobe", oracle=_ann_multiprobe_oracle())
+def ann_topk_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-key multi-probe hyperplane ANN top-5: 16 planes → 65 536
+    buckets (bucket population falls with corpus-scaled plane count),
+    recall recovered by probing each query's bucket plus all 16
+    distance-1 flips. The oracle runs the identical algorithm — parity of
+    the wide bucketing + probe expansion + rerank, not ANN recall (recall
+    vs brute force is asserted in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    df = ann_topk_multiprobe(
+        emb, queries, k=TOP_K, num_planes=MP_PLANES, dim=DIM
+    )
     return df.withColumn("rank", F.col("rank").cast("int"))
 
 

@@ -5,20 +5,33 @@ when the watermark passes (`SN/task/postidresolution/PostIdResolver.java:
 the timers with two engine-managed state tables advanced per micro-batch:
 
 - ``resolved``: child_id → root_post_id (grows monotonically),
-- ``pending``:  child_id → parent_id (replies whose chain hasn't reached a
-  resolved node yet — exactly the records the reference parks in keyed
-  state and retries from ``onTimer``; here the retry is simply the next
-  batch's fixpoint pass).
+- ``pending``:  child_id → current chase pointer (replies whose chain
+  hasn't reached a resolved node yet — exactly the records the reference
+  parks in keyed state and retries from ``onTimer``; here the retry is
+  simply the next batch's chase, resumed from the COMPRESSED pointer).
 
-Each batch runs a bounded pointer-chase fixpoint over (new rows ∪ pending)
-against the accumulated state, so arrival order never matters: a reply that
-arrives before its parent waits in ``pending`` until some later batch
-delivers the parent (or its transitively-resolved ancestor). Exactly-once
-comes from Spark's checkpointed foreachBatch + the monotone state updates —
-no external mutable store to drift (SURVEY §4.1 anti-pattern note).
+Each batch runs pointer-DOUBLING hops over (new rows ∪ pending): a hop
+either completes a row or jumps it two chain positions, so the loop exits
+after ``~log2(resolvable depth)+1`` hops with ONE cheap emptiness probe
+per hop on an already-materialized frame — instead of the r3 convergence
+loop's one SINGLE-hop join + two blocking probes per chain level (up to
+128 driver-blocking jobs per batch, VERDICT r3 #5). Arrival order never
+matters: a reply that arrives before its parent waits in ``pending`` with
+whatever progress its pointer made, until some later batch delivers the
+parent (or its transitively-resolved ancestor).
 
-At cluster scale the state tables would live as Delta/parquet tables keyed
-by child_id; here they are localCheckpointed DataFrames, same plan shape.
+Durability (O6): with ``state_dir`` set, the state tables persist as
+versioned parquet under the directory — one ``v{batch_id}`` snapshot per
+micro-batch, committed with a marker file AFTER the data lands, pruned to
+the trailing two versions. A restarted query recovers the newest committed
+snapshot; if Spark replays the last micro-batch (crash between the state
+commit and the engine's offset commit), the replayed ``batch_id`` is
+detected and the state ROLLS BACK one version first, so reprocessing is
+idempotent — the exactly-once story holds across process restarts, not
+just within one process (all filesystem access goes through the Hadoop
+FileSystem API, so any checkpoint-capable FS works). The reference's
+equivalent is the memcached store whose contents simply OUTLIVE the Flink
+job — durable only as long as an unrelated external process stays up.
 """
 
 from __future__ import annotations
@@ -28,57 +41,226 @@ from pyspark.sql import functions as F
 
 from ..schemas import KIND_COMMENT, KIND_REPLY
 
-_MAX_CHASE = 64
+_RESOLVED_SCHEMA = "id long, root_post_id long"
+_PENDING_SCHEMA = "id long, parent_id long"
+_PARKED_SCHEMA = "kind string, id long, person_id long, ts_ms long, parent_id long"
+# safety cap on doubling hops: 2^16 = 65 536-deep chains per single batch
+_MAX_HOPS = 16
+
+
+class _StateStore:
+    """Versioned parquet snapshots under ``root`` with commit markers.
+
+    Layout: ``root/v{batch_id}/{table}.parquet`` + ``root/v{batch_id}/
+    _COMMITTED``. Only marker-bearing versions count; the newest two are
+    retained (current + rollback target for a replayed batch)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def _jpath(self, rel: str = ""):
+        p = f"{self.root}/{rel}" if rel else self.root
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self):
+        return self._jpath().getFileSystem(self._conf)
+
+    def committed_versions(self) -> list[int]:
+        fs = self._fs()
+        if not fs.exists(self._jpath()):
+            return []
+        out = []
+        for status in fs.listStatus(self._jpath()):
+            name = status.getPath().getName()
+            if (
+                status.isDirectory()
+                and name.startswith("v")
+                and name[1:].isdigit()
+                and fs.exists(self._jpath(f"{name}/_COMMITTED"))
+            ):
+                out.append(int(name[1:]))
+        return sorted(out)
+
+    def latest(self) -> int | None:
+        versions = self.committed_versions()
+        return versions[-1] if versions else None
+
+    def load(self, version: int | None, table: str, schema: str) -> DataFrame:
+        """Read one state table at ``version`` (None / missing → empty)."""
+        if version is None or version < 0:
+            return self.spark.createDataFrame([], schema)
+        path = f"{self.root}/v{version}/{table}.parquet"
+        if not self._fs().exists(self._jpath(f"v{version}/{table}.parquet")):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)
+
+    def save(self, version: int, frames: dict[str, DataFrame]) -> None:
+        """Write all tables for ``version``, then the commit marker, then
+        prune versions older than ``version - 1``."""
+        fs = self._fs()
+        vdir = self._jpath(f"v{version}")
+        if fs.exists(vdir):  # crashed/replayed attempt — start clean
+            fs.delete(vdir, True)
+        for table, df in frames.items():
+            df.write.mode("overwrite").parquet(
+                f"{self.root}/v{version}/{table}.parquet"
+            )
+        fs.create(self._jpath(f"v{version}/_COMMITTED"), True).close()
+        for old in self.committed_versions():
+            if old < version - 1:
+                fs.delete(self._jpath(f"v{old}"), True)
 
 
 class IncrementalResolver:
-    """Accumulates child→root mappings across micro-batches."""
+    """Accumulates child→root mappings across micro-batches; optionally
+    durable under ``state_dir`` (see module docstring)."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, state_dir: str | None = None):
         self.spark = spark
-        empty_r = spark.createDataFrame([], "id long, root_post_id long")
-        empty_p = spark.createDataFrame([], "id long, parent_id long")
-        self.resolved: DataFrame = empty_r
-        self.pending: DataFrame = empty_p
+        self.store = _StateStore(spark, state_dir) if state_dir else None
+        self.committed_batch: int | None = None
+        if self.store is not None:
+            v = self.store.latest()
+            self.committed_batch = v
+            self.resolved = self.store.load(v, "resolved", _RESOLVED_SCHEMA)
+            self.pending = self.store.load(v, "pending", _PENDING_SCHEMA)
+        else:
+            self.resolved = spark.createDataFrame([], _RESOLVED_SCHEMA)
+            self.pending = spark.createDataFrame([], _PENDING_SCHEMA)
 
+    # -- durability hooks -------------------------------------------------
+    def begin_batch(self, batch_id: int) -> int | None:
+        """Call at the top of every foreachBatch. If the engine is
+        REPLAYING a batch whose state snapshot already committed (crash
+        after state commit, before offset commit), roll back to the prior
+        snapshot so reprocessing is idempotent. Returns the rolled-back
+        version (so the caller can restore its own extras from the same
+        snapshot), or None when no rollback happened."""
+        if self.store is None or self.committed_batch is None:
+            return None
+        if batch_id > self.committed_batch:
+            return None
+        prior = batch_id - 1
+        self.resolved = self.store.load(prior, "resolved", _RESOLVED_SCHEMA)
+        self.pending = self.store.load(prior, "pending", _PENDING_SCHEMA)
+        self.committed_batch = prior if prior >= 0 else None
+        return prior
+
+    def commit(
+        self, batch_id: int, extra: dict[str, DataFrame] | None = None
+    ) -> None:
+        """Persist the post-batch state (plus caller extras, atomically in
+        the same version snapshot). No-op without a state_dir."""
+        if self.store is None:
+            return
+        frames = {"resolved": self.resolved, "pending": self.pending}
+        if extra:
+            frames.update(extra)
+        self.store.save(batch_id, frames)
+        self.committed_batch = batch_id
+
+    def load_extra(self, table: str, schema: str) -> DataFrame:
+        """Caller-owned state stored alongside (e.g. the emit stage's
+        parked reply rows), read from the current committed snapshot."""
+        if self.store is None:
+            return self.spark.createDataFrame([], schema)
+        return self.store.load(self.committed_batch, table, schema)
+
+    # -- the chase --------------------------------------------------------
     def process_batch(self, acts: DataFrame) -> DataFrame:
         """Fold one micro-batch of parsed activities into the state; returns
         the mappings newly resolved by this batch."""
         new_resolved = acts.filter(F.col("kind") == KIND_COMMENT).select(
             "id", F.col("post_id").alias("root_post_id")
         )
+        resolved_all = self.resolved.unionByName(new_resolved)
         work = (
             acts.filter(F.col("kind") == KIND_REPLY)
             .select("id", "parent_id")
             .unionByName(self.pending)
+            .select("id", F.col("parent_id").alias("ptr"))
         )
-        resolved_all = self.resolved.unionByName(new_resolved)
-        newly = new_resolved
-        # bounded chase: each pass either resolves a pending reply (its
-        # parent is resolved) or leaves it pending; chains resolve across
-        # passes within the batch, or across batches when parents are late
-        for _ in range(_MAX_CHASE):
-            if work.limit(1).count() == 0:
-                break
-            hit = (
-                work.alias("w")
-                .join(
-                    resolved_all.alias("r"),
-                    F.col("w.parent_id") == F.col("r.id"),
+        # Pointer-DOUBLING chase with a shrinking working set: the lookup
+        # side carries every finished mapping (absorbing: id → root) PLUS
+        # the working rows' own pointers, so each hop either completes a
+        # row (its pointer reached a resolved node) or jumps it two chain
+        # positions. Any resolvable chain completes its bottom row every
+        # hop, so "a hop completed nothing" IS the fixpoint — the hop
+        # count is ~log2(resolvable depth)+1 (vs the r3 convergence loop:
+        # one SINGLE-hop join + 2 blocking probes per chain LEVEL, up to
+        # 128 driver jobs per batch). Each hop materializes exactly two
+        # frames (the chased working set and the tiny newly-done set —
+        # keeping the chase lazy instead doubles the plan tree per hop
+        # and re-executes the join cascade per probe, measured
+        # exponential); the fixpoint check rides the already-materialized
+        # hit frame for free. Chains deeper than 2^_MAX_HOPS carry their
+        # compressed pointers to the next batch.
+        done_parts: list[DataFrame] = []
+        for _ in range(_MAX_HOPS):
+            lookup = resolved_all.select(
+                F.col("id").alias("x"),
+                F.col("root_post_id").alias("nxt"),
+                F.lit(True).alias("mdone"),
+            )
+            for part in done_parts:
+                lookup = lookup.unionByName(
+                    part.select(
+                        F.col("id").alias("x"),
+                        F.col("ptr").alias("nxt"),
+                        F.lit(True).alias("mdone"),
+                    )
                 )
-                .select(
-                    F.col("w.id").alias("id"),
-                    F.col("r.root_post_id").alias("root_post_id"),
+            lookup = lookup.unionByName(
+                work.select(
+                    F.col("id").alias("x"),
+                    F.col("ptr").alias("nxt"),
+                    F.lit(False).alias("mdone"),
                 )
             )
+            # parent resolved → absorb its root; parent in the working set
+            # → jump to ITS pointer (path doubling); parent unseen → hold
+            chased = (
+                work.alias("c")
+                .join(lookup.alias("m"), F.col("c.ptr") == F.col("m.x"), "left")
+                .select(
+                    F.col("c.id").alias("id"),
+                    F.when(F.col("m.x").isNull(), F.col("c.ptr"))
+                    .otherwise(F.col("m.nxt"))
+                    .alias("ptr"),
+                    F.coalesce(F.col("m.mdone"), F.lit(False)).alias("done"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            hit = (
+                chased.filter(F.col("done"))
+                .select("id", "ptr")
+                .localCheckpoint(eager=True)
+            )
+            work = chased.filter(~F.col("done")).select("id", "ptr")
             if hit.limit(1).count() == 0:
                 break  # nothing else resolvable this batch → stays pending
-            work = work.join(hit.select("id"), "id", "left_anti")
-            resolved_all = resolved_all.unionByName(hit)
-            newly = newly.unionByName(hit)
-        self.resolved = resolved_all.localCheckpoint(eager=True)
-        self.pending = work.localCheckpoint(eager=True)
-        return newly
+            done_parts.append(hit)
+        newly_replies = done_parts[0] if done_parts else None
+        for part in done_parts[1:]:
+            newly_replies = newly_replies.unionByName(part)
+        newly_replies = (
+            newly_replies.select("id", F.col("ptr").alias("root_post_id"))
+            if newly_replies is not None
+            else self.spark.createDataFrame([], _RESOLVED_SCHEMA)
+        )
+        self.resolved = resolved_all.unionByName(newly_replies).localCheckpoint(
+            eager=True
+        )
+        # pending carries the ADVANCED pointer — cross-batch path
+        # compression: a chain of depth d resolves in O(log d) total hops
+        # no matter how it splits across batches
+        self.pending = work.select(
+            "id", F.col("ptr").alias("parent_id")
+        ).localCheckpoint(eager=True)
+        return new_resolved.unionByName(newly_replies)
 
     def mappings(self) -> DataFrame:
         """(child_id, root_post_id) resolved so far."""
@@ -92,6 +274,8 @@ def resolve_activities_stream(
     lines_dir: str,
     out_dir: str,
     checkpoint_dir: str,
+    state_dir: str | None = None,
+    _fail_at_batch: int | None = None,
 ) -> "IncrementalResolver":
     """The reference's full resolver topology in streaming form
     (`PostIdResolver.buildPipeline`, `SN/SocialNetwork.java:37`): parse the
@@ -99,20 +283,31 @@ def resolve_activities_stream(
     resolved-stream sink as soon as its root post is known — posts/likes/
     comments immediately, replies when their chain resolves (possibly in a
     later batch, exactly like the reference's timer re-emission). The sink
-    is a parquet directory, i.e. the bronze→silver file hop that downstream
-    windowed tasks consume as their own stream."""
-    from ..schemas import KIND_LIKE, KIND_POST, KIND_REPLY
+    is a parquet directory (read it back with ``{out_dir}/batch-*``) — the
+    bronze→silver file hop that downstream windowed tasks consume as their
+    own stream.
+
+    Each batch writes its own ``batch-{id}`` subdirectory with overwrite
+    semantics, so a replayed batch rewrites the same files instead of
+    appending duplicates — with ``state_dir`` set this makes the whole
+    pipeline exactly-once across restarts (kill the process mid-stream,
+    rerun with the same dirs: the output equals the uninterrupted run's).
+    ``_fail_at_batch`` is the test seam that injects the crash AFTER the
+    state commit of that batch — the worst-case replay window.
+    """
+    from ..schemas import KIND_LIKE, KIND_POST
     from ..sources.activity import parse_activities
 
-    resolver = IncrementalResolver(spark)
+    resolver = IncrementalResolver(spark, state_dir)
     out_cols = ["kind", "id", "person_id", "ts_ms", "post_id"]
     # reply rows seen but not yet resolvable, carried across batches
-    parked = spark.createDataFrame(
-        [], "kind string, id long, person_id long, ts_ms long, parent_id long"
-    )
+    parked = resolver.load_extra("parked", _PARKED_SCHEMA)
 
-    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal parked
+        rolled = resolver.begin_batch(batch_id)
+        if rolled is not None:
+            parked = resolver.store.load(rolled, "parked", _PARKED_SCHEMA)
         batch_df = batch_df.localCheckpoint(eager=True)
         newly = resolver.process_batch(batch_df).localCheckpoint(eager=True)
         direct = batch_df.filter(
@@ -137,7 +332,12 @@ def resolve_activities_stream(
         parked = reply_rows.join(
             hit.select("id"), "id", "left_anti"
         ).localCheckpoint(eager=True)
-        direct.unionByName(hit).write.mode("append").parquet(out_dir)
+        direct.unionByName(hit).write.mode("overwrite").parquet(
+            f"{out_dir}/batch-{batch_id:05d}"
+        )
+        resolver.commit(batch_id, extra={"parked": parked})
+        if _fail_at_batch is not None and batch_id == _fail_at_batch:
+            raise RuntimeError(f"injected crash after committing batch {batch_id}")
 
     lines = (
         spark.readStream.format("text")
@@ -156,7 +356,10 @@ def resolve_activities_stream(
 
 
 def resolve_lines_stream(
-    spark: SparkSession, lines_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    lines_dir: str,
+    checkpoint_dir: str,
+    state_dir: str | None = None,
 ) -> "IncrementalResolver":
     """Wire the incremental resolver to a text-file micro-batch stream
     (one file per trigger — the bounded replay harness): readStream →
@@ -164,7 +367,7 @@ def resolve_lines_stream(
     state after the bounded run."""
     from ..sources.activity import parse_activities
 
-    resolver = IncrementalResolver(spark)
+    resolver = IncrementalResolver(spark, state_dir)
     lines = (
         spark.readStream.format("text")
         .option("maxFilesPerTrigger", 1)
@@ -172,8 +375,10 @@ def resolve_lines_stream(
     )
     acts = parse_activities(lines)
 
-    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        resolver.begin_batch(batch_id)
         resolver.process_batch(batch_df)
+        resolver.commit(batch_id)
 
     q = (
         acts.writeStream.foreachBatch(_fold)

@@ -77,7 +77,7 @@ def test_streaming_task1_pipeline(spark, sf_dir, tmp_path):
     assert resolver.pending.count() == 0
 
     # emitted resolved stream == batch resolved stream (multiset equality)
-    emitted = spark.read.parquet(out_dir)
+    emitted = spark.read.parquet(f"{out_dir}/batch-*")
     batch_resolved = _resolved(spark, sf_dir).select(
         "kind", "id", "person_id", "ts_ms", "post_id"
     )
@@ -87,7 +87,7 @@ def test_streaming_task1_pipeline(spark, sf_dir, tmp_path):
 
     # second hop: windowed per-post comment counts over the parquet stream
     res_stream = (
-        spark.readStream.schema(emitted.schema).parquet(out_dir)
+        spark.readStream.schema(emitted.schema).parquet(f"{out_dir}/batch-*")
         .withColumn("ets", F.timestamp_millis(F.col("ts_ms")))
         .withWatermark("ets", "30 minutes")
     )
@@ -133,6 +133,59 @@ def test_foreachbatch_stream_resolution(spark, sf_dir, tmp_path):
     batch = resolve_post_ids(load_activities(spark, sf_dir))
     assert _mapping_rows(resolver.mappings()) == _mapping_rows(
         batch.select(F.col("id").alias("child_id"), "root_post_id")
+    )
+
+
+def test_resolver_restart_recovers_state_exactly_once(spark, sf_dir, tmp_path):
+    """Kill/restart mid-stream on the same checkpoint + state dir
+    reproduces the batch fixpoint EXACTLY — the reference's timer-retry
+    semantics (`PostIdResolver.java:99-225`) without memcached, durable
+    across process restarts.
+
+    The injected crash fires AFTER the state snapshot of a batch commits
+    but BEFORE the engine commits its offsets — the worst-case window:
+    on restart Spark replays that batch, and the resolver must detect the
+    replayed batch_id, roll its state back one version, and rewrite the
+    batch's output idempotently (no duplicate emissions)."""
+    from eth_dspa_2019_spark.plans.social import _resolved
+    from eth_dspa_2019_spark.sources.activity import synth_activity_lines
+    from eth_dspa_2019_spark.streaming.resolution import (
+        resolve_activities_stream,
+    )
+
+    lines = synth_activity_lines(spark, sf_dir).withColumn(
+        "part", (F.crc32(F.col("value")) % 4).cast("int")
+    )
+    ldir = str(tmp_path / "lines")
+    lines.write.partitionBy("part").mode("overwrite").text(ldir)
+    out_dir = str(tmp_path / "resolved")
+    ck = str(tmp_path / "ck")
+    sdir = str(tmp_path / "state")
+
+    # first process: crashes after committing batch 2 of 4
+    try:
+        resolve_activities_stream(
+            spark, f"{ldir}/part=*", out_dir, ck, state_dir=sdir,
+            _fail_at_batch=2,
+        )
+        raise AssertionError("injected crash did not fire")
+    except Exception as ex:
+        assert "injected crash" in str(ex)
+
+    # second process: fresh resolver object, same dirs — recovers committed
+    # state, replays batch 2 (rollback path), finishes batches 3+
+    resolver = resolve_activities_stream(
+        spark, f"{ldir}/part=*", out_dir, ck, state_dir=sdir
+    )
+    assert resolver.pending.count() == 0
+
+    emitted = spark.read.parquet(f"{out_dir}/batch-*")
+    batch_resolved = _resolved(spark, sf_dir).select(
+        "kind", "id", "person_id", "ts_ms", "post_id"
+    )
+    # exact multiset equality — a replay-duplicated emission would fail
+    assert sorted(map(tuple, emitted.collect())) == sorted(
+        map(tuple, batch_resolved.collect())
     )
 
 
@@ -201,7 +254,7 @@ def test_streaming_pipeline_under_bounded_disorder(spark, sf_dir, tmp_path):
     )
     assert resolver.pending.count() == 0
 
-    emitted = spark.read.parquet(out_dir)
+    emitted = spark.read.parquet(f"{out_dir}/batch-*")
     batch_resolved = _resolved(spark, sf_dir).select(
         "kind", "id", "person_id", "ts_ms", "post_id"
     )
@@ -212,7 +265,7 @@ def test_streaming_pipeline_under_bounded_disorder(spark, sf_dir, tmp_path):
     # watermark == disorder bound → closed windows equal the batch values
     res_stream = (
         spark.readStream.schema(emitted.schema)
-        .parquet(out_dir)
+        .parquet(f"{out_dir}/batch-*")
         .withColumn("ets", F.timestamp_millis(F.col("ts_ms")))
         .withWatermark("ets", "30 minutes")
     )

@@ -25,6 +25,76 @@ def test_simhash_pigeonhole_guard(spark):
         dd.simhash_pairs(df, bits=48, band_bits=12, max_hamming=6)
 
 
+def test_simhash_wide_guards(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_hamming"):
+        # 84 bits / 14-bit bands = 6 bands ≤ max_hamming 6 → no pigeonhole
+        dd.simhash_pairs_wide(
+            df, word_bits=(42, 42), band_bits=14, max_hamming=6
+        )
+    with pytest.raises(ValueError, match="whole bands"):
+        dd.simhash_pairs_wide(df, word_bits=(48, 40), band_bits=12)
+
+
+def test_simhash_wide_exact_vs_bruteforce(spark, sf_dir):
+    """Banding is pigeonhole-complete: the operator's pair set must EQUAL
+    the brute-force all-pairs Hamming ≤ 6 set over the same 84-bit
+    fingerprints (recall AND precision, not just plausibility)."""
+    from eth_dspa_2019_spark.io.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sims = {
+        r["id"]: (r["sim_0"], r["sim_1"])
+        for r in dd.simhash_wide(docs, "doc_id", "text").collect()
+    }
+    ids = sorted(sims)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (
+            bin(sims[a][0] ^ sims[b][0]).count("1")
+            + bin(sims[a][1] ^ sims[b][1]).count("1")
+        )
+        <= 6
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dd.simhash_pairs_wide(docs, "doc_id", "text").collect()
+    }
+    assert got == brute
+
+
+def test_multiprobe_recall_dominates_single_bucket(spark, sf_dir):
+    """At the same plane count, probing the P distance-1 buckets on top of
+    the query's own bucket can only add candidates — recall@5 vs brute
+    force must be ≥ the single-bucket variant's."""
+    from eth_dspa_2019_spark.io.readers import load_table
+    from eth_dspa_2019_spark.operators.similarity import (
+        ann_topk_lsh,
+        ann_topk_multiprobe,
+        cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    single = {
+        (r.query_id, r.vec_id)
+        for r in ann_topk_lsh(emb, queries, k=5, num_planes=12).collect()
+    }
+    multi = {
+        (r.query_id, r.vec_id)
+        for r in ann_topk_multiprobe(
+            emb, queries, k=5, num_planes=12
+        ).collect()
+    }
+    assert len(exact & multi) >= len(exact & single)
+
+
 def test_ivf_kmeans_refine_recall(spark, sf_dir):
     """Lloyd-refined IVF centroids must (a) preserve the centroid count —
     empty clusters keep their previous centroid, (b) reach recall@5 ≥ 0.4

@@ -73,11 +73,45 @@ def test_doc_pack_chunks_has_no_single_partition_window(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_quality_quantile_windows_are_bucket_narrow(spark, sf_dir):
+    """The per-lang quantile must never window a whole language (English
+    at 100 TB = one partition): every window spec in the plan partitions
+    by (lang, qb) — the histogram-offset plan — and the offsets table is
+    broadcast, not shuffled."""
+    plan = _executed_plan(spark, sf_dir, "quality_quantile_filter")
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert specs, "expected the within-bucket row_number window"
+    assert all("qb" in ln for ln in specs)
+    assert "BroadcastHashJoin" in plan
+
+
 def test_embedding_centroid_dist_broadcasts_centroids(spark, sf_dir):
     """The labels×dim centroid table is broadcast back to the exploded
     vector relation — the wide embedding arrays are never shuffled."""
     plan = _executed_plan(spark, sf_dir, "embedding_centroid_dist")
     assert "BroadcastHashJoin" in plan
+
+
+def test_simhash_wide_candidates_stay_bucket_bounded(spark, sf_dir):
+    """The wide-band candidate generation must be an equi-join on
+    (band_id, band_key) — never a cross product over the fingerprint
+    relation. This is the plan property that makes band_bits the
+    corpus-scale knob (bucket population N/2^band_bits)."""
+    plan = _executed_plan(spark, sf_dir, "simhash_pairs_wide")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_id" in plan and "band_key" in plan
+
+
+def test_ann_multiprobe_joins_on_bucket_only(spark, sf_dir):
+    """Multi-probe ANN: the corpus is hashed once and joined to the
+    (P+1)-expanded broadcast query side on the bucket id — no
+    corpus×queries product anywhere in the plan."""
+    plan = _executed_plan(spark, sf_dir, "ann_topk_multiprobe")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
 
 
 def test_ivf_topk_never_builds_unbroadcast_product(spark, sf_dir):
