@@ -61,14 +61,14 @@ CENT_FX = int(1e12)  # fixed-point scale for centroid / distance sums
     ),
     c AS (
       SELECT doc_id, n_tokens,
-             sum(n_tokens) OVER (ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) - n_tokens
-               AS cum_before
+             cast(sum(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS bigint) AS cum_before
       FROM t
     )
     SELECT doc_id, n_tokens, cum_before,
-           cum_before // {PACK_BUDGET} AS chunk_id,
-           cum_before % {PACK_BUDGET} AS chunk_off
+           cast(cum_before // {PACK_BUDGET} AS bigint) AS chunk_id,
+           cast(cum_before % {PACK_BUDGET} AS bigint) AS chunk_off
     FROM c
     """,
 )

@@ -2,8 +2,14 @@
 
 Mimics the contract described in the driver stub: row-count + schema
 (column-name set) + order-insensitive value comparison with columns sorted by
-name. We compare exact values (after normalizing numpy scalars) because the
-engine's plans are built to be bit-identical across Spark and DuckDB.
+name. Unlike a plain Python ``==`` compare (where ``123.0 == 123`` is True),
+this mirror is TYPE-FAITHFUL: it asserts a canonical per-column dtype match
+between the Spark result and the DuckDB result (fetched as Arrow, so a
+DuckDB window/aggregate ``sum(BIGINT)`` that silently widens to HUGEINT —
+arrow decimal128(38,0) — is caught), and it tags every value with its Python
+type class before comparing, so an int column and a float column can never
+hash-alias. This is exactly the failure mode that made ``doc_pack_chunks``
+driver-red in round 4 while the local mirror stayed green.
 """
 
 from __future__ import annotations
@@ -23,6 +29,82 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     return con
+
+
+# ---------------------------------------------------------------------------
+# Canonical dtype tags.  Integer widths <= 64 bits collapse to one class
+# (Python-side values are identical ints), but anything WIDER than int64 —
+# DuckDB HUGEINT / decimal128(38,0), the silent sum() widening — is a
+# distinct class, because pandas/arrow pipelines represent it differently
+# and the driver's value hash diverges even when the numbers are equal.
+
+
+def _canon_spark_type(dt: str) -> str:
+    dt = dt.lower()
+    if dt in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        return "int"
+    if dt in ("float", "real"):
+        return "float32"
+    if dt == "double":
+        return "float64"
+    if dt == "boolean":
+        return "bool"
+    if dt == "string":
+        return "str"
+    if dt.startswith("decimal("):
+        prec, scale = dt[len("decimal(") : -1].split(",")
+        if int(scale) == 0:
+            return "int" if int(prec) <= 18 else "bigdecimal"
+        return f"decimal(.,{scale})"
+    if dt.startswith("array<"):
+        return f"list<{_canon_spark_type(dt[6:-1])}>"
+    if dt.startswith("timestamp"):
+        return "timestamp"
+    return dt
+
+
+def _canon_arrow_type(t: Any) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):  # int8..int64, uint8..uint32 all fit int64
+        if t.bit_width > 64 or (t.bit_width == 64 and not pa.types.is_signed_integer(t)):
+            return "bigdecimal"
+        return "int"
+    if pa.types.is_float32(t):
+        return "float32"
+    if pa.types.is_float64(t):
+        return "float64"
+    if pa.types.is_decimal(t):
+        if t.scale == 0:
+            return "int" if t.precision <= 18 else "bigdecimal"
+        return f"decimal(.,{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_canon_arrow_type(t.value_type)}>"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    return str(t)
+
+
+def _type_tag(v: Any) -> str:
+    if v is None:
+        return "_"
+    if isinstance(v, bool):
+        return "b"
+    if isinstance(v, int):
+        return "i"
+    if isinstance(v, float):
+        return "f"
+    if isinstance(v, str):
+        return "s"
+    if isinstance(v, tuple):
+        return "t"
+    return type(v).__name__
 
 
 def _norm(v: Any) -> Any:
@@ -49,20 +131,39 @@ def _canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
 
 
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
-    """Assert spark result == duckdb oracle result (order-insensitive)."""
+    """Assert spark result == duckdb oracle (order-insensitive, type-faithful)."""
     spark_cols = list(spark_df.columns)
+    spark_types = {
+        f.name: _canon_spark_type(f.dataType.simpleString())
+        for f in spark_df.schema.fields
+    }
     spark_rows = [tuple(r) for r in spark_df.collect()]
 
     con = duck_connect(sf_dir)
     try:
-        res = con.execute(oracle_sql)
-        duck_cols = [d[0] for d in res.description]
-        duck_rows = res.fetchall()
+        tbl = con.execute(oracle_sql).fetch_arrow_table()
     finally:
         con.close()
+    duck_cols = list(tbl.column_names)
+    duck_types = {
+        name: _canon_arrow_type(tbl.schema.field(i).type)
+        for i, name in enumerate(duck_cols)
+    }
+    duck_rows = [
+        tuple(d[c] for c in duck_cols) for d in tbl.to_pylist()
+    ]
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"schema mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    type_mismatch = {
+        c: (spark_types[c], duck_types[c])
+        for c in spark_cols
+        if spark_types[c] != duck_types[c]
+    }
+    assert not type_mismatch, (
+        f"dtype mismatch (spark, duck): {type_mismatch} — a DuckDB window/agg "
+        f"sum() over BIGINT widens to HUGEINT; CAST it in the oracle SQL"
     )
     assert len(spark_rows) == len(duck_rows), (
         f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
@@ -79,10 +180,15 @@ def _rows_eq(a: tuple, b: tuple) -> bool:
     if len(a) != len(b):
         return False
     for x, y in zip(a, b):
+        if _type_tag(x) != _type_tag(y):
+            return False
         if isinstance(x, float) and isinstance(y, float):
             if math.isnan(x) and math.isnan(y):
                 continue
             if x != y:
+                return False
+        elif isinstance(x, tuple) and isinstance(y, tuple):
+            if not _rows_eq(x, y):
                 return False
         elif x != y:
             return False

@@ -25,6 +25,35 @@ def test_query_runs(name, spark, sf_dir):
     assert rows is not None
 
 
+def test_oracle_mirror_is_type_faithful(spark, sf_dir):
+    """Regression for round 4's only red hash: a DuckDB window ``sum(BIGINT)``
+    silently widens to HUGEINT; with equal values the old ``==`` mirror stayed
+    green while the driver's typed hash failed. The uncast oracle form must
+    now FAIL locally with a dtype mismatch."""
+    from eth_dspa_2019_spark.plans.corpus import PACK_BUDGET, doc_pack_chunks
+
+    uncast = f"""
+    WITH t AS (
+      SELECT doc_id,
+             cast(len(string_split(text, ' ')) AS bigint) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS cum_before
+      FROM t
+    )
+    SELECT doc_id, n_tokens, cum_before,
+           cum_before // {PACK_BUDGET} AS chunk_id,
+           cum_before % {PACK_BUDGET} AS chunk_off
+    FROM c
+    """
+    with pytest.raises(AssertionError, match="dtype mismatch"):
+        compare(doc_pack_chunks(spark, sf_dir), uncast, sf_dir)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
