@@ -574,7 +574,8 @@ def ann_topk_multiprobe(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    num_planes: int = 16,
+    *,
+    num_planes: int,
     dim: int = 64,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
@@ -584,8 +585,10 @@ def ann_topk_multiprobe(
     (VERDICT r3 #4: 2^8 = 256 buckets is a constant, so bucket population
     grows linearly with the corpus and the per-bucket join degrades).
 
-    Scale shape: ``num_planes`` grows ~log₂(N/target_bucket_size) (16
-    planes → 65 536 buckets; 24 → 16.7 M), which shrinks buckets but costs
+    Scale shape: ``num_planes`` is required (no default — the registered
+    query and its oracle must agree on ``plans/vectors.py::MP_PLANES``) and
+    grows ~log₂(N/target_bucket_size) (12 planes → 4 096 buckets; 16 →
+    65 536; 24 → 16.7 M), which shrinks buckets but costs
     single-bucket recall; each query therefore probes its own bucket PLUS
     all ``num_planes`` buckets one sign-flip away (deterministic exhaustive
     distance-1 probing — the margin-ordered variant only matters when the

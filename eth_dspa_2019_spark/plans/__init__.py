@@ -31,7 +31,15 @@ def clear_plan_caches(spark) -> None:
 
     The bench harness calls this between queries so each number measures
     the query's own plan from cold caches (block-manager pressure from 68
-    accumulated queries was inflating unrelated timings 3-7× in r3)."""
+    accumulated queries was inflating unrelated timings 3-7× in r3).
+
+    .. warning:: Destructive to live handles — this unpersists ALL
+       persistent RDDs, including eager ``localCheckpoint`` blocks, so any
+       DataFrame you still hold that references a truncated-lineage
+       checkpoint becomes unrecomputable and will throw on its next action.
+       Intended for harnesses that rebuild every frame from scratch after
+       each call (like bench.py's per-query loop); do not call it while
+       user-held frames are outstanding."""
     from ..sources import activity as _activity
     from . import cleaning as _cleaning
     from . import llm as _llm

@@ -119,7 +119,8 @@ _O_QS = f"""
     "quality_quantile_filter",
     oracle=f"""
     WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
-                  FROM documents),
+                  FROM documents
+                  WHERE text IS NOT NULL AND lang IS NOT NULL),
     scored AS (SELECT doc_id, lang, {_O_QS} AS qs FROM toks),
     ranked AS (
       SELECT doc_id, lang, qs,
@@ -160,9 +161,12 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     t = tokens("text")
-    scored = docs.select(
-        "doc_id", "lang", quality_score(t).alias("quality_score")
-    )
+    # NULL-text / NULL-lang docs are excluded by contract (mirrored in the
+    # oracle's WHERE): a NULL quality_score would land in a None bucket and
+    # break the driver-side histogram sort.
+    scored = docs.filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    ).select("doc_id", "lang", quality_score(t).alias("quality_score"))
     bucketed = scored.withColumn(
         "qb",
         F.least(

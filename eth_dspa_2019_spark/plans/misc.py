@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.hashing import o_h64
 from ..io.readers import load_table
 from ..operators.resolve import resolved_activities
 from ..sources.activity import load_activities
@@ -418,19 +419,122 @@ def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count(ev, ["event_type"], n_salt=16)
 
 
-@register("unique_users_approx", oracle=None)
+# --- Deterministic HyperLogLog (cross-engine verifiable) --------------------
+# Spark's built-in approx_count_distinct is engine-specific (its HLL++ bias
+# tables aren't mirrorable in SQL), which left this query with no oracle and
+# no correctness signal. Instead the sketch itself is implemented from its
+# public definition (Flajolet et al. 2007) over the shared md5-derived h64
+# hash, with INTEGER-exact register math so Spark and DuckDB agree bit for
+# bit: register = h mod m; rho = leading-zero rank of the remaining 50 bits
+# (a generated 50-branch CASE — no float log2); the harmonic sum is kept in
+# fixed point as sum(2^(51 - max_rho)), an exact bigint, and the raw-HLL
+# estimate divides a shared double constant by it exactly once.
+
+HLL_M = 1024  # registers (p=10); std error 1.04/sqrt(m) ~ 3.25%
+_HLL_W_BITS = 50  # h64 yields 60 bits; 10 index the register
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# alpha * m^2 * 2^51 * 1000: one double literal shared by both engines
+# (repr round-trips, so both parse the identical IEEE value).
+HLL_C_MILLI = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 51) * 1000.0
+
+
+def _hll_rho_spark(w):
+    """rho = 51 - bit_length(w) for the 50-bit rest, via comparisons only."""
+    expr = F.when(w >= (1 << (_HLL_W_BITS - 1)), 1)
+    for b in range(_HLL_W_BITS - 2, -1, -1):
+        expr = expr.when(w >= (1 << b), _HLL_W_BITS - b)
+    return expr.otherwise(_HLL_W_BITS + 1)
+
+
+_HLL_RHO_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN w >= {1 << b} THEN {_HLL_W_BITS - b}"
+        for b in range(_HLL_W_BITS - 1, -1, -1)
+    )
+    + f" ELSE {_HLL_W_BITS + 1} END"
+)
+
+
+@register(
+    "unique_users_approx",
+    oracle=f"""
+    WITH h AS (
+      SELECT cast(floor(epoch(ts)/3600)*3600 - i*3600 AS bigint)
+               AS window_start,
+             {o_h64('cast(user_id AS varchar)')} AS h
+      FROM events, range(0, 12) t(i)
+    ),
+    split AS (
+      SELECT window_start, h % {HLL_M} AS reg, h // {HLL_M} AS w FROM h
+    ),
+    regs AS (
+      SELECT window_start, reg, max({_HLL_RHO_SQL}) AS max_rho
+      FROM split GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT window_start,
+             cast(count(*) AS bigint) AS n_regs,
+             cast(sum(1::BIGINT << (51 - max_rho))
+                  + ({HLL_M} - count(*)) * {1 << 51} AS bigint) AS z_fx
+      FROM regs GROUP BY 1
+    )
+    SELECT window_start, n_regs, z_fx,
+           cast(floor({HLL_C_MILLI!r} / cast(z_fx AS double)) AS bigint)
+             AS est_milli
+    FROM z
+    """,
+)
 def unique_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 approx scale path: HLL sketches per 12h/1h window
-    (approx_count_distinct merges associatively — partial aggregation does
-    the per-bucket pre-merge). No SQL oracle: HLL estimates are
-    engine-specific; rows-only check, exactness covered by the exact
-    variants."""
+    """A4 approx scale path: deterministic HyperLogLog per 12h/1h sliding
+    window (the bounded-memory form of the reference's per-window
+    Set-union unique-user counts,
+    `SN/task/activepost/ActivePostStatistician.java:92-96`).
+
+    Output is the exact sketch state per window — non-empty register count
+    ``n_regs``, fixed-point harmonic sum ``z_fx`` = Σ 2^(51−M_j) (a bigint,
+    order-independent) — plus the raw-HLL estimate in thousandths
+    (``est_milli``; small/large-range corrections are post-processing over
+    (n_regs, z_fx) and engine-local, see ``hll_estimate`` in
+    tests/test_operators.py for the corrected form and its error-bound
+    test vs the exact twin `unique_users_12h_1h`).
+
+    Scale shape: state is min(users, {HLL_M}) registers per window no
+    matter the cardinality — partial aggregation merges registers map-side
+    (max is associative), so the shuffle carries at most m rows per
+    (window, partition) where the exact variant carries every distinct
+    user. The h-split/rho/shift math is integer-only, bit-identical in
+    DuckDB.
+    """
+    from ..functions.hashing import h64
+
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "12 hours", "1 hour").alias("w"))
-        .agg(F.approx_count_distinct("user_id").alias("n_users_approx"))
-        .select(
-            F.col("w.start").cast("long").alias("window_start"),
-            "n_users_approx",
-        )
+    h = h64(F.col("user_id").cast("string"))
+    split = ev.select(
+        F.window("ts", "12 hours", "1 hour").alias("w"), h.alias("h")
+    ).select(
+        F.col("w.start").cast("long").alias("window_start"),
+        (F.col("h") % HLL_M).alias("reg"),
+        F.expr(f"h div {HLL_M}").alias("wrest"),
+    )
+    regs = (
+        split.withColumn("rho", _hll_rho_spark(F.col("wrest")))
+        .groupBy("window_start", "reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    z = regs.groupBy("window_start").agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(
+            F.expr("shiftleft(cast(1 AS bigint), cast(51 - max_rho AS int))")
+        ).alias("s"),
+    )
+    return z.select(
+        "window_start",
+        "n_regs",
+        (
+            F.col("s") + (F.lit(HLL_M) - F.col("n_regs")) * F.lit(1 << 51)
+        ).cast("bigint").alias("z_fx"),
+        F.floor(F.lit(HLL_C_MILLI) / F.col("z_fx").cast("double"))
+        .cast("bigint")
+        .alias("est_milli"),
     )

@@ -49,25 +49,58 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # The external correctness gate checks at most 50 queries per round, taken
-# from the FRONT of this mapping. Queries that have never had a gate row
-# (they registered after the registry crossed 50 entries) are promoted to
-# the front so every query gets at least one hard driver-side check; the
-# rest keep registration order (all of them have green rows from earlier
-# rounds).
-_DRIVER_PRIORITY = (
-    "benchmark_contamination dedup_keep_best doc_pack_chunks doc_repetition "
-    "embedding_centroid_dist pii_redaction quality_quantile_filter "
-    "stratified_sample_docs error_windows_merged events_asof_last_purchase "
-    "event_rollup global_time_order_sample purchases_in_error_windows "
-    "salted_event_counts unique_users_approx value_percentiles_exact "
-    "word_counts tumbling_counts_10s simhash_pairs_wide ann_topk_multiprobe"
-).split()
+# from the FRONT of this mapping. Rather than a static priority list (which
+# would permanently demote whatever lands past position 50), the order is
+# computed from the committed gate history (`CORRECTNESS_r*.json` at the repo
+# root): queries are sorted by the last round in which they had a GREEN gate
+# row, least-recent first — so never-green/red queries lead, the stalest
+# greens fill the remaining slots, and the freshest greens rotate to the
+# back. Every query is re-gated against current code roughly every other
+# round with no manual curation.
+
+
+def _last_green_rounds() -> dict[str, int]:
+    """query name -> most recent round with a green driver gate row."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    last: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for q, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = row.get("hash_match") is True or (
+                row.get("hash_match") is None
+                and row.get("err") is None
+                and row.get("rows_match") is True
+            )
+            if green:
+                last[q] = max(last.get(q, 0), rnd)
+    return last
+
+
+_LAST_GREEN: dict[str, int] | None = None
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    front = [n for n in _DRIVER_PRIORITY if n in _REGISTRY]
-    rest = [n for n in _REGISTRY if n not in set(front)]
-    return {n: _REGISTRY[n] for n in front + rest}
+    global _LAST_GREEN
+    if _LAST_GREEN is None:
+        _LAST_GREEN = _last_green_rounds()
+    reg_pos = {n: i for i, n in enumerate(_REGISTRY)}
+    ordered = sorted(
+        _REGISTRY, key=lambda n: (_LAST_GREEN.get(n, 0), reg_pos[n])
+    )
+    return {n: _REGISTRY[n] for n in ordered}
 
 
 def oracle_map() -> dict[str, str]:

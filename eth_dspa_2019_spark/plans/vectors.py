@@ -308,9 +308,9 @@ def _ann_multiprobe_oracle() -> str:
 
 @register("ann_topk_multiprobe", oracle=_ann_multiprobe_oracle())
 def ann_topk_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide-key multi-probe hyperplane ANN top-5: 16 planes → 65 536
-    buckets (bucket population falls with corpus-scaled plane count),
-    recall recovered by probing each query's bucket plus all 16
+    """Wide-key multi-probe hyperplane ANN top-5: MP_PLANES=12 planes →
+    4 096 buckets (bucket population falls with corpus-scaled plane
+    count), recall recovered by probing each query's bucket plus all 12
     distance-1 flips. The oracle runs the identical algorithm — parity of
     the wide bucketing + probe expansion + rerank, not ANN recall (recall
     vs brute force is asserted in pytest)."""

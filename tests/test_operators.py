@@ -232,3 +232,49 @@ def test_interval_join_no_nested_loop(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "SinglePartition" not in plan  # merge runs on the prefix plan
+
+
+def hll_estimate(n_regs: int, z_fx: int, m: int | None = None) -> float:
+    """Corrected HLL estimator over the engine's exact sketch state
+    (n_regs, z_fx) — the standard small-range (linear counting) correction
+    applied to the raw harmonic-mean estimate. Engine-local post-processing:
+    the cross-engine query emits only integer-exact state + raw estimate."""
+    import math
+
+    from eth_dspa_2019_spark.plans.misc import HLL_M
+
+    m = m or HLL_M
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m * float(1 << 51) / z_fx
+    empty = m - n_regs
+    if raw <= 2.5 * m and empty > 0:
+        return m * math.log(m / empty)
+    return raw
+
+
+def test_hll_error_bound_vs_exact(spark, sf_dir):
+    """The corrected HLL estimate must track the exact per-window distinct
+    count within a falsifiable relative-error bound (m=1024 -> sigma ~3.25%;
+    linear counting dominates at fixture cardinalities). A broken hash
+    split, rho chain, or register merge blows way past 15%."""
+    from eth_dspa_2019_spark.plans.registry import all_queries
+
+    approx = {
+        r["window_start"]: hll_estimate(r["n_regs"], r["z_fx"])
+        for r in all_queries()["unique_users_approx"].spark(spark, sf_dir).collect()
+    }
+    exact = {
+        r["window_start"]: r["n_users"]
+        for r in all_queries()["unique_users_12h_1h"].spark(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    # Tiny windows (a handful of users) legitimately miss by 1 register
+    # collision, a huge relative error on exact=5 — so the bound is
+    # relative-OR-small-absolute. A broken sketch fails both by miles.
+    bad = [
+        (w, exact[w], approx[w])
+        for w in exact
+        if abs(approx[w] - exact[w]) / exact[w] > 0.15
+        and abs(approx[w] - exact[w]) > 2.0
+    ]
+    assert not bad, f"HLL error out of bound (first 5): {bad[:5]}"
