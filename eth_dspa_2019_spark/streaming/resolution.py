@@ -22,16 +22,28 @@ parent (or its transitively-resolved ancestor).
 
 Durability (O6): with ``state_dir`` set, the state tables persist as
 versioned parquet under the directory — one ``v{batch_id}`` snapshot per
-micro-batch, committed with a marker file AFTER the data lands, pruned to
-the trailing two versions. A restarted query recovers the newest committed
-snapshot; if Spark replays the last micro-batch (crash between the state
-commit and the engine's offset commit), the replayed ``batch_id`` is
-detected and the state ROLLS BACK one version first, so reprocessing is
-idempotent — the exactly-once story holds across process restarts, not
-just within one process (all filesystem access goes through the Hadoop
-FileSystem API, so any checkpoint-capable FS works). The reference's
-equivalent is the memcached store whose contents simply OUTLIVE the Flink
-job — durable only as long as an unrelated external process stays up.
+micro-batch, committed with a marker file AFTER the data lands. A restarted
+query recovers the newest committed snapshot; if Spark replays the last
+micro-batch (crash between the state commit and the engine's offset
+commit), the replayed ``batch_id`` is detected and the state ROLLS BACK
+one version first, so reprocessing is idempotent — the exactly-once story
+holds across process restarts, not just within one process (all filesystem
+access goes through the Hadoop FileSystem API, so any checkpoint-capable
+FS works). The reference's equivalent is the memcached store whose contents
+simply OUTLIVE the Flink job — durable only as long as an unrelated
+external process stays up.
+
+Snapshot I/O is O(batch), not O(history): the monotonically-growing
+``resolved`` table is persisted as per-batch DELTAS (exactly the mappings
+the batch resolved — the analog of the reference's memcached ``set`` calls,
+which also only ever ship the new edges, `PostIdResolver.java:63-96`),
+with a periodic FULL compaction every ``COMPACT_EVERY`` batches; recovery
+reads the newest compaction plus the committed deltas after it. The
+bounded working-set tables (``pending``, ``parked`` — sized by unresolved
+replies, not by history) are written full each batch. Versions older than
+the newest compaction at-or-below the previous batch are pruned, so at
+most ``COMPACT_EVERY + 1`` small delta dirs plus one full snapshot exist
+at any time, and the rollback target is always reconstructable.
 """
 
 from __future__ import annotations
@@ -46,14 +58,28 @@ _PENDING_SCHEMA = "id long, parent_id long"
 _PARKED_SCHEMA = "kind string, id long, person_id long, ts_ms long, parent_id long"
 # safety cap on doubling hops: 2^16 = 65 536-deep chains per single batch
 _MAX_HOPS = 16
+# full-compaction cadence for delta-persisted tables: amortizes the
+# O(history) rewrite to history/COMPACT_EVERY per batch while bounding
+# recovery reads to one full + <= COMPACT_EVERY deltas
+COMPACT_EVERY = 8
 
 
 class _StateStore:
     """Versioned parquet snapshots under ``root`` with commit markers.
 
-    Layout: ``root/v{batch_id}/{table}.parquet`` + ``root/v{batch_id}/
-    _COMMITTED``. Only marker-bearing versions count; the newest two are
-    retained (current + rollback target for a replayed batch)."""
+    Layout per version dir ``root/v{batch_id}/``:
+
+    - ``{table}.parquet``         — full snapshot (bounded working sets),
+    - ``{table}__delta.parquet``  — this batch's additions (append-only
+      tables; the full content is the newest ``__full`` plus every
+      committed ``__delta`` after it),
+    - ``{table}__full.parquet``   — periodic compaction of an append-only
+      table (always present at the first committed version),
+    - ``_COMMITTED``              — marker written AFTER all data lands.
+
+    Only marker-bearing versions count. Pruning keeps every version at or
+    after the newest compaction at-or-below ``version - 1``, so both the
+    current version and the rollback target stay reconstructable."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -89,29 +115,99 @@ class _StateStore:
         return versions[-1] if versions else None
 
     def load(self, version: int | None, table: str, schema: str) -> DataFrame:
-        """Read one state table at ``version`` (None / missing → empty)."""
+        """Read one full state table at ``version`` (None / < 0 → empty).
+
+        A MISSING table at a committed version is an error, not an empty
+        frame: silently resetting state (e.g. a state_dir paired with the
+        wrong checkpoint, or a corrupted snapshot) would make the
+        exactly-once machinery emit wrong output with no signal."""
         if version is None or version < 0:
             return self.spark.createDataFrame([], schema)
-        path = f"{self.root}/v{version}/{table}.parquet"
-        if not self._fs().exists(self._jpath(f"v{version}/{table}.parquet")):
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(path)
+        rel = f"v{version}/{table}.parquet"
+        if not self._fs().exists(self._jpath(rel)):
+            raise FileNotFoundError(
+                f"state table '{table}' missing from committed snapshot "
+                f"{self.root}/v{version} — state_dir/checkpoint mismatch "
+                "or corrupted snapshot"
+            )
+        return self.spark.read.schema(schema).parquet(f"{self.root}/{rel}")
 
-    def save(self, version: int, frames: dict[str, DataFrame]) -> None:
-        """Write all tables for ``version``, then the commit marker, then
-        prune versions older than ``version - 1``."""
+    def _bases(self, table: str, upto: int) -> list[int]:
+        """Committed versions <= ``upto`` holding a compaction of ``table``."""
+        fs = self._fs()
+        return [
+            v
+            for v in self.committed_versions()
+            if v <= upto
+            and fs.exists(self._jpath(f"v{v}/{table}__full.parquet"))
+        ]
+
+    def load_chain(
+        self, version: int | None, table: str, schema: str
+    ) -> DataFrame:
+        """Reconstruct a delta-persisted table at ``version``: newest
+        compaction at-or-below it plus every committed delta after."""
+        if version is None or version < 0:
+            return self.spark.createDataFrame([], schema)
+        bases = self._bases(table, version)
+        if not bases:
+            raise FileNotFoundError(
+                f"no compaction of '{table}' at or below version {version} "
+                f"under {self.root} — state_dir/checkpoint mismatch or "
+                "corrupted snapshot"
+            )
+        base = bases[-1]
+        paths = [f"{self.root}/v{base}/{table}__full.parquet"] + [
+            f"{self.root}/v{v}/{table}__delta.parquet"
+            for v in self.committed_versions()
+            if base < v <= version
+        ]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def save(
+        self,
+        version: int,
+        fulls: dict[str, DataFrame],
+        deltas: dict[str, DataFrame] | None = None,
+        compactions: dict[str, DataFrame] | None = None,
+    ) -> None:
+        """Write all tables for ``version`` (fulls as ``{t}.parquet``,
+        deltas as ``{t}__delta.parquet``, compactions additionally as
+        ``{t}__full.parquet``), then the commit marker, then prune
+        versions below the newest compaction at-or-below ``version - 1``."""
         fs = self._fs()
         vdir = self._jpath(f"v{version}")
         if fs.exists(vdir):  # crashed/replayed attempt — start clean
             fs.delete(vdir, True)
-        for table, df in frames.items():
+        for table, df in fulls.items():
             df.write.mode("overwrite").parquet(
                 f"{self.root}/v{version}/{table}.parquet"
             )
+        for table, df in (deltas or {}).items():
+            df.write.mode("overwrite").parquet(
+                f"{self.root}/v{version}/{table}__delta.parquet"
+            )
+        for table, df in (compactions or {}).items():
+            df.write.mode("overwrite").parquet(
+                f"{self.root}/v{version}/{table}__full.parquet"
+            )
         fs.create(self._jpath(f"v{version}/_COMMITTED"), True).close()
+        keep_floor = version - 1
+        for table in deltas or {}:
+            bases = self._bases(table, version - 1)
+            keep_floor = min(keep_floor, bases[-1] if bases else 0)
         for old in self.committed_versions():
-            if old < version - 1:
+            if old < keep_floor:
                 fs.delete(self._jpath(f"v{old}"), True)
+
+
+def _pruned_state_side(resolved_all: DataFrame, work: DataFrame) -> DataFrame:
+    """Restrict the historical state to the rows the chase join can match:
+    semi-join on the working set's distinct pointers (broadcast — the
+    working set is micro-batch-bounded, the state is not). Factored out so
+    the plan shape is unit-assertable."""
+    ptrs = work.select(F.col("ptr").alias("id")).distinct()
+    return resolved_all.join(F.broadcast(ptrs), "id", "semi")
 
 
 class IncrementalResolver:
@@ -122,10 +218,16 @@ class IncrementalResolver:
         self.spark = spark
         self.store = _StateStore(spark, state_dir) if state_dir else None
         self.committed_batch: int | None = None
+        # mappings resolved by the CURRENT batch — what commit() persists
+        # as the version's delta (O(batch) write, vs O(history) for the
+        # whole `resolved` table)
+        self._delta = spark.createDataFrame([], _RESOLVED_SCHEMA)
         if self.store is not None:
             v = self.store.latest()
             self.committed_batch = v
-            self.resolved = self.store.load(v, "resolved", _RESOLVED_SCHEMA)
+            self.resolved = self.store.load_chain(
+                v, "resolved", _RESOLVED_SCHEMA
+            )
             self.pending = self.store.load(v, "pending", _PENDING_SCHEMA)
         else:
             self.resolved = spark.createDataFrame([], _RESOLVED_SCHEMA)
@@ -144,7 +246,9 @@ class IncrementalResolver:
         if batch_id > self.committed_batch:
             return None
         prior = batch_id - 1
-        self.resolved = self.store.load(prior, "resolved", _RESOLVED_SCHEMA)
+        self.resolved = self.store.load_chain(
+            prior, "resolved", _RESOLVED_SCHEMA
+        )
         self.pending = self.store.load(prior, "pending", _PENDING_SCHEMA)
         self.committed_batch = prior if prior >= 0 else None
         return prior
@@ -153,13 +257,26 @@ class IncrementalResolver:
         self, batch_id: int, extra: dict[str, DataFrame] | None = None
     ) -> None:
         """Persist the post-batch state (plus caller extras, atomically in
-        the same version snapshot). No-op without a state_dir."""
+        the same version snapshot). No-op without a state_dir.
+
+        ``resolved`` is written as this batch's DELTA; a full compaction
+        rides along every ``COMPACT_EVERY`` batches (and always on the
+        first committed version, so a recovery base exists)."""
         if self.store is None:
             return
-        frames = {"resolved": self.resolved, "pending": self.pending}
+        fulls = {"pending": self.pending}
         if extra:
-            frames.update(extra)
-        self.store.save(batch_id, frames)
+            fulls.update(extra)
+        compact = (
+            batch_id % COMPACT_EVERY == 0
+            or not self.store._bases("resolved", batch_id - 1)
+        )
+        self.store.save(
+            batch_id,
+            fulls,
+            deltas={"resolved": self._delta},
+            compactions={"resolved": self.resolved} if compact else None,
+        )
         self.committed_batch = batch_id
 
     def load_extra(self, table: str, schema: str) -> DataFrame:
@@ -200,7 +317,14 @@ class IncrementalResolver:
         # compressed pointers to the next batch.
         done_parts: list[DataFrame] = []
         for _ in range(_MAX_HOPS):
-            lookup = resolved_all.select(
+            # A hop only ever matches state rows whose id equals some
+            # working pointer, so the state side is semi-joined down to
+            # O(|work|) rows BEFORE the chase join — the full historical
+            # `resolved` table is scanned (with the ptr-set pushed to the
+            # scan), never shuffled. The working set is bounded by the
+            # micro-batch plus still-pending replies, so broadcasting its
+            # distinct pointers is cheap even when the state is huge.
+            lookup = _pruned_state_side(resolved_all, work).select(
                 F.col("id").alias("x"),
                 F.col("root_post_id").alias("nxt"),
                 F.lit(True).alias("mdone"),
@@ -260,7 +384,8 @@ class IncrementalResolver:
         self.pending = work.select(
             "id", F.col("ptr").alias("parent_id")
         ).localCheckpoint(eager=True)
-        return new_resolved.unionByName(newly_replies)
+        self._delta = new_resolved.unionByName(newly_replies)
+        return self._delta
 
     def mappings(self) -> DataFrame:
         """(child_id, root_post_id) resolved so far."""

@@ -290,3 +290,20 @@ def test_streaming_pipeline_under_bounded_disorder(spark, sf_dir, tmp_path):
     got_rows = set(map(tuple, got.select(*cols).collect()))
     batch_rows = set(map(tuple, batch.select(*cols).collect()))
     assert got_rows and got_rows <= batch_rows
+
+
+def test_chase_state_side_is_semi_join_pruned(spark):
+    """Verdict r4 #6: the chase join's state side touches O(|work|) rows —
+    the historical `resolved` table is semi-joined (broadcast) on the
+    working set's pointers before the join, never shuffled whole."""
+    from eth_dspa_2019_spark.streaming.resolution import _pruned_state_side
+
+    resolved_all = spark.createDataFrame(
+        [(i, i * 10) for i in range(1000)], "id long, root_post_id long"
+    )
+    work = spark.createDataFrame([(5000, 3), (5001, 7)], "id long, ptr long")
+    pruned = _pruned_state_side(resolved_all, work)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "Broadcast" in plan
+    # semantics: exactly the state rows the working pointers can reach
+    assert sorted(map(tuple, pruned.collect())) == [(3, 30), (7, 70)]

@@ -103,3 +103,117 @@ def test_checkpoint_restart_resumes_state(spark, sf_dir, tmp_path):
     }
     rows_read = sum(p.numInputRows for p in progress2)
     assert rows_read <= b.count()  # file A was NOT re-ingested
+
+
+def test_resolver_snapshot_writes_are_o_batch(spark, tmp_path):
+    """Verdict r4 #4/#5: each committed version persists `resolved` as the
+    BATCH's delta (rows resolved that batch), not the full history; full
+    compactions appear only at the COMPACT_EVERY cadence (plus the initial
+    base), and reconstruction equals the in-memory state."""
+    from eth_dspa_2019_spark.streaming.resolution import (
+        _RESOLVED_SCHEMA,
+        COMPACT_EVERY,
+        IncrementalResolver,
+    )
+
+    n_batches, per_batch = 5, 40
+    assert n_batches < COMPACT_EVERY  # only v0 should hold a compaction
+    sdir = str(tmp_path / "state")
+    r = IncrementalResolver(spark, state_dir=sdir)
+    # batch b: comments with ids [b*100, b*100+per_batch) — each batch
+    # resolves exactly its own rows, so the expected delta size is known
+    for b in range(n_batches):
+        rows = [(b * 100 + i, "comment", 7, None) for i in range(per_batch)]
+        acts = spark.createDataFrame(
+            rows, "id long, kind string, post_id long, parent_id long"
+        )
+        r.begin_batch(b)
+        r.process_batch(acts)
+        r.commit(b)
+
+    fs_root = tmp_path / "state"
+    delta_rows = {}
+    for b in range(n_batches):
+        vdir = fs_root / f"v{b}"
+        assert (vdir / "_COMMITTED").exists()
+        assert (vdir / "resolved__delta.parquet").exists()
+        has_full = (vdir / "resolved__full.parquet").exists()
+        assert has_full == (b == 0), f"unexpected compaction layout at v{b}"
+        delta_rows[b] = (
+            spark.read.schema(_RESOLVED_SCHEMA)
+            .parquet(str(vdir / "resolved__delta.parquet"))
+            .count()
+        )
+    # O(batch): every delta is exactly the batch's resolutions
+    assert delta_rows == {b: per_batch for b in range(n_batches)}
+    # reconstruction across base + deltas equals the live state
+    fresh = IncrementalResolver(spark, state_dir=sdir)
+    assert fresh.resolved.count() == n_batches * per_batch
+    assert sorted(map(tuple, fresh.resolved.collect())) == sorted(
+        map(tuple, r.resolved.collect())
+    )
+
+
+def test_resolver_compaction_prunes_old_versions(spark, tmp_path):
+    """Crossing a compaction boundary prunes versions below the previous
+    base while keeping the rollback target reconstructable."""
+    from eth_dspa_2019_spark.streaming.resolution import (
+        COMPACT_EVERY,
+        IncrementalResolver,
+    )
+
+    sdir = str(tmp_path / "state")
+    r = IncrementalResolver(spark, state_dir=sdir)
+    n_batches = COMPACT_EVERY + 2  # commits v0..v{CE+1}; v{CE} compacts
+    for b in range(n_batches):
+        acts = spark.createDataFrame(
+            [(b, "comment", 1, None)],
+            "id long, kind string, post_id long, parent_id long",
+        )
+        r.begin_batch(b)
+        r.process_batch(acts)
+        r.commit(b)
+    live = sorted(
+        int(p.name[1:])
+        for p in (tmp_path / "state").iterdir()
+        if p.name.startswith("v")
+    )
+    # after v{CE+1}: newest base <= CE is CE itself -> v0..v{CE-1} pruned
+    assert live == [COMPACT_EVERY, COMPACT_EVERY + 1]
+    fresh = IncrementalResolver(spark, state_dir=sdir)
+    assert fresh.resolved.count() == n_batches
+    # rollback target (one version back) is still loadable
+    fresh.begin_batch(n_batches - 1)
+    assert fresh.resolved.count() == n_batches - 1
+
+
+def test_state_store_missing_table_raises(spark, tmp_path):
+    """ADVICE r4 (medium): a committed snapshot with a missing table must
+    raise, not silently reset resolver state to empty."""
+    import pytest
+
+    from eth_dspa_2019_spark.streaming.resolution import (
+        _PARKED_SCHEMA,
+        _StateStore,
+        IncrementalResolver,
+    )
+
+    sdir = str(tmp_path / "state")
+    r = IncrementalResolver(spark, state_dir=sdir)
+    acts = spark.createDataFrame(
+        [(1, "comment", 9, None)],
+        "id long, kind string, post_id long, parent_id long",
+    )
+    r.begin_batch(0)
+    r.process_batch(acts)
+    r.commit(0)  # commits resolved+pending but no 'parked' extra
+
+    store = _StateStore(spark, sdir)
+    with pytest.raises(FileNotFoundError, match="parked"):
+        store.load(0, "parked", _PARKED_SCHEMA)
+    # version None / < 0 keeps the legitimate empty-state path
+    assert store.load(None, "parked", _PARKED_SCHEMA).count() == 0
+    assert store.load(-1, "parked", _PARKED_SCHEMA).count() == 0
+    # a state_dir whose snapshots lack any 'resolved' base also raises
+    with pytest.raises(FileNotFoundError, match="resolved_missing"):
+        store.load_chain(0, "resolved_missing", "id long, root_post_id long")
