@@ -516,3 +516,118 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)"
         ).alias("full_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Term weighting + cross-document span diagnostics
+
+TFIDF_K = 5
+TFIDF_Q = 1_000_000  # fixed-point scale for rational scores
+HOT_SPAN_DF = 3  # a shingle in >= this many docs counts as boilerplate
+
+
+@register(
+    "doc_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+             tf.tf * {TFIDF_Q} // dfr.df AS score_q
+      FROM tf JOIN dfr USING (term)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_q DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score_q, rk
+    FROM ranked WHERE rk <= {TFIDF_K}
+    """,
+)
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-K terms by tf-idf-style weighting — the standard
+    keyword/topic surface of a curation pipeline, log-free for cross-engine
+    determinism: ``score = tf * Q div df`` is monotone in tf/df (inverse
+    document frequency without the ln), ties broken by term, all BIGINT.
+
+    Scale shape: tf is one (doc, term) groupBy with map-side combine; df is
+    a second groupBy over the (already tiny) per-doc distinct terms; the
+    tf⋈df equi-join shuffles on term — hot terms (stopwords) are exactly
+    the skewed keys AQE's skew-join splitting handles, and the vocabulary
+    side is orders of magnitude smaller than the corpus. The top-K window
+    partitions by doc_id — millions of small partitions, never global."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.expr(f"tf * {TFIDF_Q} DIV df").alias("score_q"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_q"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TFIDF_K)
+    )
+
+
+@register(
+    "duplicate_span_scores",
+    oracle=f"""
+    WITH {_O_SHINGLES},
+    dfr AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+    SELECT sh.id AS doc_id,
+           count(*) AS n_spans,
+           cast(sum(CASE WHEN dfr.df >= {HOT_SPAN_DF} THEN 1 ELSE 0 END)
+                AS bigint) AS hot_spans,
+           cast(sum(CASE WHEN dfr.df >= {HOT_SPAN_DF} THEN 1 ELSE 0 END)
+                AS bigint) * {TFIDF_Q} // count(*) AS dup_frac_q
+    FROM sh JOIN dfr USING (shingle)
+    GROUP BY sh.id
+    """,
+)
+def duplicate_span_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span contamination score (the span-level
+    counterpart of document dedup, after Lee et al.'s duplicated-substring
+    analysis): fraction of a document's distinct n-gram spans that are
+    boilerplate (appear in >= HOT_SPAN_DF documents), 1e-6 fixed-point.
+
+    Complements ``doc_repetition`` (WITHIN-doc bigram repetition): this one
+    flags text shared ACROSS documents — license headers, navigation
+    chrome, templated spans — the mass that survives doc-level dedup.
+
+    Scale shape: shingle df is one groupBy; the back-join shuffles on
+    shingle with the same AQE-skew story as every LSH stage; per-doc
+    aggregation is map-side combinable. No pairwise anything — cost is
+    linear in corpus shingles, threshold is the only knob."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.shingles(docs, n=SHINGLE_N)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    hot = F.sum(
+        F.when(F.col("df") >= HOT_SPAN_DF, 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            hot.alias("hot_spans"),
+        )
+        .withColumn(
+            "dup_frac_q", F.expr(f"hot_spans * {TFIDF_Q} DIV n_spans")
+        )
+    )
