@@ -222,6 +222,8 @@ class IncrementalResolver:
         # as the version's delta (O(batch) write, vs O(history) for the
         # whole `resolved` table)
         self._delta = spark.createDataFrame([], _RESOLVED_SCHEMA)
+        # batches since `resolved` was last compacted into one checkpoint
+        self._since_compact = 0
         if self.store is not None:
             v = self.store.latest()
             self.committed_batch = v
@@ -251,6 +253,7 @@ class IncrementalResolver:
         )
         self.pending = self.store.load(prior, "pending", _PENDING_SCHEMA)
         self.committed_batch = prior if prior >= 0 else None
+        self._since_compact = 0
         return prior
 
     def commit(
@@ -358,15 +361,15 @@ class IncrementalResolver:
                 )
                 .localCheckpoint(eager=True)
             )
-            hit = (
-                chased.filter(F.col("done"))
-                .select("id", "ptr")
-                .localCheckpoint(eager=True)
-            )
+            # hit/work are lazy filters over the CHECKPOINTED chased frame —
+            # probing them is a block-manager scan, not a recompute
+            hit = chased.filter(F.col("done")).select("id", "ptr")
             work = chased.filter(~F.col("done")).select("id", "ptr")
             if hit.limit(1).count() == 0:
                 break  # nothing else resolvable this batch → stays pending
             done_parts.append(hit)
+            if work.limit(1).count() == 0:
+                break  # everything resolved — skip the would-be-empty hop
         newly_replies = done_parts[0] if done_parts else None
         for part in done_parts[1:]:
             newly_replies = newly_replies.unionByName(part)
@@ -375,16 +378,28 @@ class IncrementalResolver:
             if newly_replies is not None
             else self.spark.createDataFrame([], _RESOLVED_SCHEMA)
         )
-        self.resolved = resolved_all.unionByName(newly_replies).localCheckpoint(
+        # Checkpoint ONLY the batch's delta (O(batch) blocks) and extend
+        # `resolved` as a lazy union over checkpointed parts — the
+        # in-memory mirror of the store's delta+compaction layout. The
+        # eager checkpoint also cuts every reference to the micro-batch
+        # frame, which is not valid after the batch ends. A full
+        # re-checkpoint (O(history)) happens only every COMPACT_EVERY
+        # batches to keep the union fan-in bounded.
+        delta = new_resolved.unionByName(newly_replies).localCheckpoint(
             eager=True
         )
+        self.resolved = self.resolved.unionByName(delta)
+        self._since_compact += 1
+        if self._since_compact >= COMPACT_EVERY:
+            self.resolved = self.resolved.localCheckpoint(eager=True)
+            self._since_compact = 0
         # pending carries the ADVANCED pointer — cross-batch path
         # compression: a chain of depth d resolves in O(log d) total hops
         # no matter how it splits across batches
         self.pending = work.select(
             "id", F.col("ptr").alias("parent_id")
         ).localCheckpoint(eager=True)
-        self._delta = new_resolved.unionByName(newly_replies)
+        self._delta = delta
         return self._delta
 
     def mappings(self) -> DataFrame:
