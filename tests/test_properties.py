@@ -1,0 +1,126 @@
+"""Property-based invariants (hypothesis) over randomized comment forests.
+
+The reference validates its pipelines against hand-built fixtures
+(`SN/validation/*`); these tests generalize that to randomized structure:
+whatever forest shape and arrival order hypothesis draws, the incremental
+resolver must equal the batch fixpoint, and the C2 repair must be
+idempotent and violation-free. Small forests + few examples keep the
+Spark round-trip cost bounded.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from eth_dspa_2019_spark.operators.cleaning import (
+    invariant_counts,
+    repair_comment_tree,
+)
+from eth_dspa_2019_spark.operators.resolve import resolve_post_ids
+from eth_dspa_2019_spark.streaming.resolution import IncrementalResolver
+
+_ACT_SCHEMA = "id long, kind string, post_id long, parent_id long"
+
+
+@st.composite
+def forests(draw):
+    """A random well-formed activity forest: every comment's post exists,
+    every reply's parent is an EARLIER comment/reply (no danglers), chain
+    depth unbounded by construction."""
+    n_posts = draw(st.integers(1, 3))
+    n_nodes = draw(st.integers(1, 24))
+    rows = [(pid, "post", pid, None) for pid in range(n_posts)]
+    resolvable = []  # ids of comments/replies so far
+    for i in range(n_nodes):
+        nid = n_posts + i
+        if resolvable and draw(st.booleans()):
+            parent = draw(st.sampled_from(resolvable))
+            rows.append((nid, "reply", None, parent))
+        else:
+            post = draw(st.integers(0, n_posts - 1))
+            rows.append((nid, "comment", post, None))
+        resolvable.append(nid)
+    return rows
+
+
+@st.composite
+def forests_with_ts(draw):
+    """Forest rows plus adversarial raw timestamps: drawn from a tiny value
+    set so parent==child and parent>child inversions are common — the
+    exact cases the C2 repair bump (diff 0 → 10 s) must cascade through."""
+    rows = draw(forests())
+    stamped = []
+    for (nid, kind, post_id, parent_id) in rows:
+        ts = draw(st.integers(0, 5)) * 1000
+        stamped.append((nid, kind, post_id, parent_id, ts))
+    return stamped
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=forests(), data=st.data())
+def test_incremental_resolution_is_arrival_order_invariant(spark, rows, data):
+    """Any batch split of any forest — including children arriving batches
+    before their parents — yields exactly the batch fixpoint mappings."""
+    acts = spark.createDataFrame(rows, _ACT_SCHEMA)
+    expected = sorted(
+        tuple(r)
+        for r in resolve_post_ids(acts)
+        .select(F.col("id").alias("child_id"), "root_post_id")
+        .collect()
+    )
+    ids = [r[0] for r in rows]
+    n_batches = data.draw(st.integers(1, 3), label="n_batches")
+    assignment = data.draw(
+        st.lists(
+            st.integers(0, n_batches - 1), min_size=len(ids), max_size=len(ids)
+        ),
+        label="batch_of",
+    )
+    r = IncrementalResolver(spark)
+    for b in range(n_batches):
+        batch_ids = [i for i, a in zip(ids, assignment) if a == b]
+        r.process_batch(acts.filter(F.col("id").isin(batch_ids or [-1])))
+    assert r.pending.count() == 0
+    got = sorted(tuple(x) for x in r.mappings().collect())
+    assert got == expected
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=forests_with_ts())
+def test_repair_is_idempotent_and_violation_free(spark, rows):
+    """C2 repair on any forest/timestamp combination (a) leaves zero
+    child-at-or-before-parent violations (the C3 invariant) and (b) is a
+    fixpoint: repairing already-repaired timestamps changes nothing."""
+    acts = spark.createDataFrame(
+        [(i, k, p_, pa, 0, ts) for (i, k, p_, pa, ts) in rows],
+        "id long, kind string, post_id long, parent_id long, "
+        "person_id long, raw_ts long",
+    )
+    first = repair_comment_tree(acts)
+    # every input comment/reply survives the walk (no silent drops)
+    n_nodes = sum(1 for r in rows if r[1] != "post")
+    fixed = {r["id"]: r["ts_fixed"] for r in first.collect()}
+    assert len(fixed) == n_nodes
+    inv = invariant_counts(acts, tree=first).collect()[0]
+    assert inv["comment_violations"] == 0 and inv["reply_violations"] == 0
+    # idempotency: rerun the repair with raw_ts := ts_fixed (posts keep
+    # their original timestamps — the repair never touches posts)
+    repaired_acts = (
+        acts.join(first.select("id", "ts_fixed"), "id", "left")
+        .withColumn("raw_ts", F.coalesce("ts_fixed", "raw_ts"))
+        .drop("ts_fixed")
+    )
+    again = {
+        r["id"]: r["ts_fixed"] for r in repair_comment_tree(repaired_acts).collect()
+    }
+    assert again == fixed
