@@ -16,6 +16,7 @@ from .sources import (
     kafka_sink_options,
     parse_kafka_frames,
 )
+from .joins import valid_likes_join_stream
 from .resolution import IncrementalResolver, resolve_lines_stream
 from .windows import (
     dedup_stream,
@@ -39,6 +40,7 @@ __all__ = [
     "running_totals_stream",
     "running_totals_stateful",
     "run_to_memory",
+    "valid_likes_join_stream",
     "IncrementalResolver",
     "resolve_lines_stream",
 ]
