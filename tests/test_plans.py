@@ -122,3 +122,26 @@ def test_ivf_topk_never_builds_unbroadcast_product(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "ivf_topk")
     assert "CartesianProduct" not in plan
     assert "Broadcast" in plan
+
+
+def test_tfidf_topk_window_is_doc_partitioned(spark, sf_dir):
+    """doc_tfidf_topk's top-K must partition its window by doc_id (millions
+    of small partitions) — a global, unpartitioned Window sort would be the
+    one-reducer scale-killer."""
+    df = all_queries()["doc_tfidf_topk"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    win_frag = plan[plan.find("Window"):][:400]
+    assert "doc_id" in win_frag  # partition spec carries the doc key
+
+
+def test_duplicate_span_scores_no_pairwise_join(spark, sf_dir):
+    """duplicate_span_scores is linear in corpus shingles: one df groupBy +
+    one back-join on shingle — no doc×doc self-join anywhere."""
+    df = all_queries()["duplicate_span_scores"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # exactly one equi-join (shingle df back-join)
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) == 1
