@@ -367,3 +367,184 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < F.col("r"))
         .select("doc_id", "lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed end-to-end curation DAG
+
+E2E_MIN_TOKENS = 20
+E2E_MIN_QUALITY = 0.55
+
+_O_PII_SUFFIX = (
+    "text || ' contact user' || doc_id || '@example.com or +1-555-' || "
+    "(1000 + doc_id % 9000) || ' from 10.' || doc_id % 250 || '.' || "
+    "doc_id % 100 || '.' || doc_id % 50"
+)
+
+
+def _o_redact(expr: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace({expr}, "
+        f"'{_EMAIL_RE}', '<EMAIL>', 'g'), '{_PHONE_RE}', '<PHONE>', 'g'), "
+        f"'{_IP_RE}', '<IP>', 'g')"
+    )
+
+
+def _sql_stoplist() -> str:
+    from ..functions.text import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def _aug_col() -> F.Column:
+    d = F.col("doc_id")
+    return F.when(
+        d % PII_MOD == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@example.com or +1-555-"),
+            (d % 9000 + 1000).cast("string"),
+            F.lit(" from 10."),
+            (d % 250).cast("string"),
+            F.lit("."),
+            (d % 100).cast("string"),
+            F.lit("."),
+            (d % 50).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+
+
+def _redact(col: F.Column) -> F.Column:
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+
+
+def _o_e2e() -> str:
+    n = CONTAM_GRAM
+    gram_parts = " || ' ' || ".join(f"ta[i + {k}]" for k in range(n))
+    stop = _sql_stoplist()
+    quality = (
+        "0.5 * least(len(ta) / 100.0, 1.0) "
+        "+ 0.3 * (len(list_distinct(ta)) / len(ta)) "
+        f"+ 0.2 * (1.0 - len(list_filter(ta, x -> list_contains({stop}, x)))"
+        " / len(ta))"
+    )
+    rate = _o_rate_case()
+    return f"""
+    WITH aug AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % {PII_MOD} = 0 THEN {_O_PII_SUFFIX}
+             ELSE text END AS t0
+      FROM documents
+    ),
+    red AS (SELECT doc_id, lang, {_o_redact('t0')} AS t FROM aug),
+    toks AS (SELECT doc_id, lang, t, string_split(t, ' ') AS ta FROM red),
+    qual0 AS (
+      SELECT doc_id, lang,
+             cast(len(ta) AS bigint) AS n_tokens,
+             {quality} AS quality_score,
+             {o_h64('t')} AS h
+      FROM toks
+    ),
+    quald AS (SELECT * FROM qual0
+              WHERE n_tokens >= {E2E_MIN_TOKENS}
+                AND quality_score >= {E2E_MIN_QUALITY}),
+    canon AS (SELECT h, min(doc_id) AS doc_id FROM quald GROUP BY h),
+    kept AS (SELECT q.* FROM quald q
+             JOIN canon c ON q.h = c.h AND q.doc_id = c.doc_id),
+    tarr AS (SELECT doc_id, string_split(t, ' ') AS ta FROM red),
+    idx AS (SELECT doc_id, ta, unnest(range(1, len(ta) - {n - 2})) AS i
+            FROM tarr WHERE len(ta) >= {n}),
+    grams AS (SELECT DISTINCT doc_id AS id, {gram_parts} AS g FROM idx),
+    bench AS (SELECT DISTINCT g FROM grams WHERE id % {BENCH_MOD} = 0),
+    contam AS (SELECT DISTINCT id AS doc_id FROM grams
+               WHERE id % {BENCH_MOD} != 0
+                 AND g IN (SELECT g FROM bench)),
+    train AS (SELECT * FROM kept
+              WHERE doc_id % {BENCH_MOD} != 0
+                AND doc_id NOT IN (SELECT doc_id FROM contam)),
+    samp AS (SELECT doc_id, lang, n_tokens, quality_score, h,
+                    {o_h64("'s#' || doc_id")} % 100 AS bucket
+             FROM train)
+    SELECT doc_id, lang, n_tokens, quality_score, bucket,
+           h AS text_hash
+    FROM samp WHERE bucket < {rate}
+    """
+
+
+@register("curation_pipeline_e2e", oracle=_o_e2e())
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation DAG as ONE query — the composition proof that the
+    pipeline operators chain: PII-redact → quality gate (length + blended
+    score) → exact dedup (canonical = min doc_id per content hash) →
+    benchmark-contamination drop (shared {CONTAM_GRAM}-gram with the
+    held-out split) → deterministic stratified sample. Output: one row per
+    surviving document with its quality metrics, sample bucket, and
+    redacted-content hash.
+
+    Scale shape, stage by stage: redaction/quality are one codegen
+    projection over the scan; dedup is one hash shuffle on the content
+    hash; contamination is a gram equi-join with the (tiny) benchmark side
+    broadcast and feeds an anti-join on doc_id; sampling is map-only. No
+    stage is quadratic, and the stages pipeline without materializing the
+    corpus between them.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    red = docs.select("doc_id", "lang", _redact(_aug_col()).alias("t"))
+    tk = tokens("t")
+    qual = (
+        red.select(
+            "doc_id",
+            "lang",
+            F.size(tk).cast("bigint").alias("n_tokens"),
+            quality_score(tk).alias("quality_score"),
+            h64(F.col("t")).alias("h"),
+        )
+        .filter(
+            (F.col("n_tokens") >= E2E_MIN_TOKENS)
+            & (F.col("quality_score") >= E2E_MIN_QUALITY)
+        )
+    )
+    canon = qual.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    kept = qual.join(canon, ["h", "doc_id"])
+    grams = dd.shingles(red, "doc_id", "t", n=CONTAM_GRAM)
+    bench = (
+        grams.filter(F.col("id") % BENCH_MOD == 0)
+        .select(F.col("shingle").alias("g"))
+        .distinct()
+    )
+    contam = (
+        grams.filter(F.col("id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), grams.shingle == bench.g)
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+    )
+    train = kept.filter(F.col("doc_id") % BENCH_MOD != 0).join(
+        contam, "doc_id", "left_anti"
+    )
+    rate = F.lit(REST_RATE)
+    for lg, r in reversed(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lg, r).otherwise(rate)
+    bucket = h64(F.concat(F.lit("s#"), F.col("doc_id").cast("string"))) % 100
+    return (
+        train.select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "quality_score",
+            bucket.alias("bucket"),
+            F.col("h").alias("text_hash"),
+            rate.alias("r"),
+        )
+        .filter(F.col("bucket") < F.col("r"))
+        .drop("r")
+    )
