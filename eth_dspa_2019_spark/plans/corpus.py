@@ -257,7 +257,13 @@ def embedding_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back, one (vec_id)-keyed reduce. The wide embedding array is
     never shuffled.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_dist(load_table(spark, sf_dir, "embeddings"))
+
+
+def label_centroid_dist(e: DataFrame) -> DataFrame:
+    """(vec_id, label, dist2_fx) over any (vec_id, label, embedding) frame —
+    the reusable body of :func:`embedding_centroid_dist` (the composed
+    vector pipeline applies it to the near-dup survivors)."""
     pos = e.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
     )

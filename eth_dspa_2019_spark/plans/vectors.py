@@ -332,3 +332,102 @@ def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     df = ann_topk_lsh(emb, queries, k=TOP_K, num_planes=NUM_PLANES, dim=DIM)
     return df.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Composed end-to-end vector pipeline
+
+#: squared-L2-to-centroid cutoff (1e12 fixed point) ≈ p80 of the corpus
+#: distance distribution — drops each label's farthest-from-centroid tail
+E2E_DIST_MAX = 1_010_000_000_000
+
+
+def _o_vec_e2e() -> str:
+    from .corpus import CENT_FX
+
+    return f"""
+    WITH pairs AS ({_neardup_oracle()}),
+    dropped AS (SELECT DISTINCT b AS vec_id FROM pairs),
+    surv AS (SELECT * FROM embeddings
+             WHERE vec_id NOT IN (SELECT vec_id FROM dropped)),
+    spos AS (SELECT vec_id, label, unnest(embedding) AS val,
+                    unnest(range(1, len(embedding) + 1)) AS pos
+             FROM surv),
+    sbase AS (SELECT vec_id, label, pos, cast(val AS double) AS v,
+                     cast(floor(cast(val AS double) * {CENT_FX}) AS bigint)
+                       AS qv
+              FROM spos),
+    scent AS (SELECT label, pos,
+                     cast(sum(qv) AS double) / (count(*) * {CENT_FX}) AS c
+              FROM sbase GROUP BY 1, 2),
+    sdist AS (SELECT b.vec_id,
+                     cast(sum(cast(floor((b.v - c.c) * (b.v - c.c)
+                                         * {CENT_FX}) AS bigint)) AS bigint)
+                       AS dist2_fx
+              FROM sbase b JOIN scent c
+                ON b.label = c.label AND b.pos = c.pos
+              GROUP BY 1),
+    clean AS (SELECT s.* FROM surv s JOIN sdist d ON s.vec_id = d.vec_id
+              WHERE d.dist2_fx <= {E2E_DIST_MAX}),
+    cel AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+                   embedding
+            FROM clean),
+    cell AS (SELECT vec_id, i, cast(embedding[i] AS double) AS x FROM cel),
+    cnorm AS (SELECT vec_id,
+                     sum(cast(floor(x * x * {FIXED_POINT}.0) AS bigint)) AS n2
+              FROM cell GROUP BY 1),
+    qel AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+                   embedding
+            FROM embeddings WHERE vec_id < {N_QUERIES}),
+    qell AS (SELECT vec_id, i, cast(embedding[i] AS double) AS x FROM qel),
+    qnorm AS (SELECT vec_id,
+                     sum(cast(floor(x * x * {FIXED_POINT}.0) AS bigint)) AS n2
+              FROM qell GROUP BY 1),
+    dots AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                    sum(cast(floor(a.x * b.x * {FIXED_POINT}.0) AS bigint))
+                      AS dp
+             FROM qell a JOIN cell b ON a.i = b.i
+             WHERE a.vec_id != b.vec_id
+             GROUP BY 1, 2),
+    scored AS (SELECT d.query_id, d.vec_id,
+                      cast(d.dp AS double)
+                        / (sqrt(cast(qn.n2 AS double))
+                           * sqrt(cast(cn.n2 AS double))) AS cos_sim
+               FROM dots d
+               JOIN qnorm qn ON qn.vec_id = d.query_id
+               JOIN cnorm cn ON cn.vec_id = d.vec_id)
+    {_o_rank_select('scored')}
+    """
+
+
+@register("vector_pipeline_e2e", oracle=_o_vec_e2e())
+def vector_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-corpus curation DAG as ONE query — the embedding twin of
+    ``curation_pipeline_e2e``: near-dup removal (multi-band hyperplane LSH
+    pairs; the higher vec_id of each pair is dropped) → label-centroid
+    outlier pruning (squared-L2 beyond E2E_DIST_MAX) → exact cosine top-K
+    retrieval for the query set over the CLEANED corpus.
+
+    Scale shape: LSH pairs are bucket-bounded (never all-pairs); the drop
+    and outlier stages are an anti-join and a semi-join on vec_id; the
+    centroid pass shuffles only the exploded (label, pos) partials; the
+    final retrieval broadcasts the query set and scans the cleaned corpus
+    once (Arrow numpy kernel, corpus never shuffled).
+    """
+    from .corpus import label_centroid_dist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = neardup_pairs_lsh(
+        emb, ND_THRESHOLD, bands=ND_BANDS, planes_per_band=ND_PLANES, dim=DIM
+    )
+    dropped = pairs.select(F.col("b").alias("vec_id")).distinct()
+    surv = emb.join(dropped, "vec_id", "left_anti")
+    keep = (
+        label_centroid_dist(surv)
+        .filter(F.col("dist2_fx") <= E2E_DIST_MAX)
+        .select("vec_id")
+    )
+    clean = surv.join(keep, "vec_id", "semi")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = cosine_topk(clean, queries, k=TOP_K)
+    return out.withColumn("rank", F.col("rank").cast("int"))
