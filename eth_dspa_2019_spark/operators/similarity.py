@@ -703,3 +703,161 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized (SQ8) ANN: int8 approximate scan + exact re-rank
+
+
+SQ8_MAX = 127  # symmetric int8 range; per-vector scale = max|x| / 127
+
+
+def quantize_sq8_batches(
+    id_col: str = "vec_id", emb_col: str = "embedding"
+) -> "callable":
+    """Arrow-batched symmetric int8 scalar quantization: each vector is
+    scaled by its own max-abs and rounded half-up — ``q_i = floor(x_i·127 /
+    max|x| + 0.5)`` — yielding an ``array<tinyint>`` (4× smaller than
+    float32 on disk and over the wire) plus the exact integer norm
+    Σ q_i². Every step (float32→double widening, one multiply, one divide,
+    one add, floor) is IEEE-deterministic, so the DuckDB oracle reproduces
+    the identical int8 codes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            mx = np.abs(X).max(axis=1)
+            safe = np.where(mx == 0.0, 1.0, mx)
+            Q = np.floor(X * float(SQ8_MAX) / safe[:, None] + 0.5)
+            Q[mx == 0.0] = 0.0
+            qn2 = (Q.astype(np.int64) ** 2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "qvec": list(Q.astype(np.int8)),
+                    "qn2": qn2,
+                }
+            )
+
+    return gen
+
+
+def pair_qsim_batches() -> "callable":
+    """Arrow-batched quantized-cosine for (query, candidate) rows:
+    integer dot product over the int8 codes, normalized by the exact
+    integer norms — bit-stable across engines because every input is an
+    integer and the two sqrt/divide steps see identical doubles."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qa = np.stack(pdf["q_qvec"].to_numpy()).astype(np.int64)
+            qb = np.stack(pdf["c_qvec"].to_numpy()).astype(np.int64)
+            dp = (qa * qb).sum(axis=1)
+            na = pdf["q_qn2"].to_numpy().astype(np.float64)
+            nb = pdf["c_qn2"].to_numpy().astype(np.float64)
+            denom = np.sqrt(na) * np.sqrt(nb)
+            sim = np.where(
+                denom == 0.0,
+                0.0,
+                dp.astype(np.float64) / np.where(denom == 0.0, 1.0, denom),
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "q_sim": sim,
+                }
+            )
+
+    return gen
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    cand_k: int = 15,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized ANN top-k: scan int8 codes (approximate cosine),
+    keep ``cand_k`` candidates per query, then re-rank ONLY the candidates
+    with the exact fixed-point float kernel — the standard
+    compressed-scan-plus-refine architecture (FAISS's SQ8 flat index).
+
+    Scale shape: the approximate scan reads 1/4 the bytes of the float
+    corpus (int8 codes + one bigint norm per vector) and never shuffles
+    the corpus — the quantized query side broadcasts, exactly like
+    :func:`cosine_topk`. The refine stage touches ``cand_k`` vectors per
+    query (a broadcast semi-join of the tiny candidate list against the
+    full-precision corpus), so full-width vectors are fetched for an
+    O(queries·cand_k) set regardless of corpus size. Quantized ordering
+    differs from exact by at most ~1/127 per component, so ``cand_k`` a
+    small multiple of k recovers exact top-k in practice (recall asserted
+    against :func:`cosine_topk` in tests)."""
+    qz_schema = "vec_id long, qvec array<tinyint>, qn2 long"
+    qq = (
+        queries.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("e"))
+        .mapInPandas(quantize_sq8_batches(emb_col="e"), schema=qz_schema)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qvec").alias("q_qvec"),
+            F.col("qn2").alias("q_qn2"),
+        )
+    )
+    qc = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("e"))
+        .mapInPandas(quantize_sq8_batches(emb_col="e"), schema=qz_schema)
+        .select(
+            "vec_id",
+            F.col("qvec").alias("c_qvec"),
+            F.col("qn2").alias("c_qn2"),
+        )
+    )
+    qscored = (
+        qc.crossJoin(F.broadcast(qq))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .mapInPandas(
+            pair_qsim_batches(),
+            schema="query_id long, vec_id long, q_sim double",
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("q_sim"), F.asc("vec_id")
+    )
+    cand = (
+        qscored.withColumn("crk", F.row_number().over(wq))
+        .filter(F.col("crk") <= cand_k)
+        .select("query_id", "vec_id")
+    )
+    c_full = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("c_emb"),
+        norm2_fx(F.col(emb_col)).alias("c_n2"),
+    )
+    q_full = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm2_fx(F.col(emb_col)).alias("q_n2"),
+    )
+    scored = (
+        F.broadcast(cand)
+        .join(c_full, "vec_id")
+        .join(F.broadcast(q_full), "query_id")
+        .mapInPandas(
+            pair_cosine_batches(**_QC_KERNEL_ARGS),
+            schema="query_id long, vec_id long, cos_sim double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cos_sim")
+    )

@@ -21,6 +21,7 @@ from . import misc  # noqa: E402,F401
 from . import intervals  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
+from . import sketch  # noqa: E402,F401
 
 
 def clear_plan_caches(spark) -> None:

@@ -631,3 +631,121 @@ def duplicate_span_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_frac_q", F.expr(f"hot_spans * {TFIDF_Q} DIV n_spans")
         )
     )
+
+
+BOILER_DF = HOT_SPAN_DF  # a 3-gram in >= this many docs is boilerplate
+
+
+def _o_boiler() -> str:
+    return f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    sized AS (SELECT doc_id, t, cast(len(t) AS bigint) AS n_tokens
+              FROM base),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             {" || ' ' || ".join(f"t[i + {k}]" for k in range(SHINGLE_N))}
+               AS gram
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - {SHINGLE_N - 2})) AS i
+            FROM sized WHERE len(t) >= {SHINGLE_N})
+    ),
+    hot AS (
+      SELECT gram FROM (
+        SELECT gram, count(DISTINCT doc_id) AS df FROM grams GROUP BY gram
+      ) WHERE df >= {BOILER_DF}
+    ),
+    covered AS (
+      SELECT DISTINCT g.doc_id, g.pos + off.o AS pos
+      FROM grams g
+      JOIN hot USING (gram)
+      CROSS JOIN (SELECT unnest(range(0, {SHINGLE_N})) AS o) off
+    ),
+    tok AS (
+      SELECT doc_id, n_tokens, i - 1 AS pos, t[i] AS tok
+      FROM (SELECT doc_id, n_tokens, t, unnest(range(1, len(t) + 1)) AS i
+            FROM sized)
+    ),
+    kept AS (
+      SELECT tp.* FROM tok tp
+      WHERE NOT EXISTS (SELECT 1 FROM covered c
+                        WHERE c.doc_id = tp.doc_id AND c.pos = tp.pos)
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_tokens,
+           s.n_tokens - coalesce(a.n_kept, 0) AS n_removed,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM sized s LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@register("boilerplate_strip", oracle=_o_boiler())
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate REMOVAL (the transform whose detection
+    side is ``duplicate_span_scores``): any token covered by a 3-gram that
+    appears in >= BOILER_DF distinct documents is dropped, and the document
+    is re-assembled from the surviving tokens in order — the CCNet-style
+    shared-span strip that removes license headers / navigation chrome
+    while keeping the document itself.
+
+    Scale shape: gram document-frequency is one map-side-combined groupBy;
+    the hot-gram set is SMALL by construction (only grams crossing the df
+    threshold) so it broadcasts onto the positional gram stream; covered
+    positions are bounded by occurrences of hot grams (the text being
+    removed); re-assembly groups by doc_id — per-doc state only, no global
+    ordering anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("t")).withColumn(
+        "n_tokens", F.size("t").cast("bigint")
+    )
+    grams = base.filter(F.size("t") >= SHINGLE_N).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {SHINGLE_N}), "
+                f"j -> concat_ws(' ', slice(t, j + 1, {SHINGLE_N})))"
+            )
+        ).alias("pos", "gram"),
+    )
+    hot = (
+        grams.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= BOILER_DF)
+        .select("gram")
+    )
+    covered = (
+        grams.join(F.broadcast(hot), "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*[F.col("pos") + i for i in range(SHINGLE_N)])
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = base.select(
+        "doc_id", "n_tokens", F.posexplode("t").alias("pos", "tok")
+    ).join(covered, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

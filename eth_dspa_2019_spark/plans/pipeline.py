@@ -369,6 +369,83 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_PPM = 1_000_000  # acceptance-rate fixed point (parts per million)
+# Target mixture: even-numbered sources get 3× the weight of odd-numbered
+# ones (stands in for "favor curated domains over crawl"); the acceptance
+# rate divides the target share by the OBSERVED share, so over-represented
+# domains are downsampled and under-represented ones keep everything.
+MIX_W_EVEN, MIX_W_ODD = 3, 1
+
+
+@register(
+    "domain_mixture_sample",
+    oracle=f"""
+    WITH stats AS (
+      SELECT source, count(*) AS n_s,
+             CASE WHEN cast(substring(source, 4) AS bigint) % 2 = 0
+                  THEN {MIX_W_EVEN} ELSE {MIX_W_ODD} END AS w
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_s) AS n_total, sum(w) AS w_tot FROM stats),
+    rates AS (
+      SELECT s.source,
+             cast(least({MIX_PPM},
+                        ({MIX_PPM} * s.w * t.n_total) // (t.w_tot * s.n_s))
+                  AS bigint) AS accept_ppm
+      FROM stats s, tot t
+    )
+    SELECT d.doc_id, d.source, r.accept_ppm
+    FROM documents d JOIN rates r USING (source)
+    WHERE {o_h64("'mix#' || cast(doc_id AS varchar)")} % {MIX_PPM}
+            < r.accept_ppm
+    """,
+)
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-aware domain-mixture resampling: rebalance the corpus toward a
+    TARGET mixture by computing each source's acceptance rate from its
+    observed share — rate_s = min(1, (w_s/W)·N/n_s) — then keeping
+    documents via the deterministic hash coin. This is the data-dependent
+    counterpart of ``stratified_sample_docs`` (whose rates are fixed
+    constants): the standard mixture-weighting step of a pretraining
+    pipeline, where over-represented domains are downsampled to hit target
+    proportions and under-represented ones pass through whole.
+
+    The rate arithmetic is integer-exact (ppm fixed point, BIGINT DIV), so
+    Spark and the oracle accept identical doc sets — no float thresholds.
+
+    Scale shape: per-source counts are ONE map-side-combined groupBy whose
+    result has one row per domain (thousands at most); the rate table
+    broadcasts back onto the corpus scan, and the keep-filter is map-only —
+    the corpus itself is never shuffled. Changing the target mixture is a
+    driver-side constant, not a new scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.when(
+        F.expr("cast(substring(source, 4) AS bigint)") % 2 == 0,
+        MIX_W_EVEN,
+    ).otherwise(MIX_W_ODD)
+    stats = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .withColumn("w", w)
+    )
+    tot = stats.agg(
+        F.sum("n_s").alias("n_total"), F.sum("w").alias("w_tot")
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(MIX_PPM).cast("long"),
+            F.expr(f"({MIX_PPM} * w * n_total) DIV (w_tot * n_s)"),
+        ).alias("accept_ppm"),
+    )
+    coin = h64(F.concat(F.lit("mix#"), F.col("doc_id").cast("string")))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(coin % MIX_PPM < F.col("accept_ppm"))
+        .select("doc_id", "source", "accept_ppm")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Composed end-to-end curation DAG
 
