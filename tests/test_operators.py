@@ -278,3 +278,74 @@ def test_hll_error_bound_vs_exact(spark, sf_dir):
         and abs(approx[w] - exact[w]) > 2.0
     ]
     assert not bad, f"HLL error out of bound (first 5): {bad[:5]}"
+
+
+def test_sq8_topk_recall_vs_bruteforce(spark, sf_dir):
+    """The int8 approximate scan + exact re-rank must recover (nearly) the
+    exact top-5: quantized ordering errs by at most ~1/127 per component,
+    so a 3× candidate oversample yields recall@5 ≈ 1 on the fixture."""
+    from eth_dspa_2019_spark.io.readers import load_table
+    from eth_dspa_2019_spark.operators.similarity import cosine_topk, sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in sq8_topk(emb, queries, k=5, cand_k=15).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.9
+
+
+def test_sq8_codes_are_int8_and_norm_exact(spark, sf_dir):
+    """Quantized codes must stay in [-127, 127] (true int8 storage) and the
+    stored integer norm must equal Σ q_i² recomputed from the codes."""
+    from eth_dspa_2019_spark.io.readers import load_table
+    from eth_dspa_2019_spark.operators.similarity import quantize_sq8_batches
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    qz = emb.mapInPandas(
+        quantize_sq8_batches(), schema="vec_id long, qvec array<tinyint>, qn2 long"
+    ).collect()
+    assert len(qz) == 50
+    for r in qz:
+        assert all(-127 <= v <= 127 for v in r.qvec)
+        assert sum(int(v) * int(v) for v in r.qvec) == r.qn2
+        assert max(abs(v) for v in r.qvec) == 127  # scale hits the int8 range
+
+
+def test_cms_estimates_bound_exact_counts(spark, sf_dir):
+    """Count-min property: the sketch NEVER under-estimates, and the
+    over-estimate is bounded by the collision mass — with W=512 buckets per
+    row and D=4 rows, max over-estimate ≤ 2e·total/W comfortably."""
+    from eth_dspa_2019_spark.plans.sketch import (
+        CMS_W,
+        event_heavy_hitters_cms,
+    )
+
+    rows = event_heavy_hitters_cms(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_exact for r in rows)
+    assert all(r.est_count >= r.n_exact for r in rows)
+    bound = 2 * 2.7182818 * total / CMS_W
+    assert max(r.est_count - r.n_exact for r in rows) <= bound
+
+
+def test_boilerplate_strip_token_accounting(spark, sf_dir):
+    """Every output must satisfy len(tokens(clean_text)) == n_tokens −
+    n_removed, and a document with zero hot-gram occurrences must come
+    back verbatim."""
+    from eth_dspa_2019_spark.io.readers import load_table
+    from eth_dspa_2019_spark.plans.llm import boilerplate_strip
+
+    docs = {r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").collect()}
+    out = boilerplate_strip(spark, sf_dir).collect()
+    assert len(out) == len(docs)
+    for r in out:
+        n_clean = len(r.clean_text.split(" ")) if r.clean_text else 0
+        assert n_clean == r.n_tokens - r.n_removed
+        if r.n_removed == 0:
+            assert r.clean_text == docs[r.doc_id]

@@ -145,3 +145,40 @@ def test_duplicate_span_scores_no_pairwise_join(spark, sf_dir):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
         "BroadcastHashJoin"
     ) == 1
+
+
+def test_mixture_sample_broadcasts_rates(spark, sf_dir):
+    """domain_mixture_sample: the per-domain rate table must broadcast onto
+    the corpus scan — the corpus itself is never shuffled for the keep
+    filter."""
+    plan = _executed_plan(spark, sf_dir, "domain_mixture_sample")
+    assert "BroadcastHashJoin" in plan
+    # the only exchange is for the tiny per-source count aggregation
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_sketch_joins_are_broadcast(spark, sf_dir):
+    """event_heavy_hitters_cms: all four sketch-row lookups must be
+    broadcast joins of the ≤ D·W-row sketch — the per-user side is never
+    shuffled for the estimate."""
+    plan = _executed_plan(spark, sf_dir, "event_heavy_hitters_cms")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_sq8_refine_fetch_is_broadcast(spark, sf_dir):
+    """ann_topk_sq8: the exact re-rank fetches full-precision vectors via a
+    broadcast of the tiny candidate list against the corpus — no shuffle of
+    the corpus, no unbroadcast product."""
+    plan = _executed_plan(spark, sf_dir, "ann_topk_sq8")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # candidate-list refine fetch
+
+
+def test_boilerplate_strip_hot_set_broadcast(spark, sf_dir):
+    """boilerplate_strip: the hot-gram set (small by construction) must
+    broadcast onto the positional gram stream; nothing in the plan may be
+    a cross product."""
+    plan = _executed_plan(spark, sf_dir, "boilerplate_strip")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
