@@ -158,50 +158,80 @@ def invariant_counts(acts: DataFrame, tree: DataFrame | None = None) -> DataFram
     """C3 checker over the repaired stream: counts + violation counts
     (child at-or-before parent) per rule — all violation counts must be 0.
     Pass a precomputed ``tree`` (repair_comment_tree output) to reuse it.
+
+    Single-job form: each rule's rows carry a tag + violation flag, the
+    three rule streams union, and one conditional aggregation produces all
+    six counters — one Spark job instead of seven driver-blocking
+    ``.count()``s (each of which re-derived its join pipeline). Parent
+    lookups are LEFT joins with a null-guarded violation flag, so a child
+    whose parent is missing still counts toward the rule's total (exactly
+    the inner-join-for-violations semantics of the per-count form).
     """
     posts = _posts_ts(acts)
-    likes = repaired_likes(acts)
     if tree is None:
         tree = repair_comment_tree(acts)
-    like_viol = (
-        likes.join(posts, F.col("post_id") == F.col("pid"))
-        .filter(F.col("ts_fixed") <= F.col("parent_ts"))
-        .count()
-    )
-    comments = tree.filter(F.col("kind") == KIND_COMMENT).select(
-        "id", "ts_fixed"
+    likes_c = (
+        acts.filter(F.col("kind") == KIND_LIKE)
+        .join(posts, F.col("post_id") == F.col("pid"))
+        .select(
+            F.lit("like").alias("rule"),
+            (
+                _fix(F.col("raw_ts"), F.col("parent_ts"))
+                <= F.col("parent_ts")
+            ).alias("viol"),
+        )
     )
     cacts = acts.filter(F.col("kind") == KIND_COMMENT).select("id", "post_id")
-    comment_viol = (
-        comments.join(cacts, "id")
-        .join(posts, F.col("post_id") == F.col("pid"))
-        .filter(F.col("ts_fixed") <= F.col("parent_ts"))
-        .count()
+    comments_c = (
+        tree.filter(F.col("kind") == KIND_COMMENT)
+        .select("id", "ts_fixed")
+        .join(cacts, "id", "left")
+        .join(posts, F.col("post_id") == F.col("pid"), "left")
+        .select(
+            F.lit("comment").alias("rule"),
+            (
+                F.col("parent_ts").isNotNull()
+                & (F.col("ts_fixed") <= F.col("parent_ts"))
+            ).alias("viol"),
+        )
     )
     racts = acts.filter(F.col("kind") == KIND_REPLY).select("id", "parent_id")
     parents = tree.select(
         F.col("id").alias("parent_id"), F.col("ts_fixed").alias("parent_fixed")
     )
-    reply_viol = (
+    replies_c = (
         tree.filter(F.col("kind") == KIND_REPLY)
-        .join(racts, "id")
-        .join(parents, "parent_id")
-        .filter(F.col("ts_fixed") <= F.col("parent_fixed"))
-        .count()
-    )
-    spark = acts.sparkSession
-    return spark.createDataFrame(
-        [
+        .select("id", "ts_fixed")
+        .join(racts, "id", "left")
+        .join(parents, "parent_id", "left")
+        .select(
+            F.lit("reply").alias("rule"),
             (
-                likes.count(),
-                comments.count(),
-                tree.count() - comments.count(),
-                like_viol,
-                comment_viol,
-                reply_viol,
-            )
-        ],
-        "n_likes bigint, n_comments bigint, n_replies bigint, "
-        "like_violations bigint, comment_violations bigint, "
-        "reply_violations bigint",
+                F.col("parent_fixed").isNotNull()
+                & (F.col("ts_fixed") <= F.col("parent_fixed"))
+            ).alias("viol"),
+        )
+    )
+    checks = likes_c.unionByName(comments_c).unionByName(replies_c)
+
+    def _n(rule: str) -> F.Column:
+        return F.coalesce(
+            F.sum(F.when(F.col("rule") == rule, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint")
+
+    def _v(rule: str) -> F.Column:
+        return F.coalesce(
+            F.sum(
+                F.when((F.col("rule") == rule) & F.col("viol"), 1).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("bigint")
+
+    return checks.agg(
+        _n("like").alias("n_likes"),
+        _n("comment").alias("n_comments"),
+        _n("reply").alias("n_replies"),
+        _v("like").alias("like_violations"),
+        _v("comment").alias("comment_violations"),
+        _v("reply").alias("reply_violations"),
     )
