@@ -439,20 +439,19 @@ HLL_C_MILLI = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 51) * 1000.0
 
 
 def _hll_rho_spark(w):
-    """rho = 51 - bit_length(w) for the 50-bit rest, via comparisons only."""
-    expr = F.when(w >= (1 << (_HLL_W_BITS - 1)), 1)
-    for b in range(_HLL_W_BITS - 2, -1, -1):
-        expr = expr.when(w >= (1 << b), _HLL_W_BITS - b)
-    return expr.otherwise(_HLL_W_BITS + 1)
+    """rho = 51 - bit_length(w) for the 50-bit rest. bit_length comes from
+    ``length(bin(w))`` — both engines print the unpadded binary string, so
+    the lengths (and thus rho) are identical by construction, and one
+    string call replaces the former 50-branch comparison CASE (which made
+    the sketch ~4× slower than the exact twin at sf0.1)."""
+    return F.when(w == 0, _HLL_W_BITS + 1).otherwise(
+        F.lit(_HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
 
 
 _HLL_RHO_SQL = (
-    "CASE "
-    + " ".join(
-        f"WHEN w >= {1 << b} THEN {_HLL_W_BITS - b}"
-        for b in range(_HLL_W_BITS - 1, -1, -1)
-    )
-    + f" ELSE {_HLL_W_BITS + 1} END"
+    f"CASE WHEN w = 0 THEN {_HLL_W_BITS + 1} "
+    f"ELSE {_HLL_W_BITS + 1} - length(bin(w)) END"
 )
 
 
@@ -503,22 +502,38 @@ def unique_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter the cardinality — partial aggregation merges registers map-side
     (max is associative), so the shuffle carries at most m rows per
     (window, partition) where the exact variant carries every distinct
-    user. The h-split/rho/shift math is integer-only, bit-identical in
-    DuckDB.
+    user. Registers are built TWO-STAGE (the A4 dedup-before-Expand
+    discipline): per-1h-bucket (reg, max_rho) partials first on the raw
+    stream, then the 12× sliding Expand runs over the partials and a
+    second max merges them — so the md5/rho work happens once per event,
+    never 12× inside the Expand, and the Expand's input is already
+    register-collapsed. The h-split/rho/shift math is integer-only,
+    bit-identical in DuckDB.
     """
     from ..functions.hashing import h64
 
     ev = load_table(spark, sf_dir, "events")
     h = h64(F.col("user_id").cast("string"))
     split = ev.select(
-        F.window("ts", "12 hours", "1 hour").alias("w"), h.alias("h")
+        (F.floor(F.col("ts").cast("long") / 3600) * 3600).alias("hour"),
+        (h % HLL_M).alias("reg"),
+        h.alias("h"),
     ).select(
-        F.col("w.start").cast("long").alias("window_start"),
-        (F.col("h") % HLL_M).alias("reg"),
-        F.expr(f"h div {HLL_M}").alias("wrest"),
+        "hour",
+        "reg",
+        _hll_rho_spark(F.expr(f"h div {HLL_M}")).alias("rho"),
     )
+    hour_regs = split.groupBy("hour", "reg").agg(F.max("rho").alias("rho"))
     regs = (
-        split.withColumn("rho", _hll_rho_spark(F.col("wrest")))
+        hour_regs.select(
+            F.explode(
+                F.array(
+                    *[F.col("hour") - F.lit(i * 3600) for i in range(12)]
+                )
+            ).alias("window_start"),
+            "reg",
+            "rho",
+        )
         .groupBy("window_start", "reg")
         .agg(F.max("rho").alias("max_rho"))
     )
