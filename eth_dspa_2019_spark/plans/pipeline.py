@@ -446,6 +446,56 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUOTA_K = 5  # exact per-source sample size
+
+
+@register(
+    "per_source_quota_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             {o_h64("'q#' || cast(doc_id AS varchar)")} AS hkey
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, hkey,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY hkey, doc_id) AS rk
+      FROM h
+    )
+    SELECT doc_id, source, cast(rk AS bigint) AS rk
+    FROM ranked WHERE rk <= {QUOTA_K}
+    """,
+)
+def per_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size stratified sample: the K hash-smallest documents per
+    source — a deterministic reservoir (bottom-k by a keyed hash IS a
+    uniform sample without replacement, reproducible across runs and
+    engines). Complements the RATE-based samplers: use this when the
+    deliverable is "exactly K per stratum" (eval slices, per-domain
+    audits), not a proportion.
+
+    Scale shape: one window partitioned by source — per-stratum state only
+    and a bottom-K per partition, which Spark's window exec keeps as a
+    running frame; no global sort. At extreme per-stratum skew the same
+    semantics refactor to groupBy(source).agg(min_by-K) partial
+    aggregation, but the partitioned window is already shuffle-minimal
+    (one exchange on source)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hkey = h64(F.concat(F.lit("q#"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(
+        F.asc("hkey"), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", hkey.alias("hkey"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= QUOTA_K)
+        .select("doc_id", "source", "rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Composed end-to-end curation DAG
 

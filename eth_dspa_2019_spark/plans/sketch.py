@@ -61,6 +61,39 @@ def _o_cms() -> str:
     """
 
 
+def with_cms_buckets(df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """(key, b0..b{D-1}): one md5 base hash per row, D integer bucket
+    derivations — shared by the batch query and the streaming sketch."""
+    hb = (h64(F.col(key_col).cast("string")) % MERSENNE31).alias("hb")
+    return df.select(key_col, hb).select(
+        key_col,
+        *[
+            (((F.lit(a) * F.col("hb") + F.lit(b)) % MERSENNE31) % CMS_W).alias(
+                f"b{r}"
+            )
+            for r, (a, b) in enumerate(_CMS_COEFFS)
+        ],
+    )
+
+
+def cms_pairs(hashed: DataFrame) -> DataFrame:
+    """Explode bucketed rows into the (r, bucket) update stream the D×W
+    counter table aggregates — associative, so partials merge map-side in
+    batch and incrementally across micro-batches in streaming."""
+    return hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), F.col(f"b{r}").alias("bucket")
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("p")
+    ).select("p.r", "p.bucket")
+
+
 @register("event_heavy_hitters_cms", oracle=_o_cms())
 def event_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-frequency estimates from a D×W count-min sketch,
@@ -78,29 +111,10 @@ def event_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample or a prior window, never enumerate all keys).
     """
     ev = load_table(spark, sf_dir, "events")
-    hb = (h64(F.col("user_id").cast("string")) % MERSENNE31).alias("hb")
-    hashed = ev.select("user_id", hb).select(
-        "user_id",
-        *[
-            (((F.lit(a) * F.col("hb") + F.lit(b)) % MERSENNE31) % CMS_W).alias(
-                f"b{r}"
-            )
-            for r, (a, b) in enumerate(_CMS_COEFFS)
-        ],
+    hashed = with_cms_buckets(ev)
+    sketch = cms_pairs(hashed).groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    pairs = hashed.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"), F.col(f"b{r}").alias("bucket")
-                    )
-                    for r in range(CMS_D)
-                ]
-            )
-        ).alias("p")
-    ).select("p.r", "p.bucket")
-    sketch = pairs.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
     users = hashed.groupBy("user_id").agg(
         *[F.min(f"b{r}").alias(f"b{r}") for r in range(CMS_D)],
         F.count(F.lit(1)).alias("n_exact"),

@@ -1,0 +1,33 @@
+"""Streaming count-min sketch: the D×W counter table maintained as
+Structured Streaming state.
+
+The batch query (`plans/sketch.py::event_heavy_hitters_cms`) is the
+oracle-checked spec; the streaming form aggregates the same (row, bucket)
+update stream under ``groupBy(r, bucket).count()`` — counter updates are
+associative, so micro-batch increments and batch totals converge to the
+identical sketch (equality-tested in ``tests/test_streaming_sketch.py``).
+This is the canonical bounded-state streaming aggregation: state is
+EXACTLY D·W rows forever, independent of stream length and key
+cardinality — where the reference's per-post counter state
+(`SN/task/activepost/ActivePostStatistician.java:71-96`) grows with the
+key domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cms_sketch_stream(events: DataFrame) -> DataFrame:
+    """(r, bucket, cnt) running counter table over a streaming events
+    frame with a ``user_id`` column. Complete-output mode emits the whole
+    (tiny, bounded) sketch each trigger; the estimate join for a candidate
+    set is a batch-side broadcast against this table."""
+    from ..plans.sketch import cms_pairs, with_cms_buckets
+
+    return (
+        cms_pairs(with_cms_buckets(events))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

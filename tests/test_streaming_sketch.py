@@ -1,0 +1,69 @@
+"""Streaming CMS parity: the micro-batch-incremented counter table must
+equal the batch sketch over the same rows (counter updates are associative
+— the dual-implementation golden methodology)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from eth_dspa_2019_spark.plans.sketch import cms_pairs, with_cms_buckets
+from eth_dspa_2019_spark.streaming.sketch import cms_sketch_stream
+from eth_dspa_2019_spark.streaming.windows import run_to_memory
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+    ]
+)
+
+
+def _write(watch: str, name: str, rows: list[tuple[str, int]], mtime: float):
+    path = os.path.join(watch, name)
+    with open(path, "w") as f:
+        for ts, uid in rows:
+            f.write(json.dumps({"ts": ts, "user_id": uid}) + "\n")
+    os.utime(path, (mtime, mtime))
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    now = time.time()
+    rows0 = [(f"2019-05-01T10:{m:02d}:00", uid) for m, uid in
+             [(0, 1), (1, 2), (2, 1), (3, 3), (4, 1)]]
+    rows1 = [(f"2019-05-01T11:{m:02d}:00", uid) for m, uid in
+             [(0, 2), (1, 4), (2, 1), (3, 2)]]
+    _write(watch, "b0.json", rows0, now - 300)
+    _write(watch, "b1.json", rows1, now - 240)
+    # two files → two micro-batches under AvailableNow (maxFilesPerTrigger)
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(watch)
+    )
+    got = run_to_memory(
+        cms_sketch_stream(stream),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="complete",
+    )
+    batch = spark.createDataFrame(
+        [(uid,) for _, uid in rows0 + rows1], "user_id long"
+    )
+    want = (
+        cms_pairs(with_cms_buckets(batch))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    got_rows = {(r.r, r.bucket): r.cnt for r in got.collect()}
+    want_rows = {(r.r, r.bucket): r.cnt for r in want.collect()}
+    assert got_rows == want_rows
+    # bounded state: the sketch never exceeds D x W rows
+    from eth_dspa_2019_spark.plans.sketch import CMS_D, CMS_W
+
+    assert len(got_rows) <= CMS_D * CMS_W
