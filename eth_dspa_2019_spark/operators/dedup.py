@@ -214,6 +214,111 @@ def minhash_signatures(
     return hb.groupBy("id").agg(*aggs)
 
 
+def _band_rows(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """Explode (id, m0..m{P-1}) signatures into (id, band_id, band_key)
+    rows — the LSH join key relation shared by self-join dedup and the
+    incremental new-vs-corpus variant."""
+    rows = num_perm // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    ",", *[F.col(f"m{b * rows + r}") for r in range(rows)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("id", F.explode(band_structs).alias("band")).select(
+        "id", "band.band_id", "band.band_key"
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 8,
+    threshold: float = 0.2,
+    prefix: int = 64,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the daily-ingest form
+    of dedup, where the corpus side is standing state and only the delta is
+    scored. One row per new document: ``(doc_id, is_exact_dup,
+    is_near_dup, keep)``.
+
+    Two screens, both sub-quadratic and both one-directional (new→corpus,
+    never corpus×corpus):
+
+    - exact: the 64-char-prefix hash of a new doc hits the corpus key set
+      (a semi-join on the hash — at scale the corpus keys are a standing
+      bucketed table, so this is a co-located probe);
+    - near: MinHash band signatures of the new side equi-join the corpus
+      side's band rows (same banded-LSH mechanics as
+      :func:`minhash_lsh_pairs`, but the join is new⋈corpus instead of a
+      self-join), candidates verified with exact shingle Jaccard.
+
+    At 100 TB the corpus-side shingles/signatures/keys are computed ONCE
+    at ingest and persisted (bucketed by band_key / key_hash); each new
+    batch pays only its own hashing plus probes proportional to the batch,
+    not the corpus.
+    """
+    def _key(df: DataFrame) -> Column:
+        return h64(F.substring(F.col(text_col), 1, prefix))
+
+    ckeys = corpus.select(_key(corpus).alias("key_hash")).distinct()
+    exact = (
+        new.select(F.col(id_col).alias("doc_id"), _key(new).alias("key_hash"))
+        .join(ckeys, "key_hash")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_exact_dup", F.lit(True))
+    )
+    sh_c = shingles(corpus, id_col, text_col, n)
+    sh_n = shingles(new, id_col, text_col, n)
+    sh = sh_c.unionByName(sh_n).persist()
+    bn = _band_rows(minhash_signatures(sh_n, num_perm), num_perm, bands)
+    bc = _band_rows(minhash_signatures(sh_c, num_perm), num_perm, bands)
+    cand = (
+        bn.alias("n")
+        .join(
+            bc.alias("c"),
+            (F.col("n.band_id") == F.col("c.band_id"))
+            & (F.col("n.band_key") == F.col("c.band_key")),
+        )
+        .select(F.col("n.id").alias("doc_a"), F.col("c.id").alias("doc_b"))
+        .distinct()
+    )
+    near = (
+        _pair_jaccard(sh, candidates=cand)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near_dup", F.lit(True))
+    )
+    return (
+        new.select(F.col(id_col).alias("doc_id"))
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("is_exact_dup"), F.lit(False)).alias(
+                "is_exact_dup"
+            ),
+            F.coalesce(F.col("is_near_dup"), F.lit(False)).alias(
+                "is_near_dup"
+            ),
+        )
+        .withColumn(
+            "keep", ~(F.col("is_exact_dup") | F.col("is_near_dup"))
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -244,21 +349,7 @@ def minhash_lsh_pairs(
     # consumers (sizes + both join sides); materialize the tokenize+explode
     # once — same trade as in ngram_jaccard_pairs
     sh = shingles(df, id_col, text_col, n).persist()
-    sigs = minhash_signatures(sh, num_perm)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws(
-                    ",", *[F.col(f"m{b * rows + r}") for r in range(rows)]
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    band_rows = sigs.select(
-        "id", F.explode(band_structs).alias("band")
-    ).select("id", "band.band_id", "band.band_key")
+    band_rows = _band_rows(minhash_signatures(sh, num_perm), num_perm, bands)
     # (no persist here: the self-join's two sides canonicalize to the same
     # subplan, so Spark reuses one exchange for both)
     a, b = band_rows.alias("a"), band_rows.alias("b")

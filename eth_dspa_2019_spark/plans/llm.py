@@ -113,8 +113,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_minhash_bands() -> str:
-    """DuckDB mirror of minhash_signatures + banded explode."""
+def _o_minhash_bands(cand_on: str = "a.id < b.id") -> str:
+    """DuckDB mirror of minhash_signatures + banded explode. ``cand_on``
+    selects the pair shape: the ``a.id < b.id`` self-join default, or the
+    new-vs-corpus predicate of the incremental variant."""
     rows = NUM_PERM // BANDS
     mins = ", ".join(
         f"min(({a} * hb + {b}) % {MERSENNE31}) AS m{p}"
@@ -137,7 +139,7 @@ def _o_minhash_bands() -> str:
       SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
       FROM band_rows a
       JOIN band_rows b ON a.band_id = b.band_id
-                      AND a.band_key = b.band_key AND a.id < b.id
+                      AND a.band_key = b.band_key AND {cand_on}
     )
     """
 
@@ -748,4 +750,59 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_removed"
         ),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+@register(
+    "incremental_dedup_newbatch",
+    oracle=f"""
+    WITH {_O_SHINGLES},
+    {_o_minhash_bands("a.id % 2 = 1 AND b.id % 2 = 0")},
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS common
+      FROM cand c
+      JOIN sh a ON a.id = c.doc_a
+      JOIN sh b ON b.id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT DISTINCT doc_a AS doc_id
+      FROM ({_o_jaccard_select('common')}) j
+    ),
+    ex AS (
+      SELECT DISTINCT n.doc_id
+      FROM documents n
+      JOIN documents c
+        ON {o_h64(f'substring(n.text, 1, {DEDUP_PREFIX})')}
+             = {o_h64(f'substring(c.text, 1, {DEDUP_PREFIX})')}
+       AND c.doc_id % 2 = 0
+      WHERE n.doc_id % 2 = 1
+    )
+    SELECT n.doc_id,
+           e.doc_id IS NOT NULL AS is_exact_dup,
+           nr.doc_id IS NOT NULL AS is_near_dup,
+           (e.doc_id IS NULL AND nr.doc_id IS NULL) AS keep
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) n
+    LEFT JOIN ex e ON e.doc_id = n.doc_id
+    LEFT JOIN near nr ON nr.doc_id = n.doc_id
+    """,
+)
+def incremental_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: score a NEW batch (odd doc_ids) against the
+    standing corpus (even doc_ids) — exact prefix-hash semi-join + banded
+    MinHash new⋈corpus candidates with exact-Jaccard verify. The
+    daily-ingest shape: the corpus side is precomputed standing state at
+    scale; each delta pays only its own hashing + probes (see
+    ``operators/dedup.py::incremental_dedup``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    newb = docs.filter(F.col("doc_id") % 2 == 1)
+    return dd.incremental_dedup(
+        corpus,
+        newb,
+        n=SHINGLE_N,
+        num_perm=NUM_PERM,
+        bands=BANDS,
+        threshold=JACCARD_THRESHOLD,
+        prefix=DEDUP_PREFIX,
     )

@@ -182,3 +182,13 @@ def test_boilerplate_strip_hot_set_broadcast(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "boilerplate_strip")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_is_equi_join_only(spark, sf_dir):
+    """incremental_dedup_newbatch: both screens are equi-joins (prefix-hash
+    semi-join, (band_id, band_key) new-vs-corpus join) — never a
+    new×corpus product, never corpus×corpus anything."""
+    plan = _executed_plan(spark, sf_dir, "incremental_dedup_newbatch")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_id" in plan and "band_key" in plan
