@@ -42,3 +42,36 @@ def write_single_csv(df: DataFrame, path: str, sep: str = "|") -> None:
 def console_sink(df: DataFrame, n: int = 20) -> None:
     """S7: console sink (`.print().setParallelism(1)`)."""
     df.show(n=n, truncate=False)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int | None = None,
+    dynamic_overwrite: bool = True,
+) -> None:
+    """The at-scale output shape: hive-layout parquet partitioned by the
+    given columns (lang/source/date in a curation pipeline), so downstream
+    reads partition-prune for free and a re-run of one slice replaces ONLY
+    the partitions it produced.
+
+    ``dynamic_overwrite`` sets ``partitionOverwriteMode=dynamic`` for this
+    write: overwrite deletes just the partitions present in ``df`` (the
+    incremental backfill contract), not the whole table — with the static
+    default, re-writing one day would wipe every other day.
+    ``max_records_per_file`` caps file size so a skewed partition still
+    yields scan-parallel files."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        if dynamic_overwrite:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+        w = df.write.mode("overwrite")
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", str(max_records_per_file))
+        w.partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
