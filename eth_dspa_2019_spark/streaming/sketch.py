@@ -31,3 +31,24 @@ def cms_sketch_stream(events: DataFrame) -> DataFrame:
         .groupBy("r", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def hll_register_stream(events: DataFrame) -> DataFrame:
+    """Streaming HyperLogLog state: per-(hour, register) running max-rho —
+    the first stage of the batch sketch (`plans/misc.py::
+    unique_users_approx`) as streaming state. max is associative, so the
+    micro-batch-folded registers equal the batch partials exactly; the
+    12× sliding-window merge and the estimate are cheap batch-side
+    post-processing over this (bounded: hours × m rows) table."""
+    from ..functions.hashing import h64
+    from ..plans.misc import HLL_M, _hll_rho_spark
+
+    h = h64(F.col("user_id").cast("string"))
+    split = events.select(
+        (F.floor(F.col("ts").cast("long") / 3600) * 3600).alias("hour"),
+        (h % HLL_M).alias("reg"),
+        h.alias("h"),
+    ).select(
+        "hour", "reg", _hll_rho_spark(F.expr(f"h div {HLL_M}")).alias("rho")
+    )
+    return split.groupBy("hour", "reg").agg(F.max("rho").alias("max_rho"))

@@ -67,3 +67,41 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
     from eth_dspa_2019_spark.plans.sketch import CMS_D, CMS_W
 
     assert len(got_rows) <= CMS_D * CMS_W
+
+
+def test_streaming_hll_registers_equal_batch(spark, tmp_path):
+    """Micro-batch-folded HLL registers must equal the batch partials —
+    max is associative across any batch split."""
+    from eth_dspa_2019_spark.streaming.sketch import hll_register_stream
+
+    watch = str(tmp_path / "hwatch")
+    os.makedirs(watch)
+    now = time.time()
+    rows0 = [("2019-05-01T10:05:00", uid) for uid in [1, 2, 3, 1]]
+    rows1 = [("2019-05-01T10:40:00", 2), ("2019-05-01T11:10:00", 9)]
+    _write(watch, "b0.json", rows0, now - 300)
+    _write(watch, "b1.json", rows1, now - 240)
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(watch)
+    )
+    got = run_to_memory(
+        hll_register_stream(stream),
+        checkpoint_dir=str(tmp_path / "hckpt"),
+        output_mode="complete",
+    )
+    from datetime import datetime
+
+    batch = spark.createDataFrame(
+        [
+            (datetime.fromisoformat(ts), uid)
+            for ts, uid in rows0 + rows1
+        ],
+        _SCHEMA,
+    )
+    # the same function body runs in batch mode on a batch frame
+    want = hll_register_stream(batch)
+    got_rows = {(r.hour, r.reg): r.max_rho for r in got.collect()}
+    want_rows = {(r.hour, r.reg): r.max_rho for r in want.collect()}
+    assert got_rows == want_rows and got_rows
