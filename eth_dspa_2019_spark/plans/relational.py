@@ -276,3 +276,94 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@register(
+    "q4_priority_with_returns",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped EXISTS semi-join: orders in a one-year range with at
+    least one returned lineitem, counted per priority. The semi-join
+    matters at scale: the fact side is never widened — Spark's left_semi
+    probes and drops, shipping only the orders columns, and the date
+    filter pushes to the orders scan (plan-asserted)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    in_range = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        in_range.join(
+            returned,
+            in_range.o_orderkey == returned.l_orderkey,
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q10_returned_revenue_topk",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {osum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped lost-revenue report: top-20 customers by revenue
+    from returned items in a half-year window. Scale shape: the returnflag
+    + date filters push to both fact scans, nation broadcasts, the
+    orders⋈lineitem fact join shuffles on orderkey (AQE skew-safe), and
+    the global top-20 is a TakeOrdered (per-partition heap + driver merge
+    of 20-row partials), never a full sort. Ties broken by c_custkey so
+    the cut is deterministic cross-engine (revenue doubles are
+    bit-identical via the decimal-sum discipline)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    in_range = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    returned = li.filter(F.col("l_returnflag") == "R")
+    return (
+        returned.join(
+            in_range, returned.l_orderkey == in_range.o_orderkey
+        )
+        .join(cust, in_range.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

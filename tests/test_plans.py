@@ -192,3 +192,19 @@ def test_incremental_dedup_is_equi_join_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "band_id" in plan and "band_key" in plan
+
+
+def test_q4_semi_join_and_pushdown(spark, sf_dir):
+    """q4: the EXISTS must plan as a semi-join (orders never widened by
+    lineitem columns) with the date range pushed to the orders scan."""
+    plan = _executed_plan(spark, sf_dir, "q4_priority_with_returns")
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [" in plan and "o_orderdate" in plan
+
+
+def test_q10_topk_is_take_ordered(spark, sf_dir):
+    """q10: the global top-20 must be a TakeOrderedAndProject (distributed
+    heap), never a full global Sort."""
+    plan = _executed_plan(spark, sf_dir, "q10_returned_revenue_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # nation broadcast
