@@ -720,15 +720,13 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= BOILER_DF)
         .select("gram")
     )
-    covered = (
-        grams.join(F.broadcast(hot), "gram")
-        .select(
-            "doc_id",
-            F.explode(
-                F.array(*[F.col("pos") + i for i in range(SHINGLE_N)])
-            ).alias("pos"),
-        )
-        .distinct()
+    # no .distinct(): duplicate (doc, pos) rows don't change a left-anti
+    # join, and dropping the dedup saves a full shuffle of the covered set
+    covered = grams.join(F.broadcast(hot), "gram").select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.col("pos") + i for i in range(SHINGLE_N)])
+        ).alias("pos"),
     )
     kept = base.select(
         "doc_id", "n_tokens", F.posexplode("t").alias("pos", "tok")
