@@ -469,21 +469,24 @@ def simhash(
         .select("id", F.explode("toks").alias("tok"))
         .select("id", h64("tok").alias("h"))
     )
+    # SQL-string expressions: one py4j call per aggregate instead of ~8
+    # Column-builder round-trips — with `bits` of them, driver-side plan
+    # construction dominated the whole query otherwise (~2 s at 84 exprs)
     vote_aggs = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END)"
         ).alias(f"v{b}")
         for b in range(bits)
     ]
     votes = tok.groupBy("id").agg(*vote_aggs)
-    sim = None
-    for b in range(bits):
-        term = F.when(
-            F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-        sim = term if sim is None else sim + term
+    sim = F.expr(
+        " + ".join(
+            f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for b in range(bits)
+        )
+    )
     return votes.select("id", sim.alias("simhash"))
 
 
@@ -526,25 +529,27 @@ def simhash_wide(
             for w, s in enumerate(salts)
         ],
     )
+    # SQL-string expressions — see :func:`simhash` for why (py4j plan-build
+    # cost scales with expression count; Σ word_bits is 84 by default)
     vote_aggs = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col(f"h{w}"), b).bitwiseAND(1) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h{w}, {b}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END)"
         ).alias(f"v{w}_{b}")
         for w, bits in enumerate(word_bits)
         for b in range(bits)
     ]
     votes = tokh.groupBy("id").agg(*vote_aggs)
-    sims = []
-    for w, bits in enumerate(word_bits):
-        sim = None
-        for b in range(bits):
-            term = F.when(
-                F.col(f"v{w}_{b}") > 0, F.lit(1 << b).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint"))
-            sim = term if sim is None else sim + term
-        sims.append(sim.alias(f"sim_{w}"))
+    sims = [
+        F.expr(
+            " + ".join(
+                f"(CASE WHEN v{w}_{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+                for b in range(bits)
+            )
+        ).alias(f"sim_{w}")
+        for w, bits in enumerate(word_bits)
+    ]
     return votes.select("id", *sims)
 
 
