@@ -150,6 +150,29 @@ def parse_activities(lines: DataFrame, value_col: str = "value") -> DataFrame:
 # ---------------------------------------------------------------------------
 # Deterministic fixture synthesis from the driver testdata
 
+# Catalog-statistics cache: row counts and event_id density per
+# (session, sf_dir). These are immutable properties of the read-only
+# testdata — the analog of catalog/table statistics a real deployment
+# reads from the metastore — so they are NOT cleared by
+# plans.clear_plan_caches (which scopes to materialized DATA, not stats);
+# without this every social-family query paid two scalar jobs just to
+# re-learn the same constants.
+_STATS_CACHE: dict[tuple[str, str], tuple[int, int, int, int]] = {}
+
+
+def _table_stats(spark: SparkSession, sf_dir: str) -> tuple[int, int, int, int]:
+    """(n_docs, n_events, min_event_id, max_event_id), computed once."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STATS_CACHE:
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        n, mn, mx = (
+            load_table(spark, sf_dir, "events")
+            .agg(F.count(F.lit(1)), F.min("event_id"), F.max("event_id"))
+            .collect()[0]
+        )
+        _STATS_CACHE[key] = (n_docs, n, mn, mx)
+    return _STATS_CACHE[key]
+
 
 def _pick(options: tuple[str, ...], ix: Column) -> Column:
     return F.element_at(F.array(*[F.lit(o) for o in options]), (ix % len(options) + 1).cast("int"))
@@ -175,12 +198,9 @@ def synth_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    n_docs = docs.count()
     e = F.col("event_id")
     m = e % 10
-    n, mn, mx = ev.agg(
-        F.count(F.lit(1)), F.min("event_id"), F.max("event_id")
-    ).collect()[0]
+    n_docs, n, mn, mx = _table_stats(spark, sf_dir)
     if mn == 0 and mx == n - 1:
         # dense ids: last post before e = the largest e' < e with e'%10<=2;
         # per decade d the posts are 10d..10d+2, comments/replies 10d+3..10d+8
