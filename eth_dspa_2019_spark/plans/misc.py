@@ -553,3 +553,101 @@ def unique_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_milli"),
     )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "event_type_pivot",
+    oracle=f"""
+    SELECT cast(user_id % 16 AS bigint) AS shard,
+           {", ".join(
+             f"cast(count(*) FILTER (event_type = '{t}') AS bigint)"
+             f" AS n_{t}" for t in _EVENT_TYPES)},
+           {", ".join(
+             f"cast(sum(cast(value AS decimal(38,6)))"
+             f"     FILTER (event_type = '{t}') AS double)"
+             f" AS v_{t}" for t in _EVENT_TYPES)}
+    FROM events
+    GROUP BY 1
+    """,
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: per-shard counts AND value sums spread into one
+    column pair per event type — the wide report shape every BI layer
+    asks for. Expressed as conditional aggregation (count/sum FILTER),
+    which is exactly what Spark compiles `.pivot()` into when the pivot
+    values are known; listing them (`_EVENT_TYPES`) skips the extra
+    distinct-scan `.pivot(col)` would run and keeps the oracle mirror
+    trivial. One map-side-combined groupBy — pivot width is a constant,
+    shuffle carries one row per shard."""
+    from ..functions.numeric import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    aggs = []
+    for t in _EVENT_TYPES:
+        aggs.append(
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        )
+    for t in _EVENT_TYPES:
+        aggs.append(
+            dsum(F.when(F.col("event_type") == t, F.col("value"))).alias(
+                f"v_{t}"
+            )
+        )
+    return ev.groupBy(
+        (F.col("user_id") % 16).alias("shard")
+    ).agg(*aggs)
+
+
+@register(
+    "moving_value_avg_1h_range",
+    oracle="""
+    SELECT event_id, user_id, ts_s,
+           cast(count(*) OVER w AS bigint) AS n_1h,
+           cast(sum(cast(value AS decimal(38,6))) OVER w AS double)
+             / count(*) OVER w AS avg_1h
+    FROM (SELECT event_id, user_id,
+                 cast(floor(epoch(ts)) AS bigint) AS ts_s, value
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_value_avg_1h_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window frame: each event's trailing-1h per-user
+    moving average — `RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW` over
+    epoch seconds, the time-based frame the ROWS-frame running aggs
+    (`running_user_avg`) can't express (a frame of "the last hour"
+    contains however many events fall there, ties included, so the result
+    is order-independent within equal timestamps by construction).
+
+    Scale shape: one exchange on user_id; frames are evaluated with a
+    sliding two-pointer pass inside each partition — no per-frame rescan;
+    the decimal-sum discipline keeps the double averages bit-identical
+    across engines."""
+    from ..functions.numeric import _DEC
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        (
+            F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("avg_1h"),
+    )

@@ -208,3 +208,15 @@ def test_q10_topk_is_take_ordered(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "q10_returned_revenue_topk")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan  # nation broadcast
+
+
+def test_range_frame_is_user_partitioned(spark, sf_dir):
+    """moving_value_avg_1h_range: the RANGE frame must partition by
+    user_id (one exchange, per-user sliding evaluation) — no unkeyed
+    global window."""
+    df = all_queries()["moving_value_avg_1h_range"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    win_frag = plan[plan.find("Window"):][:500]
+    assert "user_id" in win_frag
+    assert "SinglePartition" not in plan
