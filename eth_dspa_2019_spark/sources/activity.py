@@ -77,74 +77,59 @@ def _parse_tags(raw: Column) -> Column:
 
 def parse_activities(lines: DataFrame, value_col: str = "value") -> DataFrame:
     """Tag-dispatch parse of pipe-format activity lines into the unified
-    activity frame (one projection + filter per kind, unioned — Catalyst
-    collapses each branch into the scan it came from)."""
+    activity frame — ONE projection with per-column CASE dispatch on the
+    tag, so the input is scanned exactly once (the earlier
+    filter-per-kind + union form re-executed the input subtree once per
+    kind, which forced an extra materialization between synth and parse).
+    Field layout per tag mirrors the reference wire format
+    (`SN/util/Activity.java`): P|id|person|date|image|ip|browser|lang|
+    content|tags|forum|place · C|id|person|date|ip|browser|content|
+    reply_to_post|reply_to_comment|place · L|person|post|date."""
     p = F.split(F.col(value_col), r"\|", -1)
     tag = F.element_at(p, 1)
+    is_p, is_c, is_l = tag == "P", tag == "C", tag == "L"
+    is_reply = is_c & (F.element_at(p, 8) == "")
 
-    def _date(ix: int) -> list[Column]:
-        raw = F.element_at(p, ix)
-        ts = parse_creation_date(raw)
-        return [
-            raw.alias("creation_date"),
-            ts.alias("ts"),
-            F.unix_millis(ts).alias("ts_ms"),
-        ]
+    def pick(post: Column | None, comment: Column | None, like: Column | None, dtype: str) -> Column:
+        nul = F.lit(None).cast(dtype)
+        return (
+            F.when(is_p, post if post is not None else nul)
+            .when(is_c, comment if comment is not None else nul)
+            .otherwise(like if like is not None else nul)
+        )
 
-    nul = F.lit(None)
-    posts = lines.filter(tag == "P").select(
-        F.lit(KIND_POST).alias("kind"),
-        F.element_at(p, 2).cast("long").alias("id"),
-        F.element_at(p, 3).cast("long").alias("person_id"),
-        *_date(4),
-        F.element_at(p, 2).cast("long").alias("post_id"),
-        nul.cast("long").alias("parent_id"),
-        F.element_at(p, 9).alias("content"),
-        _parse_tags(F.element_at(p, 10)).alias("tags"),
-        F.element_at(p, 5).alias("image_file"),
-        F.element_at(p, 6).alias("location_ip"),
-        F.element_at(p, 7).alias("browser"),
-        F.element_at(p, 8).alias("language"),
-        F.element_at(p, 11).cast("long").alias("forum_id"),
-        F.element_at(p, 12).cast("long").alias("place_id"),
+    e = lambda i: F.element_at(p, i)  # noqa: E731
+    raw_date = e(4)  # date is field 4 for all three kinds
+    ts = parse_creation_date(raw_date)
+    return lines.filter(is_p | is_c | is_l).select(
+        F.when(is_p, KIND_POST)
+        .when(is_reply, KIND_REPLY)
+        .when(is_c, KIND_COMMENT)
+        .otherwise(KIND_LIKE)
+        .alias("kind"),
+        pick(e(2), e(2), e(3), "string").cast("long").alias("id"),
+        pick(e(3), e(3), e(2), "string").cast("long").alias("person_id"),
+        raw_date.alias("creation_date"),
+        ts.alias("ts"),
+        F.unix_millis(ts).alias("ts_ms"),
+        pick(
+            e(2).cast("long"),
+            F.when(is_reply, F.lit(UNRESOLVED)).otherwise(
+                e(8).cast("long")
+            ),
+            e(3).cast("long"),
+            "long",
+        ).alias("post_id"),
+        F.when(is_reply, e(9).cast("long")).alias("parent_id"),
+        pick(e(9), e(7), None, "string").alias("content"),
+        F.when(is_p, _parse_tags(e(10))).alias("tags"),
+        F.when(is_p, e(5)).alias("image_file"),
+        pick(e(6), e(5), None, "string").alias("location_ip"),
+        pick(e(7), e(6), None, "string").alias("browser"),
+        F.when(is_p, e(8)).alias("language"),
+        F.when(is_p, e(11).cast("long")).alias("forum_id"),
+        pick(e(12), e(10), None, "string").cast("long").alias("place_id"),
     )
-    is_reply = F.element_at(p, 8) == ""
-    comments = lines.filter(tag == "C").select(
-        F.when(is_reply, KIND_REPLY).otherwise(KIND_COMMENT).alias("kind"),
-        F.element_at(p, 2).cast("long").alias("id"),
-        F.element_at(p, 3).cast("long").alias("person_id"),
-        *_date(4),
-        F.when(is_reply, F.lit(UNRESOLVED))
-        .otherwise(F.element_at(p, 8).cast("long"))
-        .cast("long")
-        .alias("post_id"),
-        F.when(is_reply, F.element_at(p, 9).cast("long")).alias("parent_id"),
-        F.element_at(p, 7).alias("content"),
-        nul.cast("array<long>").alias("tags"),
-        nul.cast("string").alias("image_file"),
-        F.element_at(p, 5).alias("location_ip"),
-        F.element_at(p, 6).alias("browser"),
-        nul.cast("string").alias("language"),
-        nul.cast("long").alias("forum_id"),
-        F.element_at(p, 10).cast("long").alias("place_id"),
-    )
-    likes = lines.filter(tag == "L").select(
-        F.lit(KIND_LIKE).alias("kind"),
-        F.element_at(p, 3).cast("long").alias("id"),  # Like.getId == postId
-        F.element_at(p, 2).cast("long").alias("person_id"),
-        *_date(4),
-        F.element_at(p, 3).cast("long").alias("post_id"),
-        nul.cast("long").alias("parent_id"),
-        nul.cast("string").alias("content"),
-        nul.cast("array<long>").alias("tags"),
-        nul.cast("string").alias("image_file"),
-        nul.cast("string").alias("location_ip"),
-        nul.cast("string").alias("browser"),
-        nul.cast("string").alias("language"),
-        nul.cast("long").alias("forum_id"),
-        nul.cast("long").alias("place_id"),
-    )
-    return posts.unionByName(comments).unionByName(likes)
 
 
 # ---------------------------------------------------------------------------
@@ -320,16 +305,12 @@ def load_activities(spark: SparkSession, sf_dir: str) -> DataFrame:
     every downstream query from re-running the synth sort and the parse)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ACTS_CACHE:
-        # Materialize the wire lines BEFORE the parse: the parser's three
-        # per-kind branches each re-execute their input subtree, and the
-        # synth union has three branches of its own — 9 scans of the events
-        # table without this checkpoint, one with it.
-        lines = synth_activity_lines(spark, sf_dir).localCheckpoint(
-            eager=True
-        )
-        _ACTS_CACHE[key] = parse_activities(lines).localCheckpoint(
-            eager=True
-        )
+        # Single-pass parse (CASE dispatch, no per-kind branch re-execution)
+        # means synth→parse pipelines into ONE job and one materialization;
+        # the synth union's three branches each scan events once inside it.
+        _ACTS_CACHE[key] = parse_activities(
+            synth_activity_lines(spark, sf_dir)
+        ).localCheckpoint(eager=True)
     return _ACTS_CACHE[key]
 
 
