@@ -367,3 +367,69 @@ def q10_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "referential_audit",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+        AS orphan_lineitems,
+      (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+        AS orphan_orders,
+      (SELECT count(*) FROM (SELECT event_id FROM events
+                             GROUP BY event_id HAVING count(*) > 1))
+        AS dup_event_ids,
+      (SELECT count(*) FROM documents WHERE text IS NULL OR text = '')
+        AS empty_docs,
+      (SELECT count(*) FROM events WHERE value IS NULL OR isnan(value))
+        AS bad_event_values
+    """,
+)
+def referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit (the deequ-style constraint suite every ingest
+    runs before analytics): foreign-key orphans via anti-joins, duplicate
+    primary keys via a grouped HAVING, null/NaN value rates — one row of
+    violation counts, all expected 0 on healthy data.
+
+    Scale shape: each FK check is ONE anti-join on the key (semi-join
+    probe, fact side never widened); the dup check is a map-side-combined
+    groupBy; the null scans are map-only. The audits are independent
+    DataFrame branches unioned via scalar aggregation, so Spark runs them
+    as parallel stages of one job."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def cnt(df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n"))
+
+    orphan_li = cnt(
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+    ).select(F.col("n").alias("orphan_lineitems"))
+    orphan_o = cnt(
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+    ).select(F.col("n").alias("orphan_orders"))
+    dups = cnt(
+        ev.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+    ).select(F.col("n").alias("dup_event_ids"))
+    empty = cnt(
+        docs.filter(F.col("text").isNull() | (F.col("text") == ""))
+    ).select(F.col("n").alias("empty_docs"))
+    badv = cnt(
+        ev.filter(F.col("value").isNull() | F.isnan("value"))
+    ).select(F.col("n").alias("bad_event_values"))
+    return (
+        orphan_li.crossJoin(orphan_o)
+        .crossJoin(dups)
+        .crossJoin(empty)
+        .crossJoin(badv)
+    )
