@@ -92,3 +92,100 @@ def purchases_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("window_start", "window_end").agg(
         F.count(F.lit(1)).alias("n_purchases")
     )
+
+
+GAPFILL_USERS = 50  # dashboard cohort: user_id < 50
+HOUR = 3600
+
+
+@register(
+    "events_gapfill_1h",
+    oracle=f"""
+    WITH obs AS (
+      SELECT user_id,
+             cast(floor(epoch(ts) / {HOUR}) * {HOUR} AS bigint) AS h,
+             value,
+             row_number() OVER (PARTITION BY user_id,
+                                    cast(floor(epoch(ts) / {HOUR}) * {HOUR}
+                                         AS bigint)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE user_id < {GAPFILL_USERS}
+    ),
+    hourly AS (SELECT user_id, h, value FROM obs WHERE rn = 1),
+    spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+              FROM hourly GROUP BY user_id),
+    grid AS (
+      SELECT s.user_id, cast(g.h AS bigint) AS hour_start
+      FROM spans s, unnest(range(s.h0, s.h1 + 1, {HOUR})) g(h)
+    )
+    SELECT g.user_id, g.hour_start,
+           last_value(o.value IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.hour_start
+                   ROWS UNBOUNDED PRECEDING) AS value_ff,
+           o.value IS NULL AS is_gap
+    FROM grid g LEFT JOIN hourly o
+      ON o.user_id = g.user_id AND o.h = g.hour_start
+    """,
+)
+def events_gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill (the hypertable ``time_bucket_gapfill``
+    / ``locf`` pattern): each cohort user's value series is bucketed to
+    hours (last observation per bucket, deterministic tie-break), a dense
+    hour grid is generated per user from their own observed span, and
+    missing buckets forward-fill from the last observation
+    (``last(..., ignorenulls=True)`` over an ever-growing frame).
+
+    Scale shape: bucketing + last-per-bucket are one windowed pass
+    partitioned by (user, hour); the grid explode is bounded by
+    span/granularity per key (never a global calendar cross join); the
+    forward-fill window is per-user ordered — one exchange on user_id.
+    At 100 TB the cohort predicate pushes to the scan, so the job reads
+    only the keys being rendered."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < GAPFILL_USERS
+    )
+    from pyspark.sql.window import Window
+
+    h = (F.floor(F.col("ts").cast("long") / HOUR) * HOUR).alias("h")
+    w_last = Window.partitionBy("user_id", "h").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hourly = (
+        ev.select("user_id", h, "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "h", "value")
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.lit(HOUR))
+        ).alias("hour_start"),
+    )
+    w_ff = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(
+            hourly,
+            (grid.user_id == hourly.user_id)
+            & (grid.hour_start == hourly.h),
+            "left",
+        )
+        .select(
+            grid.user_id,
+            "hour_start",
+            F.col("value").alias("v"),
+        )
+        .select(
+            "user_id",
+            "hour_start",
+            F.last("v", ignorenulls=True).over(w_ff).alias("value_ff"),
+            F.col("v").isNull().alias("is_gap"),
+        )
+    )
