@@ -83,3 +83,59 @@ def test_bucketed_scan_prunes_buckets(spark, sf_dir, tmp_path):
             "spark.sql.sources.bucketing.autoBucketedScan.enabled"
         )
         spark.sql("DROP TABLE IF EXISTS bk_orders_p")
+
+
+def test_incremental_dedup_probe_against_bucketed_state(spark, sf_dir, tmp_path):
+    """The incremental-dedup story at rest: corpus band rows persisted as
+    a table bucketed by the join key mean a new batch's probe shuffles
+    ONLY the delta side — the standing state is read co-located."""
+    import pyspark.sql.functions as F
+
+    from eth_dspa_2019_spark.operators.dedup import (
+        _band_rows,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    newb = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def bkeyed(side):
+        rows = _band_rows(
+            minhash_signatures(shingles(side, "doc_id", "text", 3), 16),
+            16,
+            8,
+        )
+        # single composite join key so the bucket spec == the join spec
+        return rows.select(
+            "id",
+            F.concat_ws(":", F.col("band_id"), F.col("band_key")).alias(
+                "bkey"
+            ),
+        )
+
+    write_bucketed(
+        bkeyed(corpus), "bk_bands", str(tmp_path / "bk_bands"), "bkey", 8
+    )
+    bn = bkeyed(newb)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        state = spark.table("bk_bands")
+        cand = (
+            bn.alias("n")
+            .join(state.alias("c"), F.col("n.bkey") == F.col("c.bkey"))
+            .select(F.col("n.id").alias("a"), F.col("c.id").alias("b"))
+        )
+        cand.count()
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # the standing state is read through its buckets ...
+        assert "Bucketed: true" in plan
+        # ... so the only exchanges are the DELTA pipeline's: its signature
+        # aggregation and its shuffle into the state's bucket layout
+        assert plan.count("Exchange hashpartitioning") == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_bands")
