@@ -861,3 +861,105 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "cos_sim")
     )
+
+
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    cand_k: int = 15,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF + SQ8 composed ANN top-k — the FAISS ``IVFx,SQ8`` architecture
+    and the right default for a 100 TB vector corpus: the inverted lists
+    prune WHICH vectors are scanned (~nprobe/K of the corpus per query)
+    while int8 scalar quantization shrinks WHAT is scanned (4× fewer
+    bytes per candidate); only ``cand_k`` survivors per query are re-ranked
+    against full-precision vectors.
+
+    Plan shape: one corpus assignment shuffle (buildable once, reusable),
+    one map-only quantization pass, the probe relation broadcast against
+    the quantized lists, and a broadcast-candidate fetch for the refine —
+    the corpus is never shuffled per query and full-width vectors are
+    touched for O(queries·cand_k) rows only."""
+    assigned = ivf_assign(corpus, centroids, id_col, emb_col).select(
+        "vec_id", "centroid_id"
+    )
+    qz_schema = "vec_id long, qvec array<tinyint>, qn2 long"
+    qc = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("e")
+    ).mapInPandas(quantize_sq8_batches(emb_col="e"), schema=qz_schema)
+    lists = assigned.join(qc, "vec_id").select(
+        "centroid_id",
+        "vec_id",
+        F.col("qvec").alias("c_qvec"),
+        F.col("qn2").alias("c_qn2"),
+    )
+    qvecs = _vecs(queries, id_col, emb_col)
+    qq = (
+        queries.select(
+            F.col(id_col).alias("vec_id"), F.col(emb_col).alias("e")
+        )
+        .mapInPandas(quantize_sq8_batches(emb_col="e"), schema=qz_schema)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qvec").alias("q_qvec"),
+            F.col("qn2").alias("q_qn2"),
+        )
+    )
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.desc("cs"), F.asc("centroid_id")
+    )
+    probe = (
+        _centroid_scores(qvecs, centroids)
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "centroid_id")
+        .join(qq, "query_id")
+    )
+    qscored = (
+        lists.join(F.broadcast(probe), "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .mapInPandas(
+            pair_qsim_batches(),
+            schema="query_id long, vec_id long, q_sim double",
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("q_sim"), F.asc("vec_id")
+    )
+    cand = (
+        qscored.withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= cand_k)
+        .select("query_id", "vec_id")
+    )
+    c_full = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("c_emb"),
+        norm2_fx(F.col(emb_col)).alias("c_n2"),
+    )
+    q_full = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm2_fx(F.col(emb_col)).alias("q_n2"),
+    )
+    scored = (
+        F.broadcast(cand)
+        .join(c_full, "vec_id")
+        .join(F.broadcast(q_full), "query_id")
+        .mapInPandas(
+            pair_cosine_batches(**_QC_KERNEL_ARGS),
+            schema="query_id long, vec_id long, cos_sim double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cos_sim")
+    )

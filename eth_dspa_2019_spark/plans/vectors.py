@@ -513,3 +513,121 @@ def ann_topk_sq8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     df = sq8_topk(emb, queries, k=TOP_K, cand_k=SQ8_CAND_K)
     return df.withColumn("rank", F.col("rank").cast("int"))
+
+
+def _ivf_sq8_oracle() -> str:
+    return f"""
+    WITH {_O_ELEMENTS},
+    mx AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                                     x -> abs(cast(x AS double)))) AS mx
+      FROM embeddings
+    ),
+    qel AS (
+      SELECT el.vec_id, el.i,
+             CASE WHEN m.mx = 0 THEN 0
+                  ELSE cast(floor(el.x * {SQ8_MAX}.0 / m.mx + 0.5)
+                            AS bigint) END AS qx
+      FROM el JOIN mx m ON el.vec_id = m.vec_id
+    ),
+    qn AS (SELECT vec_id, sum(qx * qx) AS qn2 FROM qel GROUP BY vec_id),
+    cdots AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS cid,
+             sum(cast(floor(a.x * b.x * {FIXED_POINT}.0) AS bigint)) AS dp
+      FROM el a JOIN el b ON a.i = b.i AND b.vec_id % {IVF_STRIDE} = 0
+      GROUP BY 1, 2
+    ),
+    cscored AS (
+      SELECT c.vec_id, c.cid,
+             cast(c.dp AS double)
+               / (sqrt(cast(na.n2 AS double)) * sqrt(cast(nb.n2 AS double)))
+               AS cs
+      FROM cdots c
+      JOIN norms na ON na.vec_id = c.vec_id
+      JOIN norms nb ON nb.vec_id = c.cid
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cid) AS rn
+        FROM cscored
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cid) AS rn
+        FROM cscored WHERE vec_id < {N_QUERIES}
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    qcand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probe p JOIN assign a ON a.cid = p.cid
+      WHERE a.vec_id != p.query_id
+    ),
+    qdots AS (
+      SELECT c.query_id, c.vec_id, sum(qa.qx * qb.qx) AS qdp
+      FROM qcand c
+      JOIN qel qa ON qa.vec_id = c.query_id
+      JOIN qel qb ON qb.vec_id = c.vec_id AND qb.i = qa.i
+      GROUP BY 1, 2
+    ),
+    qscored AS (
+      SELECT d.query_id, d.vec_id,
+             CASE WHEN qa.qn2 = 0 OR qb.qn2 = 0 THEN 0.0
+                  ELSE cast(d.qdp AS double)
+                       / (sqrt(cast(qa.qn2 AS double))
+                          * sqrt(cast(qb.qn2 AS double))) END AS q_sim
+      FROM qdots d
+      JOIN qn qa ON qa.vec_id = d.query_id
+      JOIN qn qb ON qb.vec_id = d.vec_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY q_sim DESC, vec_id) AS crk
+        FROM qscored
+      ) WHERE crk <= {SQ8_CAND_K}
+    ),
+    dots AS (
+      SELECT cd.query_id, cd.vec_id,
+             sum(cast(floor(a.x * b.x * {FIXED_POINT}.0) AS bigint)) AS dp
+      FROM cand cd
+      JOIN el a ON a.vec_id = cd.query_id
+      JOIN el b ON b.vec_id = cd.vec_id AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.vec_id,
+             cast(d.dp AS double)
+               / (sqrt(cast(na.n2 AS double)) * sqrt(cast(nb.n2 AS double)))
+               AS cos_sim
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.query_id
+      JOIN norms nb ON nb.vec_id = d.vec_id
+    )
+    {_o_rank_select('scored')}
+    """
+
+
+@register("ivf_sq8_topk", oracle=_ivf_sq8_oracle())
+def ivf_sq8_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ANN capstone (FAISS ``IVFx,SQ8``): inverted lists prune
+    WHICH vectors each query scans (top-3 of ~N/31 data-adaptive lists),
+    int8 codes shrink WHAT the scan reads (4× fewer bytes), and only 15
+    survivors per query touch full-precision vectors for the exact
+    re-rank. The oracle runs the identical assign→probe→quantized-scan→
+    refine algorithm."""
+    from ..operators.similarity import ivf_sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    cents = stride_centroids(emb, IVF_STRIDE)
+    df = ivf_sq8_topk(
+        emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE, cand_k=SQ8_CAND_K
+    )
+    return df.withColumn("rank", F.col("rank").cast("int"))

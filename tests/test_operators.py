@@ -349,3 +349,36 @@ def test_boilerplate_strip_token_accounting(spark, sf_dir):
         assert n_clean == r.n_tokens - r.n_removed
         if r.n_removed == 0:
             assert r.clean_text == docs[r.doc_id]
+
+
+def test_ivf_sq8_recall_within_ivf(spark, sf_dir):
+    """IVF+SQ8 can only lose recall through the SAME list pruning as plain
+    IVF (the quantized scan + 3x oversample re-rank recovers the exact
+    within-list order) — so its hits against brute force must be within
+    one of plain IVF's on the fixture."""
+    from eth_dspa_2019_spark.io.readers import load_table
+    from eth_dspa_2019_spark.operators.similarity import (
+        cosine_topk,
+        ivf_sq8_topk,
+        ivf_topk,
+        stride_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = stride_centroids(emb, 31)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, queries, cents, k=5, nprobe=3).collect()
+    }
+    sq = {
+        (r.query_id, r.vec_id)
+        for r in ivf_sq8_topk(
+            emb, queries, cents, k=5, nprobe=3, cand_k=15
+        ).collect()
+    }
+    assert len(exact & sq) >= len(exact & ivf) - 1

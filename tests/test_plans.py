@@ -220,3 +220,11 @@ def test_range_frame_is_user_partitioned(spark, sf_dir):
     win_frag = plan[plan.find("Window"):][:500]
     assert "user_id" in win_frag
     assert "SinglePartition" not in plan
+
+
+def test_ivf_sq8_no_unbroadcast_product(spark, sf_dir):
+    """ivf_sq8_topk: probe and refine sides broadcast; the quantized list
+    scan is an equi-join on centroid_id — no corpus×queries product."""
+    plan = _executed_plan(spark, sf_dir, "ivf_sq8_topk")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
