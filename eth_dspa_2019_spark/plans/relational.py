@@ -433,3 +433,52 @@ def referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(empty)
         .crossJoin(badv)
     )
+
+
+@register(
+    "q22_idle_high_balance",
+    oracle=f"""
+    SELECT n.n_name,
+           count(*) AS n_custs,
+           {osum('c.c_acctbal')} AS total_bal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (SELECT {oavg('c_acctbal')} FROM customer
+                         WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n.n_name
+    """,
+)
+def q22_idle_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped sales-opportunity report: customers whose balance
+    beats the global positive-balance average but who placed no recent
+    orders, counted per nation. Exercises the scalar subquery (one global
+    aggregate broadcast as a literal into the filter) + NOT EXISTS
+    anti-join surface.
+
+    Scale shape: the scalar average is a one-row aggregate Spark plans as
+    a subquery broadcast (no join); the recency check is an anti-join on
+    custkey probing only the date-filtered orders (filter pushed to that
+    scan); nation broadcasts. The customer scan is read once."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )
