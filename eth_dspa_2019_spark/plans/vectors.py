@@ -631,3 +631,125 @@ def ivf_sq8_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE, cand_k=SQ8_CAND_K
     )
     return df.withColumn("rank", F.col("rank").cast("int"))
+
+
+PARA_MAX_JACCARD = 0.2  # lexically distinct: below the near-dup threshold
+
+
+def _paraphrase_oracle() -> str:
+    from .llm import SHINGLE_N
+
+    shingle_expr = " || ' ' || ".join(
+        f"t[i + {k}]" for k in range(SHINGLE_N)
+    )
+    return f"""
+    WITH {_O_ELEMENTS},
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t,
+                   unnest(range(1, len(t) - {SHINGLE_N - 2})) AS i
+            FROM toks WHERE len(t) >= {SHINGLE_N}),
+    sh AS (SELECT DISTINCT doc_id AS id, {shingle_expr} AS shingle
+           FROM idx),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    bb AS ({" UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        + o_bucket_expr("embedding", plane_signs(ND_PLANES, DIM, f"band{b}:"))
+        + " AS bucket FROM embeddings"
+        for b in range(ND_BANDS)
+    )}),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM bb x JOIN bb y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    dots AS (
+      SELECT cd.a, cd.b,
+             sum(cast(floor(ea.x * eb.x * {FIXED_POINT}.0) AS bigint)) AS dp
+      FROM cand cd
+      JOIN el ea ON ea.vec_id = cd.a
+      JOIN el eb ON eb.vec_id = cd.b AND eb.i = ea.i
+      GROUP BY 1, 2
+    ),
+    close_pairs AS (
+      SELECT d.a, d.b,
+             cast(d.dp AS double)
+               / (sqrt(cast(na.n2 AS double)) * sqrt(cast(nb.n2 AS double)))
+               AS cos_sim
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.a
+      JOIN norms nb ON nb.vec_id = d.b
+      WHERE cast(d.dp AS double)
+              / (sqrt(cast(na.n2 AS double)) * sqrt(cast(nb.n2 AS double)))
+            >= {ND_THRESHOLD}
+    ),
+    common AS (
+      SELECT p.a, p.b, count(*) AS common
+      FROM close_pairs p
+      JOIN sh x ON x.id = p.a
+      JOIN sh y ON y.id = p.b AND y.shingle = x.shingle
+      GROUP BY 1, 2
+    )
+    SELECT p.a, p.b, p.cos_sim,
+           coalesce(cast(c.common AS double)
+                      / (sa.n + sb.n - c.common), 0.0) AS jaccard
+    FROM close_pairs p
+    JOIN sizes sa ON sa.id = p.a
+    JOIN sizes sb ON sb.id = p.b
+    LEFT JOIN common c ON c.a = p.a AND c.b = p.b
+    WHERE coalesce(cast(c.common AS double)
+                     / (sa.n + sb.n - c.common), 0.0) < {PARA_MAX_JACCARD}
+    """
+
+
+@register("paraphrase_candidates", oracle=_paraphrase_oracle())
+def paraphrase_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paraphrase mining — the SEMANTIC-dedup signal lexical dedup cannot
+    see: pairs whose embeddings are close (cosine >= the near-dup
+    threshold, LSH-bucketed candidates) but whose token 3-gram Jaccard is
+    LOW (below the lexical near-dup threshold). The survivors are
+    "same content, different words" — the pairs a curation pipeline
+    routes to semantic dedup or keeps as natural paraphrase augmentation.
+
+    Scale shape: candidate pairs come from the banded hyperplane LSH
+    equi-join (never all-pairs); the Jaccard check runs ONLY on the
+    cosine-close survivors (the expensive lexical comparison is gated by
+    the cheap-at-scale vector screen); shingle sizes broadcast-join onto
+    the tiny pair set."""
+    from ..operators.dedup import _pair_jaccard, shingles
+    from .llm import SHINGLE_N
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    close = neardup_pairs_lsh(
+        emb, ND_THRESHOLD, bands=ND_BANDS, planes_per_band=ND_PLANES, dim=DIM
+    )
+    sh = shingles(docs, "doc_id", "text", SHINGLE_N)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    jac = (
+        _pair_jaccard(
+            sh,
+            candidates=close.select(
+                F.col("a").alias("doc_a"), F.col("b").alias("doc_b")
+            ),
+        )
+        .select(
+            F.col("doc_a").alias("a"),
+            F.col("doc_b").alias("b"),
+            F.col("jaccard").alias("j"),
+        )
+    )
+    out = (
+        close.join(jac, ["a", "b"], "left")
+        .join(
+            sizes.select(F.col("id").alias("a")), "a"
+        )  # docs without >=SHINGLE_N tokens are excluded by contract
+        .join(sizes.select(F.col("id").alias("b")), "b")
+        .select(
+            "a",
+            "b",
+            "cos_sim",
+            F.coalesce(F.col("j"), F.lit(0.0)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") < PARA_MAX_JACCARD)
+    )
+    return out
