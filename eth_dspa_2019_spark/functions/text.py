@@ -100,3 +100,30 @@ def lang_guess(toks: Column) -> Column:
         .when(de >= fr, F.lit("de"))
         .otherwise(F.lit("fr"))
     )
+
+
+def make_quality_score_udf():
+    """§2.11 `pandas_udf` surface: the quality score as a REGISTERED scalar
+    Arrow UDF — the packaging to hand this engine's scoring to plain-SQL
+    users (`spark.udf.register("quality_score", make_quality_score_udf())`).
+    The expression form (:func:`quality_score`) remains the hot path — it
+    stays inside codegen; the UDF exists for SQL-surface interop and is
+    asserted equal to the expression in tests."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    stopset = set(STOPWORDS)
+
+    @pandas_udf("double")
+    def quality_score_udf(text):
+        toks = text.str.split(" ")
+        n = toks.str.len().astype("float64")
+        len_term = (n / 100.0).clip(upper=1.0)
+        uniq = toks.map(lambda t: float(len(set(t)))) / n
+        stop = (
+            toks.map(lambda t: float(sum(1 for w in t if w in stopset))) / n
+        )
+        return 0.5 * len_term + 0.3 * uniq + 0.2 * (1.0 - stop)
+
+    return quality_score_udf

@@ -382,3 +382,32 @@ def test_ivf_sq8_recall_within_ivf(spark, sf_dir):
         ).collect()
     }
     assert len(exact & sq) >= len(exact & ivf) - 1
+
+
+def test_pandas_udf_quality_score_equals_expression(spark, sf_dir):
+    """§2.11 pandas_udf surface: the registered scalar Arrow UDF must
+    produce bit-identical scores to the codegen expression path (and be
+    callable from plain SQL after registration)."""
+    from eth_dspa_2019_spark.functions.text import (
+        make_quality_score_udf,
+        quality_score,
+        tokens,
+    )
+    from eth_dspa_2019_spark.io.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    udf = make_quality_score_udf()
+    both = docs.select(
+        "doc_id",
+        quality_score(tokens("text")).alias("expr_score"),
+        udf(F.col("text")).alias("udf_score"),
+    )
+    bad = both.filter(F.col("expr_score") != F.col("udf_score")).count()
+    assert bad == 0
+    # SQL-registered form
+    spark.udf.register("quality_score", make_quality_score_udf())
+    docs.createOrReplaceTempView("qdocs")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM qdocs WHERE quality_score(text) > 0.5"
+    ).collect()[0].n
+    assert n > 0
