@@ -57,3 +57,42 @@ def run_exactly_once_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def compact_epochs(
+    spark,
+    path: str,
+    partition_cols: list[str],
+    keep_epochs_from: int | None = None,
+) -> None:
+    """Fold the accumulated ``epoch=N`` directories into plain
+    ``partition_cols`` layout — the periodic compaction every
+    epoch-partitioned ingest needs: readers stop paying a file-listing
+    and small-file penalty proportional to stream lifetime, and the
+    exactly-once property is preserved because compaction only touches
+    epochs the stream has already committed.
+
+    ``keep_epochs_from``: epochs >= this id are left in place (the
+    streaming head that may still be replayed); pass None to compact
+    everything (stream stopped). Compacted rows land under
+    ``<path>_compacted`` partitioned by ``partition_cols`` only, and the
+    folded epoch directories are dropped."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    to_fold = (
+        df
+        if keep_epochs_from is None
+        else df.filter(F.col("epoch") < keep_epochs_from)
+    )
+    write_partitioned(
+        to_fold.drop("epoch"), path + "_compacted", partition_cols
+    )
+    import os
+
+    for d in os.listdir(path):
+        if not d.startswith("epoch="):
+            continue
+        eid = int(d.split("=", 1)[1])
+        if keep_epochs_from is None or eid < keep_epochs_from:
+            shutil.rmtree(os.path.join(path, d))

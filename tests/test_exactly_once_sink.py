@@ -81,3 +81,35 @@ def test_stream_writes_epoch_partitions_and_replay_is_idempotent(
     assert {
         r.user_id for r in after.filter(F.col("epoch") == 1).collect()
     } == {103}
+
+
+def test_compact_epochs_folds_committed_history(spark, tmp_path):
+    from eth_dspa_2019_spark.streaming.sinks import compact_epochs
+
+    watch = str(tmp_path / "cwatch")
+    os.makedirs(watch)
+    now = time.time()
+    b0 = [("2019-05-01T10:00:00", 1, "en")]
+    b1 = [("2019-05-01T11:00:00", 2, "de")]
+    b2 = [("2019-05-01T12:00:00", 3, "en")]
+    for i, b in enumerate([b0, b1, b2]):
+        _write(watch, f"b{i}.json", b, now - 300 + i * 30)
+    out = str(tmp_path / "cout")
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(watch)
+    )
+    run_exactly_once_sink(
+        stream, out, str(tmp_path / "cckpt"), partition_cols=["lang"]
+    )
+    # fold epochs 0-1, keep the streaming head (epoch 2) replayable
+    compact_epochs(spark, out, ["lang"], keep_epochs_from=2)
+    live = spark.read.parquet(out)
+    assert {r.epoch for r in live.select("epoch").distinct().collect()} == {2}
+    folded = spark.read.parquet(out + "_compacted")
+    assert folded.count() == 2
+    assert "epoch" not in folded.columns
+    assert os.path.isdir(os.path.join(out + "_compacted", "lang=en"))
+    # union of head + compacted = the full stream, no loss, no duplicates
+    assert live.count() + folded.count() == 3
