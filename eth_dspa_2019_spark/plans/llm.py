@@ -804,3 +804,36 @@ def incremental_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=JACCARD_THRESHOLD,
         prefix=DEDUP_PREFIX,
     )
+
+
+@register(
+    "context_length_histogram",
+    oracle="""
+    SELECT cast(length(bin(cast(len(string_split(text, ' ')) AS bigint)))
+                AS bigint) AS len_bucket,
+           count(*) AS n_docs,
+           cast(sum(cast(len(string_split(text, ' ')) AS bigint))
+                AS bigint) AS total_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def context_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length profile — the doc-length histogram every training
+    pipeline reports before choosing context length / packing budget:
+    docs bucketed by bit-length of their token count (log2 buckets via
+    ``length(bin(n))`` — integer-exact in both engines, no float log).
+    Map-side-combined groupBy over ~60 buckets; runs at scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = token_count(tokens("text"))
+    return (
+        docs.select(
+            F.length(F.bin(n)).cast("bigint").alias("len_bucket"),
+            n.alias("n_tokens"),
+        )
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h64, o_h64
-from ..functions.text import quality_score, tokens
+from ..functions.text import quality_score, token_count, tokens
 from ..io.readers import load_table
 from .llm import _lsh_pairs, _O_SHINGLES, _o_minhash_bands, _o_jaccard_select
 from ..operators import dedup as dd
@@ -674,4 +674,63 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("bucket") < F.col("r"))
         .drop("r")
+    )
+
+
+@register(
+    "source_quality_report",
+    oracle=f"""
+    WITH toks AS (SELECT source, string_split(text, ' ') AS t
+                  FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           cast(sum(cast(len(t) AS bigint)) AS bigint) AS total_tokens,
+           cast(sum(cast(floor((
+                 0.5 * least(len(t) / 100.0, 1.0)
+               + 0.3 * (len(list_distinct(t)) / len(t))
+               + 0.2 * (1.0 - len(list_filter(t, x ->
+                     list_contains({_sql_stoplist()}, x))) / len(t))
+               ) * 1000000.0) AS bigint)) AS bigint) AS sum_q_fx,
+           cast(sum(cast(floor((
+                 0.5 * least(len(t) / 100.0, 1.0)
+               + 0.3 * (len(list_distinct(t)) / len(t))
+               + 0.2 * (1.0 - len(list_filter(t, x ->
+                     list_contains({_sql_stoplist()}, x))) / len(t))
+               ) * 1000000.0) AS bigint)) AS double)
+             / count(*) / 1000000.0 AS avg_quality
+    FROM toks
+    GROUP BY source
+    """,
+)
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card — the table a curation run publishes next to
+    the corpus: document counts, token totals, and mean quality score per
+    domain. One map-side-combined groupBy; the quality expression is the
+    same codegen formula the gates use (decimal-summed for an
+    order-independent mean)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    # per-row floor quantization BEFORE the sum: decimal casts of gnarly
+    # doubles disagree with DuckDB at ~1 ulp (see operators/similarity
+    # module docstring); floor of an identical double is identical, and
+    # the integer sum is order-independent
+    q_fx = F.floor(quality_score(t) * 1_000_000.0).cast("bigint")
+    return (
+        docs.select(
+            "source",
+            token_count(t).alias("n_tokens"),
+            q_fx.alias("q_fx"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("q_fx").alias("sum_q_fx"),
+        )
+        .withColumn(
+            "avg_quality",
+            F.col("sum_q_fx").cast("double")
+            / F.col("n_docs")
+            / F.lit(1_000_000.0),
+        )
     )
