@@ -59,3 +59,19 @@ def test_max_records_per_file_splits_output(spark, sf_dir, tmp_path):
     ]
     # >= 250 en docs in one task, capped at 50 rows/file -> several files
     assert len(en_files) >= 2
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_dir, tmp_path):
+    """Reading the partitioned layout back with a partition predicate must
+    prune at the directory level — PartitionFilters in the scan, only the
+    matching lang read."""
+    out = str(tmp_path / "pruned")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    write_partitioned(docs, out, ["lang"])
+    df = spark.read.parquet(out).filter(F.col("lang") == "de")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "lang" in pf[0]  # predicate reached the partition level
+    assert df.count() == docs.filter(F.col("lang") == "de").count()
