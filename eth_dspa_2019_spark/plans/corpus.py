@@ -297,3 +297,147 @@ def label_centroid_dist(e: DataFrame) -> DataFrame:
             .alias("dist2_fx")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document overlapping context-window chunking
+
+CHUNK_W = 128  # context-window tokens per chunk
+CHUNK_S = 96  # stride between chunk starts (CHUNK_W - CHUNK_S = overlap)
+
+
+@register(
+    "doc_sliding_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             cast(len(string_split(text, ' ')) AS bigint) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, n_tokens,
+           cast(unnest(generate_series(0, n_tokens - 1, {CHUNK_S}))
+                AS bigint) AS start_tok
+    FROM t
+    """,
+    doc="per-doc overlapping chunk starts",
+)
+def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: every document is cut into
+    {CHUNK_W}-token windows whose starts advance by {CHUNK_S} tokens
+    (overlap {CHUNK_W - CHUNK_S}) — the per-document complement of the
+    cross-document `doc_pack_chunks` packer, i.e. the fine-tune / eval
+    chunk layout where documents must NOT bleed into each other.
+
+    Scale shape: map-only — token count is a projection, the chunk-start
+    list is `sequence()` + `explode` (rows fan out ~n_tokens/{CHUNK_S}×
+    with no shuffle, no window, no driver state). Derived columns
+    (chunk_idx, end_tok) are pure projections over start_tok and are
+    computed by `doc_chunk_spans` below; this query returns the minimal
+    exploded spine so the oracle stays engine-portable.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    t = docs.select("doc_id", token_count(tokens("text")).alias("n_tokens"))
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.col("n_tokens") - 1,
+                F.lit(CHUNK_S).cast("bigint"),
+            )
+        ).alias("start_tok"),
+    )
+
+
+@register(
+    "doc_chunk_spans",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             cast(len(string_split(text, ' ')) AS bigint) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT doc_id, n_tokens,
+             cast(unnest(generate_series(0, n_tokens - 1, {CHUNK_S}))
+                  AS bigint) AS start_tok
+      FROM t
+    )
+    SELECT doc_id, start_tok,
+           cast(start_tok // {CHUNK_S} AS bigint) AS chunk_idx,
+           cast(least(start_tok + {CHUNK_W}, n_tokens) AS bigint) AS end_tok,
+           cast(least(start_tok + {CHUNK_W}, n_tokens) - start_tok
+                AS bigint) AS chunk_len
+    FROM s
+    """,
+    doc="chunk spans with index/end/length",
+)
+def doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full chunk table over `doc_sliding_chunks`: chunk index within
+    the doc, exclusive end token (clamped at the doc length), and chunk
+    length — what a training loader actually consumes. Still map-only;
+    every added column is a projection over the exploded spine."""
+    s = doc_sliding_chunks(spark, sf_dir)
+    end = F.least(F.col("start_tok") + CHUNK_W, F.col("n_tokens"))
+    return s.select(
+        "doc_id",
+        "start_tok",
+        F.expr(f"start_tok div {CHUNK_S}").alias("chunk_idx"),
+        end.cast("bigint").alias("end_tok"),
+        (end - F.col("start_tok")).cast("bigint").alias("chunk_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-shard layout (global shuffle for training order)
+
+NSHARDS = 16  # fixture shard count; production sizes this to corpus/shard-GB
+
+
+@register(
+    "training_shard_layout",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             cast(('0x' || substring(md5(cast(doc_id AS varchar)), 1, 15))
+                  AS bigint) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           cast(h % {NSHARDS} AS bigint) AS shard,
+           cast(row_number() OVER (PARTITION BY h % {NSHARDS}
+                                   ORDER BY h, doc_id) AS bigint) AS pos
+    FROM t
+    """,
+    doc="deterministic hash shuffle into ordered training shards",
+)
+def training_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: each document is assigned to
+    a shard by hash and ordered within the shard by the same hash — a
+    reproducible pseudo-random permutation of the corpus, materialized as
+    the sharded layout training jobs actually read (shard files, each
+    internally ordered; epoch N+1 reshuffles by salting the hash).
+
+    Scale shape: ONE hash shuffle on the shard key, then a per-shard sort
+    for row_number — never a global single-partition window. Shards are
+    hash-uniform (no skew by construction); shard count grows with the
+    corpus so per-shard sorts stay memory-sized. The same layout feeds
+    `io.writers.write_partitioned` for the on-disk shard directories.
+    """
+    from ..functions.hashing import h64
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = h64(F.col("doc_id").cast("string"))
+    t = docs.select("doc_id", h.alias("h"))
+    w = (
+        Window.partitionBy(F.col("h") % NSHARDS)
+        .orderBy("h", "doc_id")
+    )
+    return t.select(
+        "doc_id",
+        (F.col("h") % NSHARDS).alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

@@ -837,3 +837,65 @@ def context_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary induction: the first BPE merge iteration at corpus scale
+
+BPE_TOPK = 50
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+      SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> substring(w, i, 2))) AS pair
+      FROM w WHERE len(w) >= 2
+    )
+    SELECT pair, count(*) AS cnt
+    FROM p GROUP BY 1
+    ORDER BY cnt DESC, pair
+    LIMIT {BPE_TOPK}
+    """,
+    doc="top adjacent-symbol pair frequencies (BPE merge step)",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary induction: the corpus-wide adjacent-symbol
+    pair frequencies that drive the first BPE merge decision (Sennrich et
+    al. 2016) — each whitespace word contributes its consecutive
+    character bigrams, the global top-{BPE_TOPK} by count (pair as the
+    deterministic tie-break) is the merge candidate list. Iterating =
+    re-running with merged symbols substituted; the per-iteration job is
+    this exact shape.
+
+    Scale shape: explode is map-only fan-out; the pair key space is tiny
+    (alphabet², ~10³ even with punctuation) so the grouped count is almost
+    entirely map-side partial aggregation, and the shuffle carries at most
+    |pairs| rows per partition. Top-k plans as TakeOrderedAndProject —
+    no global sort materialization. Words of length 1 are guarded out on
+    BOTH engines: Spark's `sequence(1, 0)` counts DOWN (yielding [1, 0])
+    where DuckDB's `generate_series(1, 0)` is empty — the length guard
+    makes the fan-out identical.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    words = docs.select(F.explode(tokens("text")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(BPE_TOPK)
+    )

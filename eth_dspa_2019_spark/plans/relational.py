@@ -482,3 +482,233 @@ def q22_idle_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total_bal"),
         )
     )
+
+
+@register(
+    "q7_cross_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           cast(year(l.l_shipdate) AS bigint) AS ship_year,
+           {osum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_cross_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-style bilateral trade volume: the same dimension table
+    joined TWICE under different roles (supplier nation vs customer
+    nation), with a disjunctive cross-role predicate.
+
+    Scale shape: both nation copies broadcast (a dim joined twice costs
+    two broadcasts, never a shuffle); the pair predicate is applied after
+    the broadcasts so the fact tables shuffle only on their join keys.
+    The nation-name filter cannot be pushed into either single-role scan
+    (it spans both roles), but the dims are tiny by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle=f"""
+    SELECT cast(month(l.l_shipdate) AS bigint) AS ship_month,
+           {osum("CASE WHEN p.p_type = 'PROMO' "
+                 "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+             AS promo_revenue,
+           {osum('l.l_extendedprice * (1 - l.l_discount)')} AS total_revenue,
+           100.0 * {osum("CASE WHEN p.p_type = 'PROMO' "
+                         "THEN l.l_extendedprice * (1 - l.l_discount) "
+                         "ELSE 0 END")}
+                 / {osum('l.l_extendedprice * (1 - l.l_discount)')}
+             AS promo_share_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-style promotion-effect report, widened to one row per 1996
+    ship month: the conditional-aggregate-over-join shape (the reference's
+    per-type conditional counts, `SN/task/activepost/
+    ActivePostStatistician.java:92-96`, applied to a ratio metric).
+
+    Scale shape: part broadcasts under the threshold; the date filter is
+    pushed to the lineitem scan; promo and total revenue come out of ONE
+    grouped aggregate (two conditional sums, no second pass); the ratio is
+    a per-row projection over the 12-row aggregate. Decimal-exact sums
+    make the shares bit-identical across engines and partitionings."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    out = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.month("l_shipdate").cast("bigint").alias("ship_month"))
+        .agg(
+            dsum(promo).alias("promo_revenue"),
+            dsum(rev).alias("total_revenue"),
+        )
+    )
+    return out.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        (100.0 * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_share_pct"
+        ),
+    )
+
+
+@register(
+    "q16_part_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#2'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 3)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-style supplier-variety report: how many distinct
+    suppliers ship each (brand, type, size) bucket, excluding a blacklist
+    (here: negative-balance suppliers) — distinct-count over a join with a
+    NOT-IN exclusion.
+
+    Scale shape: the part predicate (brand/size) broadcasts with the dim
+    and prunes the fact rows before the aggregate; the blacklist is a
+    broadcast anti-join (never a shuffled NOT IN); count(DISTINCT) plans
+    as the two-level Expand-free distinct aggregate on the already-grouped
+    keys, shuffled once on (brand, type, size)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 3)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY 1
+      HAVING sum(cast(l_quantity AS decimal(38,6))) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           cast(floor(epoch(o.o_orderdate)) AS bigint) AS orderdate_epoch,
+           o.o_totalprice,
+           {osum('l.l_quantity')} AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-style large-volume-order report: the IN-over-HAVING shape
+    — a grouped aggregate produces the qualifying key set, which then
+    semi-joins the fact before a second grouped aggregate.
+
+    Scale shape: the HAVING aggregate shuffles lineitem on l_orderkey
+    once; the qualifying set is small (high threshold) and semi-joins
+    orders without materializing a distinct step; the final aggregate
+    reuses the l_orderkey shuffle partitioning for its (custkey, orderkey)
+    group via AQE. Decimal-exact quantity sums keep the >250 threshold
+    tie-free across partitionings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        o.join(
+            F.broadcast(big),
+            F.col("o_orderkey") == F.col("big_orderkey"),
+            "left_semi",
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            epoch_seconds("o_orderdate").alias("orderdate_epoch"),
+            "o_totalprice",
+        )
+        .agg(dsum("l_quantity").alias("sum_qty"))
+    )

@@ -228,3 +228,57 @@ def test_ivf_sq8_no_unbroadcast_product(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "ivf_sq8_topk")
     assert "CartesianProduct" not in plan
     assert "Broadcast" in plan
+
+
+def test_q7_double_nation_broadcast(spark, sf_dir):
+    """Both role-copies of the nation dim must broadcast — a dim joined
+    twice is two broadcasts, never a fact shuffle."""
+    plan = _executed_plan(spark, sf_dir, "q7_cross_nation_volume")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q14_single_aggregate_with_pushdown(spark, sf_dir):
+    """Promo and total revenue come from ONE grouped aggregate (two
+    conditional sums), and the 1996 ship-date range reaches the scan."""
+    plan = _executed_plan(spark, sf_dir, "q14_promo_revenue_share")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # one partial+final pair, not two separate aggregations unioned: a
+    # single hash Exchange (on the month grouping expr) besides the
+    # part-dim BroadcastExchange
+    assert plan.count("Exchange hashpartitioning(") == 1
+
+
+def test_q16_blacklist_is_broadcast_anti(spark, sf_dir):
+    plan = _executed_plan(spark, sf_dir, "q16_part_supplier_variety")
+    assert "LeftAnti, BuildRight" in plan
+    # part predicate prunes via the broadcast join, lineitem scan stays
+    # 3-column (partkey, suppkey join keys; no price columns read)
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    li_schema = [s for s in read_schemas if "l_partkey" in s][0]
+    assert "l_extendedprice" not in li_schema
+
+
+def test_q18_qualifying_set_semi_joins(spark, sf_dir):
+    plan = _executed_plan(spark, sf_dir, "q18_large_volume_orders")
+    assert "LeftSemi" in plan
+
+
+def test_doc_chunk_spans_is_map_only(spark, sf_dir):
+    """Overlapping chunking must be pure fan-out: no shuffle, no window."""
+    plan = _executed_plan(spark, sf_dir, "doc_chunk_spans")
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+
+
+def test_training_shard_layout_single_shard_shuffle(spark, sf_dir):
+    """One hash shuffle on the shard key; the row_number window must be
+    shard-partitioned, never a global single-partition sort."""
+    plan = _executed_plan(spark, sf_dir, "training_shard_layout")
+    assert plan.count("Exchange hashpartitioning(") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_bpe_pair_counts_topk_is_take_ordered(spark, sf_dir):
+    plan = _executed_plan(spark, sf_dir, "bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final pair count
