@@ -174,6 +174,13 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(QUANTILE_BUCKETS - 1),
         ),
     )
+    # Two jobs consume the scored relation (the histogram collect below,
+    # then the final ranked filter); persist so tokenize+score runs once.
+    # At cluster scale this is the standard cache-the-scored-projection
+    # step (or a checkpoint) — without it the corpus is scored twice.
+    from pyspark import StorageLevel
+
+    bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
     hist = {
         (r["lang"], r["qb"]): r["n"]
         for r in bucketed.groupBy("lang", "qb")

@@ -651,3 +651,50 @@ def moving_value_avg_1h_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).over(w)
         ).alias("avg_1h"),
     )
+
+
+@register(
+    "events_props_json",
+    oracle="""
+    WITH j AS (
+      SELECT event_type,
+             cast(json_extract(props, '$.k') AS bigint) AS k
+      FROM events
+      WHERE props IS NOT NULL
+    )
+    SELECT event_type,
+           count(*) AS n,
+           cast(sum(k) AS bigint) AS sum_k,
+           cast(min(k) AS bigint) AS min_k,
+           cast(max(k) AS bigint) AS max_k,
+           count(DISTINCT k) AS distinct_k
+    FROM j
+    GROUP BY 1
+    """,
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON `props` payload with a
+    declared schema (`from_json`, not regex) and aggregate the typed field
+    — the schema-on-read path every event pipeline needs for property
+    bags (the reference carries its payloads pre-parsed; Spark reads them
+    as data, SURVEY §1.1).
+
+    Scale shape: `from_json` is a codegen'd JVM projection (Jackson per
+    partition, no Python); extraction fuses into the scan stage so only
+    the typed bigint reaches the one-shuffle grouped aggregate. A real
+    deployment would also push `props IS NOT NULL` to the parquet scan —
+    visible here as PushedFilters."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType())])
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    j = ev.select(
+        "event_type", F.from_json("props", schema).getField("k").alias("k")
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+        F.countDistinct("k").alias("distinct_k"),
+    )

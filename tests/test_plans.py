@@ -282,3 +282,13 @@ def test_bpe_pair_counts_topk_is_take_ordered(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "bpe_pair_counts")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final pair count
+
+
+def test_events_props_json_fuses_into_scan_stage(spark, sf_dir):
+    """from_json must stay a JVM codegen projection over a pruned scan:
+    only (event_type, props) read, NULL filter pushed, one shuffle."""
+    plan = _executed_plan(spark, sf_dir, "events_props_json")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "IsNotNull(props)" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "value" not in read_schema and "user_id" not in read_schema
