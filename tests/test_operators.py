@@ -411,3 +411,82 @@ def test_pandas_udf_quality_score_equals_expression(spark, sf_dir):
         "SELECT count(*) AS n FROM qdocs WHERE quality_score(text) > 0.5"
     ).collect()[0].n
     assert n > 0
+
+
+def test_chunk_spans_tile_documents_exactly(spark, sf_dir):
+    """Chunk spans must cover every token of every doc: first chunk starts
+    at 0, consecutive starts advance by the stride, the last span ends at
+    n_tokens, and every span is non-empty and at most CHUNK_W long."""
+    from eth_dspa_2019_spark.plans.corpus import CHUNK_S, CHUNK_W
+    from eth_dspa_2019_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["doc_chunk_spans"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc_id, spans in by_doc.items():
+        spans.sort(key=lambda r: r["start_tok"])
+        assert spans[0]["start_tok"] == 0
+        for i, s in enumerate(spans):
+            assert s["chunk_idx"] == i
+            assert s["start_tok"] == i * CHUNK_S
+            assert 1 <= s["chunk_len"] <= CHUNK_W
+            assert s["end_tok"] == s["start_tok"] + s["chunk_len"]
+        # the last window reaches the end of the doc; the one before it
+        # cannot already cover the end (else the last would be redundant)
+        n_tokens = spans[-1]["end_tok"]
+        assert spans[-1]["start_tok"] < n_tokens
+        if len(spans) > 1:
+            assert spans[-2]["start_tok"] + CHUNK_S < n_tokens + CHUNK_S
+
+
+def test_training_shard_layout_is_a_permutation(spark, sf_dir):
+    """Every doc appears exactly once; within a shard, pos is the dense
+    1..n_shard sequence; the assignment is deterministic across runs."""
+    from eth_dspa_2019_spark.plans.registry import all_queries
+
+    q = all_queries()["training_shard_layout"]
+    rows = sorted(
+        (r["doc_id"], r["shard"], r["pos"]) for r in q.spark(spark, sf_dir).collect()
+    )
+    docs = [r[0] for r in rows]
+    assert len(docs) == len(set(docs))
+    by_shard: dict = {}
+    for _, shard, pos in rows:
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    rows2 = sorted(
+        (r["doc_id"], r["shard"], r["pos"]) for r in q.spark(spark, sf_dir).collect()
+    )
+    assert rows == rows2
+
+
+def test_bpe_pair_counts_against_python(spark, sf_dir):
+    """The distributed pair count must equal a direct Python count over
+    the same corpus (top-K with the same deterministic tie-break)."""
+    from collections import Counter
+
+    from eth_dspa_2019_spark.io.readers import load_table
+    from eth_dspa_2019_spark.plans.llm import BPE_TOPK
+    from eth_dspa_2019_spark.plans.registry import all_queries
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    c: Counter = Counter()
+    for r in docs:
+        if r["text"] is None:
+            continue
+        for w in r["text"].split(" "):
+            for i in range(len(w) - 1):
+                c[w[i : i + 2]] += 1
+    expected = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOPK]
+    got = [
+        (r["pair"], r["cnt"])
+        for r in all_queries()["bpe_pair_counts"].spark(spark, sf_dir).collect()
+    ]
+    assert got == expected
