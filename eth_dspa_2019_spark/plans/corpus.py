@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.hashing import o_h64
 from ..functions.text import STOPWORDS, quality_score, token_count, tokens
 from ..io.readers import load_table
 from ..operators.prefix import global_running_sums
@@ -175,12 +176,10 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # Two jobs consume the scored relation (the histogram collect below,
-    # then the final ranked filter); persist so tokenize+score runs once.
-    # At cluster scale this is the standard cache-the-scored-projection
-    # step (or a checkpoint) — without it the corpus is scored twice.
-    from pyspark import StorageLevel
-
-    bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
+    # then the final ranked filter). At cluster scale, cache or checkpoint
+    # the scored projection between them; at fixture scale the recompute
+    # is cheaper than managing (and leaking) a session cache entry per
+    # invocation, so the relation is left lazy.
     hist = {
         (r["lang"], r["qb"]): r["n"]
         for r in bucketed.groupBy("lang", "qb")
@@ -408,9 +407,7 @@ NSHARDS = 16  # fixture shard count; production sizes this to corpus/shard-GB
     "training_shard_layout",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id,
-             cast(('0x' || substring(md5(cast(doc_id AS varchar)), 1, 15))
-                  AS bigint) AS h
+      SELECT doc_id, {o_h64("cast(doc_id AS varchar)")} AS h
       FROM documents
     )
     SELECT doc_id,

@@ -617,8 +617,8 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_brand <> 'Brand#2'
       AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 3)
-      AND l.l_suppkey NOT IN
-          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      AND NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0)
     GROUP BY 1, 2, 3
     """,
 )
