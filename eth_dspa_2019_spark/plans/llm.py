@@ -899,3 +899,72 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(BPE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM surprisal scoring (CCNet-style perplexity filter, exact-integer)
+
+
+@register(
+    "doc_unigram_surprisal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS cnt FROM tok GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS total FROM tok)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           cast(sum(length(bin(total // cnt))) AS bigint) AS surprisal_bits,
+           cast(floor(1000000.0 * sum(length(bin(total // cnt)))
+                      / count(*)) AS bigint) AS mean_bits_fx
+    FROM tok t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
+    GROUP BY 1
+    """,
+    doc="unigram LM surprisal per doc (perplexity-filter proxy)",
+)
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring (the CCNet/Wikipedia-LM perplexity
+    filter, reduced to its corpus-computable core): train a unigram LM on
+    the corpus itself, then score every document by its total and mean
+    token surprisal — documents of rare garbage score high, fluent text
+    scores low.
+
+    Exact-integer discipline: true surprisal is -log2(cnt/total), but
+    `ln` is not correctly-rounded-required across engines; instead each
+    token contributes bit_length(total // cnt) = ⌈log2⌉ of the inverse
+    frequency, computed as `length(bin(x))` — the same integer-log2 trick
+    as the HLL rho — so the score is bit-identical in Spark and DuckDB
+    (and run-to-run). The mean is fixed-point (×10⁶, floored): an exact
+    integer-ratio floor, no float accumulation.
+
+    Scale shape: two linear passes. Pass 1 builds the vocabulary count
+    (one token shuffle, heavy map-side combine — Zipf means most mass
+    collapses before the exchange) and the scalar total (broadcast as a
+    1-row cross join). Pass 2 re-joins tokens to vocab on the token key —
+    at fixture scale Catalyst broadcasts the vocab; at 100 TB it becomes
+    a shuffle equi-join that co-partitions with pass 1's exchange. The
+    per-doc sum is the only other shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    bits = F.length(F.bin(F.expr("total div cnt")))
+    return (
+        tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(bits).cast("bigint").alias("surprisal_bits"),
+            F.floor(
+                1000000.0 * F.sum(bits) / F.count(F.lit(1))
+            ).cast("bigint").alias("mean_bits_fx"),
+        )
+    )

@@ -698,3 +698,41 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("bigint").alias("max_k"),
         F.countDistinct("k").alias("distinct_k"),
     )
+
+
+@register(
+    "event_cube",
+    oracle="""
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(cast(hour(ts) AS varchar), '<all>') AS hour_of_day,
+           count(*) AS n,
+           cast(sum(cast(value AS decimal(38,6))) AS double) AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, hour(ts))
+    """,
+)
+def event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE totals over (event_type, hour-of-day): all four grouping sets
+    (both, each alone, grand total) in ONE Expand-based pass — the
+    completion of the multi-level aggregation surface next to
+    `event_rollup` (ROLLUP emits only the 3 hierarchical sets). At scale
+    the Expand multiplies rows 4×, but only after map-side partial
+    aggregation keys them down."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.cube(
+            "event_type", F.hour("ts").cast("string").alias("hour_of_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("hour_of_day", F.lit("<all>")).alias("hour_of_day"),
+            "n",
+            "sum_value",
+        )
+    )

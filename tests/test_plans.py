@@ -292,3 +292,20 @@ def test_events_props_json_fuses_into_scan_stage(spark, sf_dir):
     assert "IsNotNull(props)" in plan
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "value" not in read_schema and "user_id" not in read_schema
+
+
+def test_unigram_surprisal_vocab_aggregates_map_side(spark, sf_dir):
+    """The vocabulary count must be a partial+final HashAggregate pair
+    (Zipf mass collapses before the exchange) and the scalar total a
+    broadcast — never a CartesianProduct over data-sized relations."""
+    plan = _executed_plan(spark, sf_dir, "doc_unigram_surprisal")
+    assert plan.count("HashAggregate") >= 4  # vocab pair + per-doc pair
+    assert "CartesianProduct" not in plan
+
+
+def test_event_cube_is_single_expand_pass(spark, sf_dir):
+    """CUBE must compile to ONE Expand (4 grouping sets in one pass),
+    never a union of per-set re-scans."""
+    plan = _executed_plan(spark, sf_dir, "event_cube")
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan parquet") == 1
