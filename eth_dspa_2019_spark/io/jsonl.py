@@ -1,0 +1,69 @@
+"""JSONL corpus interchange: the standard on-disk format LLM training
+corpora ship in (one JSON object per line, typically gzip-compressed,
+sharded into many files).
+
+Spark-native design: ``spark.read.json`` with an EXPLICIT schema — never
+schema inference, which costs a full extra pass over 100 TB and can
+silently widen/narrow types between shards — and ``DataFrameWriter.json``
+with shard-count control. Compression is codec-pluggable (gzip for
+interchange, none for speed); Spark splits uncompressed and bgzip'd
+inputs per-block, while plain .gz files are one partition each — so the
+writer defaults to MANY files (one per task), which is exactly the
+sharded layout `training_shard_layout` assigns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# the documents-table schema in JSONL form (doc_id, text, lang, source,
+# n_chars) — the interchange contract for corpus import/export
+DOCUMENTS_JSONL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    shards: int | None = None,
+    compression: str | None = None,
+) -> None:
+    """Write a corpus frame as sharded JSONL.
+
+    ``shards`` repartitions to a fixed file count (one file per task);
+    None keeps the input partitioning — the right choice when the frame
+    is already laid out (e.g. by `training_shard_layout`), since a
+    repartition here would be a pure extra shuffle.
+    """
+    out = df.repartition(shards) if shards else df
+    w = out.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType = DOCUMENTS_JSONL_SCHEMA,
+) -> DataFrame:
+    """Read a JSONL corpus with a declared schema (no inference pass).
+
+    Malformed lines surface as all-NULL rows under the default PERMISSIVE
+    mode; pass ``schema`` with a ``_corrupt_record`` string field to
+    retain them for a quarantine side output (the P8 pattern)."""
+    return spark.read.schema(schema).json(path)
