@@ -87,3 +87,14 @@ def read_pipe_csv(
         else reader.option("inferSchema", True).csv(path)
     )
     return df.select(*keep_columns) if keep_columns else df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so plain ANSI SQL
+    (``spark.sql``) works next to the DataFrame API — the engine's SQL
+    front door. Views are lazy scan definitions (no materialization);
+    Catalyst sees the same pushdown-capable parquet relations the
+    DataFrame queries use, so `spark.sql` and the registered plans compile
+    to identical physical plans."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -173,3 +173,31 @@ def test_paced_replay_schedule_and_stream_equivalence(spark, sf_dir, tmp_path):
         "complete",
     )
     assert got.collect()[0]["n"] == n_events
+
+
+def test_sql_front_door_matches_dataframe_plan(spark, sf_dir):
+    """spark.sql over registered views must equal the DataFrame query and
+    compile to the same pushdown-capable scan."""
+    from eth_dspa_2019_spark.io.readers import register_views
+    from eth_dspa_2019_spark.plans import all_queries
+
+    register_views(spark, sf_dir)
+    sql_df = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r["count_order"]
+        for r in sql_df.collect()
+    }
+    expected = {
+        (r["l_returnflag"], r["l_linestatus"]): r["count_order"]
+        for r in all_queries()["q1_pricing_summary"].spark(spark, sf_dir).collect()
+    }
+    assert got == expected
+    plan = sql_df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan  # views stay pushdown-capable scans
