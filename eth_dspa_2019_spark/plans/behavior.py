@@ -1,0 +1,146 @@
+"""Behavioral / product-analytics queries over the event stream: ordered
+funnel conversion and cohort retention — the two report shapes every
+event-analytics engine ships (and the reference's per-user activity
+statistics generalize to; `SN/task/activepost/ActivePostStatistician.java`
+counts per-entity events, these order them).
+
+Both are expressed as aggregations + broadcast-scale joins so the event
+table is scanned once per stage and never self-joined row-to-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.readers import load_table
+from .registry import register
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+@register(
+    "event_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1
+    ),
+    s4 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s3 ON e.user_id = s3.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1
+    )
+    SELECT * FROM (
+      SELECT 1 AS step, 'signup' AS step_name,
+             (SELECT count(*) FROM s1) AS users
+      UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+      UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+      UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+    )
+    """,
+    doc="ordered conversion funnel signup→view→click→purchase",
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: how many users progressed through
+    signup → view → click → purchase IN ORDER (each step strictly after
+    the user's previous step's first completion). The sequential
+    constraint is what distinguishes a funnel from four independent
+    counts.
+
+    Scale shape: one pass per step — a grouped min over the type-filtered
+    events semi-joined against the previous step's (user, t) frontier.
+    The frontier is users-sized (≤ distinct users, shrinking per step),
+    so Catalyst broadcasts it at fixture scale; at 100 TB each stage is
+    an equi-join on user_id that reuses the events table's one hash
+    partitioning across all four stages. Never a row×row self-join, and
+    the per-step counts are 1-row aggregates unioned at the end."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(step: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.filter(F.col("event_type") == step)
+        if prev is not None:
+            e = e.join(
+                prev.select(F.col("user_id").alias("pu"), F.col("t").alias("pt")),
+                (F.col("user_id") == F.col("pu")) & (F.col("ts") > F.col("pt")),
+            )
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    frontier = None
+    counts = []
+    for i, step in enumerate(FUNNEL_STEPS, start=1):
+        frontier = first_after(step, frontier)
+        counts.append(
+            frontier.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(i).alias("step"),
+                F.lit(step).alias("step_name"),
+                "users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, min(cast(ts AS date)) AS cohort_day
+      FROM events GROUP BY 1
+    ),
+    active AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, cast(e.ts AS date)) AS day_offset
+      FROM events e JOIN first_day f ON e.user_id = f.user_id
+    )
+    SELECT cast(strftime(cohort_day, '%Y-%m-%d') AS varchar) AS cohort_day,
+           cast(day_offset AS bigint) AS day_offset,
+           count(*) AS active_users
+    FROM active
+    GROUP BY 1, 2
+    """,
+    doc="daily cohort retention matrix",
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by the day of their first event
+    (the cohort), counted on each later day they were active — the
+    (cohort_day, day_offset) retention matrix behind every retention
+    curve.
+
+    Scale shape: first-touch is one grouped min on user_id; the cohort
+    day joins back on the same user_id key (partitioning reused), the
+    per-(user, day) distinct collapses map-side, and the final matrix is
+    cohorts×horizon rows — tiny. Cohort day is emitted as a date STRING
+    so both engines hash identical values (DATE epoch-days vs date32
+    canonicalize differently)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    active = (
+        ev.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return active.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("bigint").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).alias("active_users"))

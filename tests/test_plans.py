@@ -309,3 +309,19 @@ def test_event_cube_is_single_expand_pass(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "event_cube")
     assert plan.count("Expand") == 1
     assert plan.count("FileScan parquet") == 1
+
+
+def test_event_funnel_has_no_row_product(spark, sf_dir):
+    """Each funnel stage is an equi-join on user_id against the previous
+    frontier (plus a time predicate) — never a row×row product."""
+    plan = _executed_plan(spark, sf_dir, "event_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_retention_cohorts_single_fact_partitioning(spark, sf_dir):
+    """First-touch and the back-join both key on user_id; the distinct
+    collapses before the small matrix aggregate."""
+    plan = _executed_plan(spark, sf_dir, "user_retention_cohorts")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # min pair + distinct/count pairs
