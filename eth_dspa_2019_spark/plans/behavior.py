@@ -65,7 +65,15 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     an equi-join on user_id that reuses the events table's one hash
     partitioning across all four stages. Never a row×row self-join, and
     the per-step counts are 1-row aggregates unioned at the end."""
-    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(load_table(spark, sf_dir, "events"))
+
+
+def funnel_counts(
+    ev: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """The funnel over an arbitrary events frame (columns: user_id,
+    event_type, ts) — factored out of the registered query so randomized
+    property tests can drive it with synthetic logs."""
 
     def first_after(step: str, prev: DataFrame | None) -> DataFrame:
         e = ev.filter(F.col("event_type") == step)
@@ -78,7 +86,7 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frontier = None
     counts = []
-    for i, step in enumerate(FUNNEL_STEPS, start=1):
+    for i, step in enumerate(steps, start=1):
         frontier = first_after(step, frontier)
         counts.append(
             frontier.agg(F.count(F.lit(1)).alias("users")).select(

@@ -124,3 +124,63 @@ def test_repair_is_idempotent_and_violation_free(spark, rows):
         r["id"]: r["ts_fixed"] for r in repair_comment_tree(repaired_acts).collect()
     }
     assert again == fixed
+
+
+@st.composite
+def event_logs(draw):
+    """Random per-user event logs over the funnel step alphabet with
+    repeated types and tie-free integer timestamps."""
+    n_users = draw(st.integers(1, 4))
+    rows = []
+    ts = 0
+    for u in range(n_users):
+        for _ in range(draw(st.integers(0, 12))):
+            ts += 1  # strictly increasing -> no cross-engine tie semantics
+            rows.append(
+                (u, draw(st.sampled_from(("signup", "view", "click", "purchase"))), ts)
+            )
+    return rows
+
+
+def _funnel_reference(rows, steps=("signup", "view", "click", "purchase")):
+    """Straightforward per-user scan: first occurrence of each step
+    strictly after the previous step's first completion."""
+    users = {}
+    for u, t, ts in rows:
+        users.setdefault(u, []).append((ts, t))
+    counts = []
+    survivors = {u: None for u in users}  # user -> last step completion ts
+    for step in steps:
+        nxt = {}
+        for u, prev_ts in survivors.items():
+            hit = min(
+                (ts for ts, t in users[u]
+                 if t == step and (prev_ts is None or ts > prev_ts)),
+                default=None,
+            )
+            if hit is not None:
+                nxt[u] = hit
+        counts.append(len(nxt))
+        survivors = nxt
+    return counts
+
+
+@given(event_logs())
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_funnel_matches_reference_scan(spark, rows):
+    from eth_dspa_2019_spark.plans.behavior import funnel_counts
+
+    df = spark.createDataFrame(
+        [(u, t, ts) for u, t, ts in rows] or [(0, "none", 0)],
+        "user_id long, event_type string, ts long",
+    )
+    got = {
+        r["step_name"]: r["users"] for r in funnel_counts(df).collect()
+    }
+    expected = _funnel_reference(rows)
+    steps = ("signup", "view", "click", "purchase")
+    assert [got[s] for s in steps] == expected
