@@ -152,3 +152,111 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
         F.col("day_offset").cast("bigint").alias("day_offset"),
     ).agg(F.count(F.lit(1)).alias("active_users"))
+
+
+# ---------------------------------------------------------------------------
+# Time-series similarity: correlated user activity series
+
+MIN_OVERLAP_HOURS = 6  # minimum shared active hours for a meaningful corr
+CORR_TOPK = 20
+_DEC12 = "decimal(38,12)"
+
+
+@register(
+    "user_activity_correlation",
+    oracle=f"""
+    WITH series AS (
+      SELECT user_id,
+             cast(floor(epoch(ts)/3600) AS bigint) AS hour,
+             cast(sum(cast(value AS decimal(38,6))) AS double) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.user_id AS u1, b.user_id AS u2,
+             count(*) AS n_hours,
+             cast(sum(cast(a.v * b.v AS {_DEC12})) AS double) AS sxy,
+             cast(sum(cast(a.v AS {_DEC12})) AS double) AS sx,
+             cast(sum(cast(b.v AS {_DEC12})) AS double) AS sy,
+             cast(sum(cast(a.v * a.v AS {_DEC12})) AS double) AS sxx,
+             cast(sum(cast(b.v * b.v AS {_DEC12})) AS double) AS syy
+      FROM series a JOIN series b
+        ON a.hour = b.hour AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    )
+    SELECT u1, u2, n_hours,
+           cast(floor(1000000.0 * (n_hours * sxy - sx * sy)
+                / sqrt((n_hours * sxx - sx * sx)
+                       * (n_hours * syy - sy * sy))) AS bigint) AS corr_fx
+    FROM pairs
+    WHERE n_hours >= {MIN_OVERLAP_HOURS}
+      AND (n_hours * sxx - sx * sx) * (n_hours * syy - sy * sy) > 0
+    ORDER BY corr_fx DESC, u1, u2
+    LIMIT {CORR_TOPK}
+    """,
+    doc="top correlated per-user hourly activity series",
+)
+def user_activity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over the event stream: Pearson
+    correlation between users' hourly activity-value series, top
+    {CORR_TOPK} pairs with at least {MIN_OVERLAP_HOURS} shared active
+    hours (sized to the fixture's activity density; a production cut is
+    a day-plus of overlap) — the batch form of streaming time-series similarity (EDBT'19's
+    distributed similarity-search setting, on the engine's own data).
+
+    Cross-engine determinism: the hourly series and every pairwise
+    co-moment route through decimal (order-independent sums; the double
+    products are deterministic IEEE ops), and the correlation is one
+    textual expression evaluated identically in both engines over those
+    exact inputs, emitted fixed-point (floor ×10⁶). Zero-variance pairs
+    are excluded (corr undefined).
+
+    Scale shape: the self-join keys on the HOUR — pairs are generated
+    per-shared-hour and immediately partial-aggregated, never a user×user
+    product (plan-asserted). Per-hour fan-out is |active users that
+    hour|², the classic co-occurrence bound (same as task2's dynamic
+    similarity); at corpus scale, prune first with a series sketch
+    (SimHash/random projection — `operators/similarity.py`) and run this
+    exact correlation only on candidate pairs, exactly like the
+    LSH→verify dedup path."""
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("hour"),
+    ).agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("v"))
+    a = series.select(
+        F.col("user_id").alias("u1"), "hour", F.col("v").alias("va")
+    )
+    b = series.select(
+        F.col("user_id").alias("u2"),
+        F.col("hour").alias("hb"),
+        F.col("v").alias("vb"),
+    )
+    d12 = lambda c: F.sum(c.cast(_DEC12)).cast("double")  # noqa: E731
+    pairs = (
+        a.join(b, (F.col("hour") == F.col("hb")) & (F.col("u1") < F.col("u2")))
+        .groupBy("u1", "u2")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            d12(F.col("va") * F.col("vb")).alias("sxy"),
+            d12(F.col("va")).alias("sx"),
+            d12(F.col("vb")).alias("sy"),
+            d12(F.col("va") * F.col("va")).alias("sxx"),
+            d12(F.col("vb") * F.col("vb")).alias("syy"),
+        )
+    )
+    var_prod = (
+        F.col("n_hours") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ) * (F.col("n_hours") * F.col("syy") - F.col("sy") * F.col("sy"))
+    corr_fx = F.floor(
+        1000000.0
+        * (F.col("n_hours") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(var_prod)
+    ).cast("bigint")
+    return (
+        pairs.filter(
+            (F.col("n_hours") >= MIN_OVERLAP_HOURS) & (var_prod > 0)
+        )
+        .select("u1", "u2", "n_hours", corr_fx.alias("corr_fx"))
+        .orderBy(F.col("corr_fx").desc(), "u1", "u2")
+        .limit(CORR_TOPK)
+    )

@@ -325,3 +325,12 @@ def test_retention_cohorts_single_fact_partitioning(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "user_retention_cohorts")
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4  # min pair + distinct/count pairs
+
+
+def test_activity_correlation_joins_on_hour_only(spark, sf_dir):
+    """Pairs must come from the shared-hour equi-join (co-occurrence
+    bound), never a user×user product; top-k is TakeOrdered."""
+    plan = _executed_plan(spark, sf_dir, "user_activity_correlation")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
