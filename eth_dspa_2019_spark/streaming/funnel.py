@@ -1,0 +1,61 @@
+"""Streaming funnel tracking with real per-key state (O1/O7 applied to the
+behavioral family): each user's funnel progress is a ValueState-sized
+(stage, last_ts) pair advanced by a one-directional state machine — the
+streaming form of `plans/behavior.py::funnel_counts`, which is its batch
+oracle (the same dual-implementation golden methodology as
+`streaming/features.py` vs `operators/anomaly.py`).
+
+Semantics: a user completes stage k at the FIRST event of the k-th step
+type strictly after their stage-(k-1) completion. With events processed in
+per-user event-time order (batches sorted internally; ordered replay
+across batches, the resolution-test discipline), the state machine emits
+exactly the batch funnel's first-qualifying occurrences, one row per
+stage completion — and the per-user state is two longs FOREVER, no
+event history (the bounded-state property that makes funnels streamable
+at any scale).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..plans.behavior import FUNNEL_STEPS
+
+_STATE_SCHEMA = "stage integer, last_ts long"
+_OUT_SCHEMA = "user_id bigint, step integer, step_name string, ts_ms long"
+
+
+def _advance(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+    stage, last_ts = state.get if state.exists else (0, -1)
+    out = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts_ms", "event_type"])
+        for row in pdf.itertuples(index=False):
+            if stage >= len(FUNNEL_STEPS):
+                break
+            if row.event_type == FUNNEL_STEPS[stage] and row.ts_ms > last_ts:
+                stage += 1
+                last_ts = int(row.ts_ms)
+                out.append((key[0], stage, FUNNEL_STEPS[stage - 1], last_ts))
+    state.update((stage, last_ts))
+    yield pd.DataFrame(out, columns=["user_id", "step", "step_name", "ts_ms"])
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Per-user stage completions from a streaming events frame carrying
+    (user_id, event_type, ts_ms)."""
+    return (
+        events.select("user_id", "event_type", "ts_ms")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _advance,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
