@@ -15,6 +15,7 @@ sharded layout `training_shard_layout` assigns.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -67,3 +68,35 @@ def read_jsonl(
     mode; pass ``schema`` with a ``_corrupt_record`` string field to
     retain them for a quarantine side output (the P8 pattern)."""
     return spark.read.schema(schema).json(path)
+
+
+def read_jsonl_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType = DOCUMENTS_JSONL_SCHEMA,
+) -> tuple[DataFrame, DataFrame]:
+    """Read a JSONL corpus, splitting malformed lines into a quarantine
+    side output (the P8 side-output pattern at the ingest boundary —
+    `sources/activity.py::split_side_outputs` for the social stream,
+    this for corpora): returns ``(good, bad)`` where ``bad`` carries the
+    raw offending line for repair/audit and ``good`` is schema-clean.
+
+    Implementation: read lines as text, parse with ``from_json`` carrying
+    an in-schema corrupt-record column — a malformed line surfaces its raw
+    text there, so the split is two map-only filters over one scan, no
+    shuffle. (Reading via the json SOURCE and querying ``_corrupt_record``
+    hits Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction unless the
+    frame is cached; the text+from_json form has no such constraint and
+    no cache to leak.)"""
+    q = StructType(schema.fields + [StructField("_corrupt_record", StringType())])
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.col("value").alias("raw_line"),
+        F.from_json(
+            "value", q, {"columnNameOfCorruptRecord": "_corrupt_record"}
+        ).alias("j"),
+    )
+    ok = F.col("j._corrupt_record").isNull()
+    good = parsed.filter(ok).select("j.*").drop("_corrupt_record")
+    bad = parsed.filter(~ok).select("raw_line")
+    return good, bad

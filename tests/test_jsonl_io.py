@@ -48,3 +48,22 @@ def test_jsonl_no_inference_job(spark, sf_dir, tmp_path):
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "text" not in read_schema  # wide column pruned from the json scan
     assert back.count() == docs.count()
+
+
+def test_jsonl_quarantine_side_output(spark, tmp_path):
+    from eth_dspa_2019_spark.io.jsonl import read_jsonl_with_quarantine
+
+    path = tmp_path / "mixed"
+    path.mkdir()
+    (path / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "web", "n_chars": 2}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "also ok", "lang": "de", "source": "web", "n_chars": 7}\n'
+        '{"doc_id": 3, "text": "truncated...\n'
+    )
+    good, bad = read_jsonl_with_quarantine(spark, str(path))
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+    bad_lines = sorted(r["raw_line"] for r in bad.collect())
+    assert len(bad_lines) == 2
+    assert "not json" in bad_lines[1] or "not json" in bad_lines[0]
+    assert "_corrupt_record" not in good.columns
