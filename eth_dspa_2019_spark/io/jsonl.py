@@ -65,8 +65,9 @@ def read_jsonl(
     """Read a JSONL corpus with a declared schema (no inference pass).
 
     Malformed lines surface as all-NULL rows under the default PERMISSIVE
-    mode; pass ``schema`` with a ``_corrupt_record`` string field to
-    retain them for a quarantine side output (the P8 pattern)."""
+    mode; use :func:`read_jsonl_with_quarantine` to capture them as a
+    side output instead (querying a json-source ``_corrupt_record``
+    column directly is restricted by Spark unless the frame is cached)."""
     return spark.read.schema(schema).json(path)
 
 
@@ -96,7 +97,9 @@ def read_jsonl_with_quarantine(
             "value", q, {"columnNameOfCorruptRecord": "_corrupt_record"}
         ).alias("j"),
     )
-    ok = F.col("j._corrupt_record").isNull()
+    # blank/whitespace-only lines parse to a NULL struct (no corrupt-record
+    # text) — they are not schema-clean rows and belong in quarantine too
+    ok = F.col("j").isNotNull() & F.col("j._corrupt_record").isNull()
     good = parsed.filter(ok).select("j.*").drop("_corrupt_record")
     bad = parsed.filter(~ok).select("raw_line")
     return good, bad

@@ -341,10 +341,16 @@ def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed by `doc_chunk_spans` below; this query returns the minimal
     exploded spine so the oracle stays engine-portable.
     """
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
+    return sliding_chunk_starts(load_table(spark, sf_dir, "documents"))
+
+
+def sliding_chunk_starts(docs: DataFrame) -> DataFrame:
+    """The exploded chunk-start spine over an arbitrary (batch OR
+    streaming) documents frame — the single implementation behind the
+    registered queries and the streaming-parity test."""
+    t = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", token_count(tokens("text")).alias("n_tokens")
     )
-    t = docs.select("doc_id", token_count(tokens("text")).alias("n_tokens"))
     return t.select(
         "doc_id",
         "n_tokens",
@@ -386,7 +392,13 @@ def doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc, exclusive end token (clamped at the doc length), and chunk
     length — what a training loader actually consumes. Still map-only;
     every added column is a projection over the exploded spine."""
-    s = doc_sliding_chunks(spark, sf_dir)
+    return chunk_spans(load_table(spark, sf_dir, "documents"))
+
+
+def chunk_spans(docs: DataFrame) -> DataFrame:
+    """Full chunk spans over an arbitrary documents frame (batch or
+    streaming — the projection is stateless)."""
+    s = sliding_chunk_starts(docs)
     end = F.least(F.col("start_tok") + CHUNK_W, F.col("n_tokens"))
     return s.select(
         "doc_id",

@@ -32,15 +32,19 @@ _OUT_SCHEMA = "user_id bigint, step integer, step_name string, ts_ms long"
 def _advance(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
     stage, last_ts = state.get if state.exists else (0, -1)
     out = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts_ms", "event_type"])
-        for row in pdf.itertuples(index=False):
-            if stage >= len(FUNNEL_STEPS):
-                break
-            if row.event_type == FUNNEL_STEPS[stage] and row.ts_ms > last_ts:
-                stage += 1
-                last_ts = int(row.ts_ms)
-                out.append((key[0], stage, FUNNEL_STEPS[stage - 1], last_ts))
+    # A large per-user group arrives as MULTIPLE Arrow chunks
+    # (maxRecordsPerBatch); event-time order only holds after concatenating
+    # the whole group — sorting chunks independently would advance last_ts
+    # past events still sitting in a later chunk and silently drop stages.
+    pdf = pd.concat(list(pdf_iter), ignore_index=True)
+    pdf = pdf.sort_values(["ts_ms", "event_type"])
+    for row in pdf.itertuples(index=False):
+        if stage >= len(FUNNEL_STEPS):
+            break
+        if row.event_type == FUNNEL_STEPS[stage] and row.ts_ms > last_ts:
+            stage += 1
+            last_ts = int(row.ts_ms)
+            out.append((key[0], stage, FUNNEL_STEPS[stage - 1], last_ts))
     state.update((stage, last_ts))
     yield pd.DataFrame(out, columns=["user_id", "step", "step_name", "ts_ms"])
 

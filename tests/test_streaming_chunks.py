@@ -10,38 +10,15 @@ from pyspark.sql import functions as F
 
 from eth_dspa_2019_spark.io.jsonl import DOCUMENTS_JSONL_SCHEMA, write_jsonl
 from eth_dspa_2019_spark.io.readers import load_table
-from eth_dspa_2019_spark.plans.corpus import CHUNK_S, CHUNK_W
 from eth_dspa_2019_spark.streaming import run_to_memory
 
 
 def _chunk_spans(docs):
-    """The doc_chunk_spans projection over an arbitrary (batch OR
-    streaming) documents frame — same expressions as the registered
-    batch query, applied to a streaming source here."""
-    from eth_dspa_2019_spark.functions.text import token_count, tokens
+    """The registered chunk projection, driven directly (same code path as
+    doc_chunk_spans — no duplicated expressions that could drift)."""
+    from eth_dspa_2019_spark.plans.corpus import chunk_spans
 
-    t = docs.filter(F.col("text").isNotNull()).select(
-        "doc_id", token_count(tokens("text")).alias("n_tokens")
-    )
-    s = t.select(
-        "doc_id",
-        "n_tokens",
-        F.explode(
-            F.sequence(
-                F.lit(0).cast("bigint"),
-                F.col("n_tokens") - 1,
-                F.lit(CHUNK_S).cast("bigint"),
-            )
-        ).alias("start_tok"),
-    )
-    end = F.least(F.col("start_tok") + CHUNK_W, F.col("n_tokens"))
-    return s.select(
-        "doc_id",
-        "start_tok",
-        F.expr(f"start_tok div {CHUNK_S}").alias("chunk_idx"),
-        end.cast("bigint").alias("end_tok"),
-        (end - F.col("start_tok")).cast("bigint").alias("chunk_len"),
-    )
+    return chunk_spans(docs)
 
 
 def test_streaming_chunker_equals_batch(spark, sf_dir, tmp_path):

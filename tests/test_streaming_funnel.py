@@ -87,3 +87,32 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
         s: sum(1 for c in completions if c[2] == s) for s in FUNNEL_STEPS
     }
     assert stream_counts == batch_counts
+
+
+def test_streaming_funnel_survives_arrow_chunking(spark, tmp_path):
+    """A per-user group larger than the Arrow batch size arrives as
+    multiple chunks; reverse-ordered input must still complete every
+    stage (regression: sorting chunks independently lost stages)."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        watch = str(tmp_path / "watch")
+        os.makedirs(watch)
+        rows = [
+            (1, "purchase", 4000),
+            (1, "click", 3000),
+            (1, "view", 2000),
+            (1, "signup", 1000),
+        ]
+        _write(watch, "b0.json", rows, time.time() - 300)
+        stream = spark.readStream.schema(_SCHEMA).json(watch)
+        got = run_to_memory(
+            funnel_stream(stream),
+            str(tmp_path / "ckpt2"),
+            output_mode="append",
+        )
+        assert sorted(r["step"] for r in got.collect()) == [1, 2, 3, 4]
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
