@@ -89,6 +89,11 @@ def read_jsonl_with_quarantine(
     hits Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction unless the
     frame is cached; the text+from_json form has no such constraint and
     no cache to leak.)"""
+    if "_corrupt_record" in schema.fieldNames():
+        raise ValueError(
+            "pass the DATA schema only; the corrupt-record column is "
+            "managed internally by read_jsonl_with_quarantine"
+        )
     q = StructType(schema.fields + [StructField("_corrupt_record", StringType())])
     raw = spark.read.text(path)
     parsed = raw.select(
