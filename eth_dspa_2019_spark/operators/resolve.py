@@ -105,3 +105,68 @@ def resolved_activities(acts: DataFrame) -> DataFrame:
     )
     rest = acts.filter(F.col("kind").isin(KIND_POST, KIND_COMMENT, KIND_LIKE))
     return rest.unionByName(replies.select(*rest.columns))
+
+
+def comment_depths(acts: DataFrame) -> DataFrame:
+    """(id, depth) for every comment and reply: hops to the root post
+    (comments = 1, a reply to a comment = 2, ...) — the tree-structure
+    profile of the resolution forest (`SN/task/postidresolution/
+    PostIdResolver.java` resolves identity; this measures the chains it
+    chases).
+
+    Same pointer-doubling fixpoint as :func:`resolve_post_ids`, with a
+    hop ACCUMULATOR: an unresolved entry carries (ptr, acc) = "acc
+    original edges collapsed into this pointer"; chasing onto another
+    unresolved entry adds its acc (path doubling sums the two collapsed
+    segments exactly), chasing onto a resolved entry yields
+    acc + parent_depth. O(log max_depth) joins, same as resolution.
+    Dangling chains (parent never present) keep depth NULL.
+    """
+    mapping = acts.filter(F.col("kind").isin(KIND_COMMENT, KIND_REPLY)).select(
+        "id",
+        F.when(F.col("kind") == KIND_COMMENT, F.lit(1).cast("long")).alias(
+            "depth"
+        ),
+        F.when(F.col("kind") == KIND_REPLY, F.col("parent_id")).alias("ptr"),
+        F.when(F.col("kind") == KIND_REPLY, F.lit(1).cast("long")).alias(
+            "acc"
+        ),
+    )
+    mapping = mapping.localCheckpoint(eager=True)
+    parts = [mapping.filter(F.col("depth").isNotNull())]
+    working = mapping.filter(F.col("depth").isNull() & F.col("ptr").isNotNull())
+    parts.append(mapping.filter(F.col("depth").isNull() & F.col("ptr").isNull()))
+    for _ in range(MAX_ITERS):
+        if working.limit(1).count() == 0:
+            break
+        lookup = parts[0]
+        for p in parts[1:]:
+            lookup = lookup.unionByName(p)
+        lookup = lookup.unionByName(working)
+        chased = (
+            working.alias("u")
+            .join(lookup.alias("p"), F.col("u.ptr") == F.col("p.id"), "left")
+            .select(
+                F.col("u.id").alias("id"),
+                # parent resolved → depth = acc + parent depth; else keep
+                # accumulating through the parent's own pointer
+                (F.col("u.acc") + F.col("p.depth")).alias("depth"),
+                F.col("p.ptr").alias("ptr"),
+                (F.col("u.acc") + F.coalesce(F.col("p.acc"), F.lit(0))).alias(
+                    "acc"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        parts.append(chased.filter(F.col("depth").isNotNull()))
+        parts.append(
+            chased.filter(F.col("depth").isNull() & F.col("ptr").isNull())
+        )
+        working = chased.filter(
+            F.col("depth").isNull() & F.col("ptr").isNotNull()
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.unionByName(working)
+    return out.select("id", "depth")

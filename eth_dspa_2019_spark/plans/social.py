@@ -266,3 +266,35 @@ def task1_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@register(
+    "thread_depth_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_O_BASE},
+    depth AS (
+      SELECT id, 1 AS d FROM base WHERE kind = 'comment'
+      UNION ALL
+      SELECT b.id, dp.d + 1
+      FROM base b JOIN depth dp ON b.last_comment = dp.id
+      WHERE b.kind = 'reply'
+    )
+    SELECT cast(d AS bigint) AS depth, count(*) AS n
+    FROM depth GROUP BY 1
+    """,
+)
+def thread_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comment-tree depth profile: how many comments/replies sit at each
+    distance from their root post — the structural histogram of the
+    resolution forest (deep chains are what make J1/J5 resolution hard;
+    this measures them). Spark side: the hop-accumulating
+    pointer-doubling fixpoint (`operators/resolve.py::comment_depths`,
+    O(log depth) joins); oracle: the same depths via a recursive CTE."""
+    from ..operators.resolve import comment_depths
+
+    depths = comment_depths(load_activities(spark, sf_dir))
+    return (
+        depths.filter(F.col("depth").isNotNull())
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

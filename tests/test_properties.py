@@ -184,3 +184,34 @@ def test_funnel_matches_reference_scan(spark, rows):
     expected = _funnel_reference(rows)
     steps = ("signup", "view", "click", "purchase")
     assert [got[s] for s in steps] == expected
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=forests())
+def test_comment_depths_match_reference_walk(spark, rows):
+    """The hop-accumulating doubling fixpoint must give the exact hop
+    count a plain parent-walk gives, for any drawn forest shape."""
+    from eth_dspa_2019_spark.operators.resolve import comment_depths
+
+    parent = {nid: p for nid, kind, _, p in rows if kind == "reply"}
+    comments = {nid for nid, kind, _, _ in rows if kind == "comment"}
+
+    def walk(nid):
+        d = 0
+        while nid in parent:
+            d += 1
+            nid = parent[nid]
+        return d + 1 if nid in comments else None  # dangling → None
+
+    expected = {
+        nid: walk(nid)
+        for nid, kind, _, _ in rows
+        if kind in ("comment", "reply")
+    }
+    acts = spark.createDataFrame(rows, _ACT_SCHEMA)
+    got = {r["id"]: r["depth"] for r in comment_depths(acts).collect()}
+    assert got == expected
