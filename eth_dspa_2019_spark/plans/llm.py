@@ -968,3 +968,62 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("mean_bits_fx"),
         )
     )
+
+
+@register(
+    "doc_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, len(text) AS n,
+             unnest(list_transform(generate_series(1, len(text)),
+                                   i -> substring(text, i, 1))) AS c
+      FROM documents WHERE text IS NOT NULL AND len(text) > 0
+    ),
+    freq AS (
+      SELECT doc_id, n, c, count(*) AS cnt
+      FROM chars GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           cast(n AS bigint) AS n_chars,
+           count(*) AS distinct_chars,
+           cast(sum(cnt * length(bin(n // cnt))) AS bigint)
+             AS entropy_bits_fx
+    FROM freq
+    GROUP BY 1, 2
+    """,
+    doc="per-doc character-distribution entropy (randomness filter)",
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy per document — the randomness signal
+    rule-based corpus filters use to drop binary junk, base64 blobs and
+    keyboard mash (near-uniform distribution → high entropy) and
+    single-character spam (→ near zero): Σ cnt·⌈log2(n/cnt)⌉ over the
+    doc's character frequencies, the within-document complement of the
+    cross-corpus `doc_unigram_surprisal`.
+
+    Exact-integer discipline: ⌈log2⌉ via `length(bin(n div cnt))` (the
+    h64/HLL-rho trick) — no libm, bit-identical across engines. Scale
+    shape: char explode is map-only fan-out (~n_chars rows); the
+    per-(doc, char) count collapses map-side (≤ alphabet rows per doc per
+    partition); two shuffles total, both on doc-keyed small rows. The
+    UTF-8 caveat: `substring` indexes code points in both engines, so
+    multi-byte text profiles identically."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    chars = docs.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
+            )
+        ).alias("c"),
+    )
+    freq = chars.groupBy("doc_id", "n", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    return freq.groupBy("doc_id", F.col("n").cast("bigint").alias("n_chars")).agg(
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.sum(
+            F.col("cnt") * F.length(F.bin(F.expr("n div cnt")))
+        ).cast("bigint").alias("entropy_bits_fx"),
+    )
