@@ -285,3 +285,143 @@ def user_activity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("corr_fx").desc(), "u1", "u2")
         .limit(CORR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-horizon conversion
+
+CONV_WINDOW_H = 24  # purchase must follow signup within this many hours
+
+
+@register(
+    "conversion_within_24h",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    conv AS (
+      SELECT s.user_id,
+             min(e.ts) AS t_conv
+      FROM s JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts > s.t
+       AND e.ts <= s.t + INTERVAL {CONV_WINDOW_H} HOUR
+      GROUP BY 1
+    )
+    SELECT cast(strftime(cast(s.t AS date), '%Y-%m-%d') AS varchar)
+             AS signup_day,
+           count(*) AS signups,
+           count(c.user_id) AS conversions,
+           cast(floor(1000000.0 * count(c.user_id) / count(*)) AS bigint)
+             AS conv_rate_fx
+    FROM s LEFT JOIN conv c ON s.user_id = c.user_id
+    GROUP BY 1
+    """,
+    doc="signup→purchase conversion within a 24h horizon, by signup day",
+)
+def conversion_within_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon conversion: of the users who signed up each day,
+    how many purchased within {CONV_WINDOW_H} hours of their first signup
+    — the time-boxed form of the funnel (an unbounded funnel counts
+    eventual converts; product decisions need the horizon).
+
+    Scale shape: first-signup is one grouped min; the horizon check is a
+    user-keyed equi-join with a time-RANGE predicate (the interval-join
+    family, `operators/intervals.py`) against purchase-filtered events —
+    pushdown prunes the fact scan to one event type, and the join reuses
+    the user_id partitioning. Output is days × 1 rows. The rate is an
+    exact integer-ratio floor (×10⁶), bit-identical across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    conv = (
+        s.join(
+            purchases,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") > F.col("t"))
+            & (
+                F.col("pts")
+                <= F.col("t") + F.expr(f"INTERVAL {CONV_WINDOW_H} HOURS")
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("t_conv"))
+        .select(F.col("user_id").alias("cu"))
+    )
+    return (
+        s.join(conv, F.col("user_id") == F.col("cu"), "left")
+        .groupBy(
+            F.date_format(F.to_date("t"), "yyyy-MM-dd").alias("signup_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("signups"),
+            F.count("cu").alias("conversions"),
+            F.floor(
+                1000000.0 * F.count("cu") / F.count(F.lit(1))
+            ).cast("bigint").alias("conv_rate_fx"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostics
+
+SKEW_TOPK = 10
+
+
+@register(
+    "user_key_skew_profile",
+    oracle=f"""
+    WITH counts AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS total, count(DISTINCT user_id) AS n_keys
+            FROM events)
+    SELECT user_id, cnt,
+           cast(floor(1000000.0 * cnt / total) AS bigint) AS share_fx,
+           n_keys, total
+    FROM counts CROSS JOIN tot
+    ORDER BY cnt DESC, user_id
+    LIMIT {SKEW_TOPK}
+    """,
+    doc="heaviest keys + their traffic share (salting diagnostic)",
+)
+def user_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: the {SKEW_TOPK} heaviest user keys with their
+    share of total traffic — the measurement that decides whether a keyed
+    shuffle needs salting (`operators/skew.py`) or AQE skew-join
+    handling. A top key holding ≫ 1/partitions of the traffic is the
+    straggler signature.
+
+    Scale shape: one grouped count (map-side combined), a 1-row global
+    broadcast, TakeOrdered top-k — the profile costs one linear pass no
+    matter the key cardinality. Shares are integer-ratio floors,
+    engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = ev.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("user_id").alias("n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "cnt",
+            F.floor(1000000.0 * F.col("cnt") / F.col("total"))
+            .cast("bigint")
+            .alias("share_fx"),
+            "n_keys",
+            "total",
+        )
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .limit(SKEW_TOPK)
+    )
