@@ -734,3 +734,141 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1_000_000.0),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-prep end-to-end: dedup → junk filters → training layout
+
+from .corpus import CHUNK_S as PREP_CHUNK_S  # single source for chunk stride
+
+ENT_MIN_DECI = 44  # keep docs with entropy ≥ 4.4 bits/char (×10)
+SURP_MAX_FX = 5_100_000  # drop docs whose mean token surprisal > 5.1 bits
+
+
+@register(
+    "corpus_prep_e2e",
+    oracle=f"""
+    WITH canon AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY {o_h64(f'substring(text, 1, 64)')}
+    ),
+    chars AS (
+      SELECT d.doc_id, len(d.text) AS nc,
+             unnest(list_transform(generate_series(1, len(d.text)),
+                                   i -> substring(d.text, i, 1))) AS c
+      FROM documents d JOIN canon USING (doc_id)
+      WHERE d.text IS NOT NULL AND len(d.text) > 0
+    ),
+    ent AS (
+      SELECT doc_id, nc, sum(cnt * length(bin(nc // cnt))) AS ebits
+      FROM (SELECT doc_id, nc, c, count(*) AS cnt
+            FROM chars GROUP BY 1, 2, 3)
+      GROUP BY 1, 2
+    ),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT count(*) AS total FROM tok),
+    surp AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             cast(floor(1000000.0 * sum(length(bin(total // cnt)))
+                        / count(*)) AS bigint) AS mean_bits_fx
+      FROM tok t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
+      GROUP BY 1
+    )
+    SELECT e.doc_id,
+           cast({o_h64('cast(e.doc_id AS varchar)')} % 16 AS bigint) AS shard,
+           cast(s.n_tokens AS bigint) AS n_tokens,
+           cast((s.n_tokens + {PREP_CHUNK_S} - 1) // {PREP_CHUNK_S} AS bigint)
+             AS n_chunks
+    FROM ent e JOIN surp s USING (doc_id)
+    WHERE e.ebits * 10 >= {ENT_MIN_DECI} * e.nc
+      AND s.mean_bits_fx <= {SURP_MAX_FX}
+    """,
+    doc="dedup → entropy/surprisal filters → shard + chunk layout",
+)
+def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-preparation DAG end-to-end, composing the round-5 ops:
+    exact dedup keeps one canonical doc per content-prefix hash, the
+    character-entropy floor drops low-randomness junk, the unigram
+    surprisal cap (LM trained on the FULL corpus — the filter model sees
+    everything, the way CCNet's LM does) drops rare-garbage docs, and the
+    survivors get their training-shard assignment and overlapping-chunk
+    count. One query = the handoff from raw corpus to training layout.
+
+    Scale shape: every stage is a shape already audited in isolation —
+    hash-shuffle dedup, map-only entropy/chunking fan-outs with map-side
+    frequency collapse, the two-pass surprisal join, one hash per shard
+    assignment. Composition adds doc_id equi-joins only; all thresholds
+    compare exact integers, so the kept set is reproducible run-to-run
+    (the property a dedup/filter pipeline must have — rerunning on the
+    same corpus must keep the same docs).
+    """
+    from .corpus import CHUNK_S, NSHARDS
+    from .llm import DEDUP_PREFIX
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = (
+        docs.groupBy(h64(F.substring("text", 1, DEDUP_PREFIX)).alias("kh"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = docs.join(canon, "doc_id").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    chars = kept.select(
+        "doc_id",
+        F.length("text").alias("nc"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
+            )
+        ).alias("c"),
+    )
+    ent = (
+        chars.groupBy("doc_id", "nc", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id", "nc")
+        .agg(
+            F.sum(
+                F.col("cnt") * F.length(F.bin(F.expr("nc div cnt")))
+            ).alias("ebits")
+        )
+    )
+    tok = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    surp = (
+        tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.floor(
+                1000000.0
+                * F.sum(F.length(F.bin(F.expr("total div cnt"))))
+                / F.count(F.lit(1))
+            ).cast("bigint").alias("mean_bits_fx"),
+        )
+    )
+    out = (
+        ent.join(surp, "doc_id")
+        .filter(
+            (F.col("ebits") * 10 >= ENT_MIN_DECI * F.col("nc"))
+            & (F.col("mean_bits_fx") <= SURP_MAX_FX)
+        )
+        .select(
+            "doc_id",
+            (h64(F.col("doc_id").cast("string")) % NSHARDS).alias("shard"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr(f"cast((n_tokens + {CHUNK_S - 1}) div {CHUNK_S} AS bigint)").alias(
+                "n_chunks"
+            ),
+        )
+    )
+    return out
