@@ -29,6 +29,49 @@ from ..schemas import KIND_COMMENT, KIND_LIKE, KIND_POST, KIND_REPLY
 MAX_ITERS = 64  # supports comment-tree depth up to 2^64 — effectively unbounded
 
 
+def _pointer_chase_fixpoint(mapping: DataFrame, resolved_col: str, chase_cols) -> DataFrame:
+    """Shared pointer-doubling scaffold for :func:`resolve_post_ids` and
+    :func:`comment_depths`: split the seeded ``mapping`` into resolved /
+    dangling / working parts, iterate the chase join against the union of
+    every node's LATEST entry (what makes the chase pointer-DOUBLING),
+    re-split, and union all parts at the fixpoint. ``mapping`` must carry
+    ``id``, ``resolved_col`` (non-null ⇔ resolved), ``ptr`` (non-null ⇔
+    still chasing), plus any accumulator columns; ``chase_cols(u, p)``
+    returns the select list for one chase hop given the working (``u``)
+    and lookup (``p``) aliases — it must preserve the same column set.
+
+    Invariants the scaffold encodes (keep in ONE place): the lookup side
+    is parts ∪ working so chains halve per round; only the shrinking
+    working set is re-materialized per round (O(working) checkpoint
+    volume); danglers (ptr exhausted, still unresolved) split out so the
+    fixpoint terminates on dirty inputs with ``resolved_col`` NULL."""
+    mapping = mapping.localCheckpoint(eager=True)
+    rcol = F.col(resolved_col)
+    parts = [mapping.filter(rcol.isNotNull())]
+    working = mapping.filter(rcol.isNull() & F.col("ptr").isNotNull())
+    parts.append(mapping.filter(rcol.isNull() & F.col("ptr").isNull()))
+    for _ in range(MAX_ITERS):
+        if working.limit(1).count() == 0:
+            break
+        lookup = parts[0]
+        for part in parts[1:]:
+            lookup = lookup.unionByName(part)
+        lookup = lookup.unionByName(working)
+        chased = (
+            working.alias("u")
+            .join(lookup.alias("p"), F.col("u.ptr") == F.col("p.id"), "left")
+            .select(*chase_cols())
+            .localCheckpoint(eager=True)
+        )
+        parts.append(chased.filter(rcol.isNotNull()))
+        parts.append(chased.filter(rcol.isNull() & F.col("ptr").isNull()))
+        working = chased.filter(rcol.isNull() & F.col("ptr").isNotNull())
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.unionByName(working)
+
+
 def resolve_post_ids(acts: DataFrame) -> DataFrame:
     """(child_id, root_post_id) for every comment and reply.
 
@@ -41,52 +84,17 @@ def resolve_post_ids(acts: DataFrame) -> DataFrame:
         F.when(F.col("kind") == KIND_COMMENT, F.col("post_id")).alias("root"),
         F.when(F.col("kind") == KIND_REPLY, F.col("parent_id")).alias("ptr"),
     )
-    mapping = mapping.localCheckpoint(eager=True)
-    # Working-set iteration: only the still-unresolved rows are re-chased
-    # and re-materialized each round, so the per-round checkpoint volume
-    # shrinks geometrically (the fixpoint's 100-TB property) instead of
-    # re-writing the full mapping every round. `parts` accumulates lazy
-    # filters over already-checkpointed rounds — the final union reads each
-    # row exactly once. The lookup side is parts ∪ working, i.e. every
-    # node's LATEST entry, which is what makes the chase pointer-DOUBLING
-    # (a static lookup would degrade to one hop per round).
-    parts = [mapping.filter(F.col("root").isNotNull())]
-    working = mapping.filter(
-        F.col("root").isNull() & F.col("ptr").isNotNull()
-    )
-    # dangling pointers (parent id absent) can never resolve: root stays
-    # null, matching the pre-rewrite output for dirty inputs
-    parts.append(mapping.filter(F.col("root").isNull() & F.col("ptr").isNull()))
-    for _ in range(MAX_ITERS):
-        if working.limit(1).count() == 0:
-            break
-        lookup = parts[0]
-        for p in parts[1:]:
-            lookup = lookup.unionByName(p)
-        lookup = lookup.unionByName(working)
-        # chase one hop: parent resolved → take its root; else point to
-        # parent's parent (path doubling halves remaining chain depth)
-        chased = (
-            working.alias("u")
-            .join(lookup.alias("p"), F.col("u.ptr") == F.col("p.id"), "left")
-            .select(
-                F.col("u.id").alias("id"),
-                F.col("p.root").alias("root"),
-                F.col("p.ptr").alias("ptr"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        parts.append(chased.filter(F.col("root").isNotNull()))
-        parts.append(
-            chased.filter(F.col("root").isNull() & F.col("ptr").isNull())
-        )
-        working = chased.filter(
-            F.col("root").isNull() & F.col("ptr").isNotNull()
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out = out.unionByName(working)
+
+    # chase one hop: parent resolved → take its root; else point to the
+    # parent's parent (path doubling halves remaining chain depth)
+    def chase():
+        return [
+            F.col("u.id").alias("id"),
+            F.col("p.root").alias("root"),
+            F.col("p.ptr").alias("ptr"),
+        ]
+
+    out = _pointer_chase_fixpoint(mapping, "root", chase)
     return out.select("id", F.col("root").alias("root_post_id"))
 
 
@@ -132,41 +140,18 @@ def comment_depths(acts: DataFrame) -> DataFrame:
             "acc"
         ),
     )
-    mapping = mapping.localCheckpoint(eager=True)
-    parts = [mapping.filter(F.col("depth").isNotNull())]
-    working = mapping.filter(F.col("depth").isNull() & F.col("ptr").isNotNull())
-    parts.append(mapping.filter(F.col("depth").isNull() & F.col("ptr").isNull()))
-    for _ in range(MAX_ITERS):
-        if working.limit(1).count() == 0:
-            break
-        lookup = parts[0]
-        for p in parts[1:]:
-            lookup = lookup.unionByName(p)
-        lookup = lookup.unionByName(working)
-        chased = (
-            working.alias("u")
-            .join(lookup.alias("p"), F.col("u.ptr") == F.col("p.id"), "left")
-            .select(
-                F.col("u.id").alias("id"),
-                # parent resolved → depth = acc + parent depth; else keep
-                # accumulating through the parent's own pointer
-                (F.col("u.acc") + F.col("p.depth")).alias("depth"),
-                F.col("p.ptr").alias("ptr"),
-                (F.col("u.acc") + F.coalesce(F.col("p.acc"), F.lit(0))).alias(
-                    "acc"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-        parts.append(chased.filter(F.col("depth").isNotNull()))
-        parts.append(
-            chased.filter(F.col("depth").isNull() & F.col("ptr").isNull())
-        )
-        working = chased.filter(
-            F.col("depth").isNull() & F.col("ptr").isNotNull()
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out = out.unionByName(working)
+
+    # parent resolved → depth = acc + parent depth; else keep accumulating
+    # through the parent's own pointer (doubling sums collapsed segments)
+    def chase():
+        return [
+            F.col("u.id").alias("id"),
+            (F.col("u.acc") + F.col("p.depth")).alias("depth"),
+            F.col("p.ptr").alias("ptr"),
+            (F.col("u.acc") + F.coalesce(F.col("p.acc"), F.lit(0))).alias(
+                "acc"
+            ),
+        ]
+
+    out = _pointer_chase_fixpoint(mapping, "depth", chase)
     return out.select("id", "depth")

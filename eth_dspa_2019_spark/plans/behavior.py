@@ -301,14 +301,12 @@ CONV_WINDOW_H = 24  # purchase must follow signup within this many hours
       WHERE event_type = 'signup' GROUP BY 1
     ),
     conv AS (
-      SELECT s.user_id,
-             min(e.ts) AS t_conv
+      SELECT DISTINCT s.user_id
       FROM s JOIN events e
         ON e.user_id = s.user_id
        AND e.event_type = 'purchase'
        AND e.ts > s.t
        AND e.ts <= s.t + INTERVAL {CONV_WINDOW_H} HOUR
-      GROUP BY 1
     )
     SELECT cast(strftime(cast(s.t AS date), '%Y-%m-%d') AS varchar)
              AS signup_day,
@@ -352,9 +350,8 @@ def conversion_within_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= F.col("t") + F.expr(f"INTERVAL {CONV_WINDOW_H} HOURS")
             ),
         )
-        .groupBy("user_id")
-        .agg(F.min("pts").alias("t_conv"))
         .select(F.col("user_id").alias("cu"))
+        .distinct()
     )
     return (
         s.join(conv, F.col("user_id") == F.col("cu"), "left")

@@ -949,9 +949,14 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     a shuffle equi-join that co-partitions with pass 1's exchange. The
     per-doc sum is the only other shuffle.
     """
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
-    )
+    return surprisal_profile(load_table(spark, sf_dir, "documents"))
+
+
+def surprisal_profile(docs: DataFrame) -> DataFrame:
+    """Per-doc unigram surprisal over an arbitrary documents frame — the
+    single builder behind `doc_unigram_surprisal` and the
+    `corpus_prep_e2e` composition."""
+    docs = docs.filter(F.col("text").isNotNull())
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = tok.agg(F.count(F.lit(1)).alias("total"))
@@ -996,21 +1001,28 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution entropy per document — the randomness signal
     rule-based corpus filters use to drop binary junk, base64 blobs and
-    keyboard mash (near-uniform distribution → high entropy) and
-    single-character spam (→ near zero): Σ cnt·⌈log2(n/cnt)⌉ over the
-    doc's character frequencies, the within-document complement of the
-    cross-corpus `doc_unigram_surprisal`.
+    keyboard mash (near-uniform distribution → high per-char entropy)
+    and repeated-character spam (→ the 1.0 bit/char floor — every term
+    is length(bin(1)) = 1): Σ cnt·bit_length(n div cnt) over the doc's
+    character frequencies, where bit_length(x) = ⌊log2 x⌋ + 1, the
+    within-document complement of the cross-corpus
+    `doc_unigram_surprisal`.
 
-    Exact-integer discipline: ⌈log2⌉ via `length(bin(n div cnt))` (the
+    Exact-integer discipline: bit_length via `length(bin(n div cnt))` (the
     h64/HLL-rho trick) — no libm, bit-identical across engines. Scale
     shape: char explode is map-only fan-out (~n_chars rows); the
     per-(doc, char) count collapses map-side (≤ alphabet rows per doc per
     partition); two shuffles total, both on doc-keyed small rows. The
     UTF-8 caveat: `substring` indexes code points in both engines, so
     multi-byte text profiles identically."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.length("text") > 0)
-    )
+    return char_entropy_profile(load_table(spark, sf_dir, "documents"))
+
+
+def char_entropy_profile(docs: DataFrame) -> DataFrame:
+    """Per-doc character-entropy over an arbitrary documents frame — the
+    single builder behind `doc_char_entropy` and the `corpus_prep_e2e`
+    composition."""
+    docs = docs.filter(F.col("text").isNotNull() & (F.length("text") > 0))
     chars = docs.select(
         "doc_id",
         F.length("text").alias("n"),

@@ -739,7 +739,8 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Corpus-prep end-to-end: dedup → junk filters → training layout
 
-from .corpus import CHUNK_S as PREP_CHUNK_S  # single source for chunk stride
+from .corpus import CHUNK_S, NSHARDS  # noqa: E402  (single source with the standalone queries)
+from .llm import DEDUP_PREFIX  # noqa: E402
 
 ENT_MIN_DECI = 44  # keep docs with entropy ≥ 4.4 bits/char (×10)
 SURP_MAX_FX = 5_100_000  # drop docs whose mean token surprisal > 5.1 bits
@@ -751,7 +752,7 @@ SURP_MAX_FX = 5_100_000  # drop docs whose mean token surprisal > 5.1 bits
     WITH canon AS (
       SELECT min(doc_id) AS doc_id
       FROM documents
-      GROUP BY {o_h64(f'substring(text, 1, 64)')}
+      GROUP BY {o_h64(f'substring(text, 1, {DEDUP_PREFIX})')}
     ),
     chars AS (
       SELECT d.doc_id, len(d.text) AS nc,
@@ -780,9 +781,9 @@ SURP_MAX_FX = 5_100_000  # drop docs whose mean token surprisal > 5.1 bits
       GROUP BY 1
     )
     SELECT e.doc_id,
-           cast({o_h64('cast(e.doc_id AS varchar)')} % 16 AS bigint) AS shard,
+           cast({o_h64('cast(e.doc_id AS varchar)')} % {NSHARDS} AS bigint) AS shard,
            cast(s.n_tokens AS bigint) AS n_tokens,
-           cast((s.n_tokens + {PREP_CHUNK_S} - 1) // {PREP_CHUNK_S} AS bigint)
+           cast((s.n_tokens + {CHUNK_S} - 1) // {CHUNK_S} AS bigint)
              AS n_chunks
     FROM ent e JOIN surp s USING (doc_id)
     WHERE e.ebits * 10 >= {ENT_MIN_DECI} * e.nc
@@ -807,59 +808,23 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the property a dedup/filter pipeline must have — rerunning on the
     same corpus must keep the same docs).
     """
-    from .corpus import CHUNK_S, NSHARDS
-    from .llm import DEDUP_PREFIX
+    from .llm import char_entropy_profile, surprisal_profile
 
     docs = load_table(spark, sf_dir, "documents")
-    canon = (
-        docs.groupBy(h64(F.substring("text", 1, DEDUP_PREFIX)).alias("kh"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    kept = docs.join(canon, "doc_id").filter(
-        F.col("text").isNotNull() & (F.length("text") > 0)
-    )
-    chars = kept.select(
-        "doc_id",
-        F.length("text").alias("nc"),
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
-            )
-        ).alias("c"),
-    )
-    ent = (
-        chars.groupBy("doc_id", "nc", "c")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id", "nc")
-        .agg(
-            F.sum(
-                F.col("cnt") * F.length(F.bin(F.expr("nc div cnt")))
-            ).alias("ebits")
-        )
-    )
-    tok = docs.filter(F.col("text").isNotNull()).select(
-        "doc_id", F.explode(tokens("text")).alias("tok")
-    )
-    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = tok.agg(F.count(F.lit(1)).alias("total"))
-    surp = (
-        tok.join(vocab, "tok")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.floor(
-                1000000.0
-                * F.sum(F.length(F.bin(F.expr("total div cnt"))))
-                / F.count(F.lit(1))
-            ).cast("bigint").alias("mean_bits_fx"),
-        )
-    )
+    # the audited exact-dedup op selects the canonical (min-id) doc per key
+    canon = dd.exact_dedup(
+        docs, "doc_id", F.substring("text", 1, DEDUP_PREFIX)
+    ).select(F.col("canonical_id").alias("doc_id"))
+    kept = docs.join(canon, "doc_id")
+    ent = char_entropy_profile(kept)
+    surp = surprisal_profile(docs)
     out = (
         ent.join(surp, "doc_id")
         .filter(
-            (F.col("ebits") * 10 >= ENT_MIN_DECI * F.col("nc"))
+            (
+                F.col("entropy_bits_fx") * 10
+                >= ENT_MIN_DECI * F.col("n_chars")
+            )
             & (F.col("mean_bits_fx") <= SURP_MAX_FX)
         )
         .select(

@@ -191,11 +191,23 @@ def test_funnel_matches_reference_scan(spark, rows):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(rows=forests())
-def test_comment_depths_match_reference_walk(spark, rows):
+@given(rows=forests(), data=st.data())
+def test_comment_depths_match_reference_walk(spark, rows, data):
     """The hop-accumulating doubling fixpoint must give the exact hop
-    count a plain parent-walk gives, for any drawn forest shape."""
+    count a plain parent-walk gives, for any drawn forest shape —
+    including DANGLING chains (replies whose parent id never exists),
+    which must come back with depth NULL, not a wrong number."""
     from eth_dspa_2019_spark.operators.resolve import comment_depths
+
+    # inject replies pointing at ids outside the forest (and chains
+    # hanging off them) so the dangling path is actually exercised
+    next_id = max(r[0] for r in rows) + 1
+    for _ in range(data.draw(st.integers(0, 3), label="n_danglers")):
+        rows = rows + [(next_id, "reply", None, next_id + 1000)]
+        if data.draw(st.booleans(), label="chain_off_dangler"):
+            rows = rows + [(next_id + 1, "reply", None, next_id)]
+            next_id += 1
+        next_id += 1
 
     parent = {nid: p for nid, kind, _, p in rows if kind == "reply"}
     comments = {nid for nid, kind, _, _ in rows if kind == "comment"}
