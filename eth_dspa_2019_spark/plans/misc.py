@@ -736,3 +736,94 @@ def event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "customer_balance_quartiles",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey,
+             cast(ntile(4) OVER (PARTITION BY c_nationkey
+                                 ORDER BY c_acctbal DESC, c_custkey)
+                  AS bigint) AS quartile,
+             c_acctbal
+      FROM customer
+    )
+    SELECT c_nationkey, quartile,
+           count(*) AS n_custs,
+           cast(sum(cast(c_acctbal AS decimal(38,6))) AS double) AS total_bal
+    FROM q GROUP BY 1, 2
+    """,
+)
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency bucketing: per-nation balance quartiles via
+    `ntile` — the rank-bucket window the relational family lacked.
+    Deterministic because the order is fully tie-broken (balance, then
+    key): both engines assign identical bucket boundaries.
+
+    Scale shape: the window partitions by nation (never an unkeyed global
+    ntile — that is one reducer); per-partition sort is nation-sized. For
+    a skewed bucketing key, the histogram-offset plan
+    (`quality_quantile_filter`) is the escape hatch."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    q = c.select(
+        "c_nationkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        "c_acctbal",
+    )
+    return q.groupBy("c_nationkey", "quartile").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_bal"),
+    )
+
+
+@register(
+    "user_event_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             cast(floor(epoch(ts)) AS bigint)
+               - lag(cast(floor(epoch(ts)) AS bigint))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           count(gap_s) AS n_gaps,
+           cast(max(gap_s) AS bigint) AS max_gap_s,
+           cast(sum(gap_s) AS bigint) AS total_gap_s,
+           cast(floor(1000000.0 * sum(gap_s) / count(gap_s)) AS bigint)
+             AS avg_gap_fx
+    FROM g
+    WHERE gap_s IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap profile per user via `lag` — the consecutive-row
+    window surface (the reference's last-three-timestamps ring,
+    `AnomalousUserDetector.java:209-246`, generalized to full gap
+    statistics). Gaps are integer epoch-seconds; the mean is an exact
+    integer-ratio floor, so both engines agree bit-for-bit.
+
+    Scale shape: user-partitioned window (per-key sort, never global),
+    then one grouped aggregate reusing the same user partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    g = ev.select(
+        "user_id", (sec - F.lag(sec).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        F.sum("gap_s").cast("bigint").alias("total_gap_s"),
+        F.floor(1000000.0 * F.sum("gap_s") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("avg_gap_fx"),
+    )

@@ -334,3 +334,17 @@ def test_activity_correlation_joins_on_hour_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_balance_quartiles_window_is_nation_partitioned(spark, sf_dir):
+    plan = _executed_plan(spark, sf_dir, "customer_balance_quartiles")
+    assert "SinglePartition" not in plan
+    win = plan[plan.find("Window"):][:300]
+    assert "c_nationkey" in win
+
+
+def test_event_gaps_window_is_user_partitioned(spark, sf_dir):
+    plan = _executed_plan(spark, sf_dir, "user_event_gaps")
+    assert "SinglePartition" not in plan
+    win = plan[plan.find("Window"):][:300]
+    assert "user_id" in win
