@@ -827,3 +827,21 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("avg_gap_fx"),
     )
+
+
+@register(
+    "users_view_not_purchase",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def users_view_not_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 as an explicit EXCEPT: browsers who never bought. Spark plans
+    set difference as a distinct + left-anti aggregate pair — one shuffle
+    per side on the key, no row products."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return views.subtract(buys)
