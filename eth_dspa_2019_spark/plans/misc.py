@@ -830,18 +830,27 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "users_view_not_purchase",
+    "user_days_view_not_purchase",
     oracle="""
-    SELECT user_id FROM events WHERE event_type = 'view'
+    SELECT user_id,
+           cast(strftime(cast(ts AS date), '%Y-%m-%d') AS varchar) AS day
+    FROM events WHERE event_type = 'view'
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    SELECT user_id,
+           cast(strftime(cast(ts AS date), '%Y-%m-%d') AS varchar) AS day
+    FROM events WHERE event_type = 'purchase'
     """,
 )
-def users_view_not_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U2 as an explicit EXCEPT: browsers who never bought. Spark plans
-    set difference as a distinct + left-anti aggregate pair — one shuffle
-    per side on the key, no row products."""
+def user_days_view_not_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 as an explicit EXCEPT on a composite key: the (user, day) pairs
+    with browsing but no purchase — window-shopping days. Spark plans set
+    difference as distinct + left-anti — one shuffle per side on the
+    composite key, no row products."""
     ev = load_table(spark, sf_dir, "events")
-    views = ev.filter(F.col("event_type") == "view").select("user_id")
-    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    return views.subtract(buys)
+
+    def key(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select(
+            "user_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        )
+
+    return key("view").subtract(key("purchase"))
