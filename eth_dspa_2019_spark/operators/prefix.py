@@ -37,17 +37,26 @@ _PID = "__pfx_pid"
 
 
 def _range_partitioned(
-    df: DataFrame, order_cols: list[str], num_partitions: int | None
+    df: DataFrame,
+    order_cols: list[str],
+    num_partitions: int | None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Range-partition by the order key and stamp the partition id.
 
     Persisted: the offsets job and the main pass must see the same
-    physical partitioning (range boundaries come from sampling)."""
+    physical partitioning (range boundaries come from sampling). Pass a
+    ``cache_registry`` list to receive the persisted frame so long-lived
+    callers (per-micro-batch folds) can unpersist after materializing —
+    otherwise one persisted RDD leaks per call until clear_plan_caches."""
     n = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
     part = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
-    return part.withColumn(_PID, F.spark_partition_id()).persist()
+    out = part.withColumn(_PID, F.spark_partition_id()).persist()
+    if cache_registry is not None:
+        cache_registry.append(out)
+    return out
 
 
 def _pid_map(pairs: dict[int, int | float]) -> Column:
@@ -144,6 +153,7 @@ def global_running_sums(
     exprs: dict[str, Column],
     *,
     num_partitions: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """For each ``name -> expr``, add column ``name`` holding
     ``sum(expr) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING)`` —
@@ -160,7 +170,7 @@ def global_running_sums(
     """
     tmp = {name: f"__pfx_{name}" for name in exprs}
     base = df.select("*", *[c.alias(tmp[n]) for n, c in exprs.items()])
-    part = _range_partitioned(base, order_cols, num_partitions)
+    part = _range_partitioned(base, order_cols, num_partitions, cache_registry)
 
     aggs = []
     for name in exprs:

@@ -36,9 +36,10 @@ def _pointer_chase_fixpoint(mapping: DataFrame, resolved_col: str, chase_cols) -
     every node's LATEST entry (what makes the chase pointer-DOUBLING),
     re-split, and union all parts at the fixpoint. ``mapping`` must carry
     ``id``, ``resolved_col`` (non-null ⇔ resolved), ``ptr`` (non-null ⇔
-    still chasing), plus any accumulator columns; ``chase_cols(u, p)``
-    returns the select list for one chase hop given the working (``u``)
-    and lookup (``p``) aliases — it must preserve the same column set.
+    still chasing), plus any accumulator columns; ``chase_cols()`` takes
+    no arguments and returns the select list for one chase hop,
+    referencing columns via the fixed working (``u``) and lookup (``p``)
+    aliases — it must preserve the same column set.
 
     Invariants the scaffold encodes (keep in ONE place): the lookup side
     is parts ∪ working so chains halve per round; only the shrinking

@@ -246,6 +246,24 @@ def user_activity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both join sides read the series — materialize it once (users×hours
     # rows, tiny next to the pair fan-out; released by clear_plan_caches)
     series = series.localCheckpoint(eager=True)
+    # Loud overflow guard (ADVICE r5): the int64 co-moment sums below wrap
+    # silently with ANSI off while the DuckDB oracle promotes to hugeint —
+    # past fixture scale the engines would diverge without erroring. A pair
+    # co-moment is bounded by max|v|² × shared hours ≤ max|v|² × distinct
+    # hours, checked exactly in Python bigints against the int64 ceiling
+    # (one scalar agg over the already-checkpointed series — metadata
+    # cost). At real scale, shrink the fx scale or split the sum (the HLL
+    # two-stage discipline) until this passes.
+    g = series.agg(
+        F.max(F.abs(F.col("v"))).alias("m"),
+        F.countDistinct("hour").alias("h"),
+    ).collect()[0]
+    if g["m"] is not None and int(g["m"]) ** 2 * int(g["h"]) >= 2**63:
+        raise ArithmeticError(
+            "user_activity_correlation: co-moment bound "
+            f"max|v|^2*hours = {int(g['m'])**2 * int(g['h'])} exceeds int64; "
+            "reduce the fixed-point scale before aggregating"
+        )
     a = series.select(
         F.col("user_id").alias("u1"), "hour", F.col("v").alias("va")
     )

@@ -658,7 +658,8 @@ def moving_value_avg_1h_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH j AS (
       SELECT event_type,
-             cast(json_extract(props, '$.k') AS bigint) AS k
+             CASE WHEN json_valid(props)
+                  THEN cast(json_extract(props, '$.k') AS bigint) END AS k
       FROM events
       WHERE props IS NOT NULL
     )

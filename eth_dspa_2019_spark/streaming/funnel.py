@@ -29,34 +29,55 @@ _STATE_SCHEMA = "stage integer, last_ts long"
 _OUT_SCHEMA = "user_id bigint, step integer, step_name string, ts_ms long"
 
 
-def _advance(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
-    stage, last_ts = state.get if state.exists else (0, -1)
-    out = []
-    # A large per-user group arrives as MULTIPLE Arrow chunks
-    # (maxRecordsPerBatch); event-time order only holds after concatenating
-    # the whole group — sorting chunks independently would advance last_ts
-    # past events still sitting in a later chunk and silently drop stages.
-    pdf = pd.concat(list(pdf_iter), ignore_index=True)
-    pdf = pdf.sort_values(["ts_ms", "event_type"])
-    for row in pdf.itertuples(index=False):
-        if stage >= len(FUNNEL_STEPS):
-            break
-        if row.event_type == FUNNEL_STEPS[stage] and row.ts_ms > last_ts:
-            stage += 1
-            last_ts = int(row.ts_ms)
-            out.append((key[0], stage, FUNNEL_STEPS[stage - 1], last_ts))
-    state.update((stage, last_ts))
-    yield pd.DataFrame(out, columns=["user_id", "step", "step_name", "ts_ms"])
+def _make_advance(late_counter=None):
+    def _advance(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+        stage, last_ts = state.get if state.exists else (0, -1)
+        start_last_ts = last_ts
+        out = []
+        # A large per-user group arrives as MULTIPLE Arrow chunks
+        # (maxRecordsPerBatch); event-time order only holds after
+        # concatenating the whole group — sorting chunks independently
+        # would advance last_ts past events still sitting in a later chunk
+        # and silently drop stages.
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        # Ordered-replay violation detector (ADVICE r5): an event strictly
+        # before the stage clock held at batch START arrived after this
+        # user's state already advanced past it — it could have been a
+        # first-qualifying occurrence the state machine can no longer see.
+        # (Ties at exactly last_ts can never qualify — the advance is
+        # strict — so they are not violations.) Under the documented
+        # ordered-replay precondition this count is 0; a broken replay
+        # surfaces as a nonzero accumulator instead of a silent undercount.
+        n_late = int((pdf["ts_ms"] < start_last_ts).sum())
+        if n_late and late_counter is not None:
+            late_counter.add(n_late)
+        pdf = pdf.sort_values(["ts_ms", "event_type"])
+        for row in pdf.itertuples(index=False):
+            if stage >= len(FUNNEL_STEPS):
+                break
+            if row.event_type == FUNNEL_STEPS[stage] and row.ts_ms > last_ts:
+                stage += 1
+                last_ts = int(row.ts_ms)
+                out.append((key[0], stage, FUNNEL_STEPS[stage - 1], last_ts))
+        state.update((stage, last_ts))
+        yield pd.DataFrame(
+            out, columns=["user_id", "step", "step_name", "ts_ms"]
+        )
+
+    return _advance
 
 
-def funnel_stream(events: DataFrame) -> DataFrame:
+def funnel_stream(events: DataFrame, late_counter=None) -> DataFrame:
     """Per-user stage completions from a streaming events frame carrying
-    (user_id, event_type, ts_ms)."""
+    (user_id, event_type, ts_ms). Pass a SparkContext accumulator as
+    ``late_counter`` to count ordered-replay violations (events arriving
+    at or before a user's already-advanced stage clock) — 0 on a correct
+    replay."""
     return (
         events.select("user_id", "event_type", "ts_ms")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _advance,
+            _make_advance(late_counter),
             outputStructType=_OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",

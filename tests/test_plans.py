@@ -242,10 +242,13 @@ def test_q14_single_aggregate_with_pushdown(spark, sf_dir):
     conditional sums), and the 1996 ship-date range reaches the scan."""
     plan = _executed_plan(spark, sf_dir, "q14_promo_revenue_share")
     assert "GreaterThanOrEqual(l_shipdate" in plan
-    # one partial+final pair, not two separate aggregations unioned: a
-    # single hash Exchange (on the month grouping expr) besides the
-    # part-dim BroadcastExchange
-    assert plan.count("Exchange hashpartitioning(") == 1
+    # one partial+final pair, not two separate aggregations unioned: at
+    # most one hash Exchange (on the month grouping expr) besides the
+    # part-dim BroadcastExchange, and never a single-partition funnel
+    # (upper bound, not exact count: a benign AQE/version exchange must
+    # not fail the suite — ADVICE r5)
+    assert plan.count("Exchange hashpartitioning(") <= 1
+    assert "Exchange SinglePartition" not in plan
 
 
 def test_q16_blacklist_is_broadcast_anti(spark, sf_dir):
@@ -271,10 +274,11 @@ def test_doc_chunk_spans_is_map_only(spark, sf_dir):
 
 
 def test_training_shard_layout_single_shard_shuffle(spark, sf_dir):
-    """One hash shuffle on the shard key; the row_number window must be
-    shard-partitioned, never a global single-partition sort."""
+    """At most one hash shuffle on the shard key; the row_number window
+    must be shard-partitioned, never a global single-partition sort
+    (upper bound, not exact count — ADVICE r5)."""
     plan = _executed_plan(spark, sf_dir, "training_shard_layout")
-    assert plan.count("Exchange hashpartitioning(") == 1
+    assert plan.count("Exchange hashpartitioning(") <= 1
     assert "Exchange SinglePartition" not in plan
 
 

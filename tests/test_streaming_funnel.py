@@ -89,6 +89,33 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     assert stream_counts == batch_counts
 
 
+def test_streaming_funnel_counts_late_drops(spark, tmp_path):
+    """A replay that violates the ordered-arrival precondition (an event
+    arriving strictly before a user's already-advanced stage clock) must
+    be observable: the optional accumulator counts the dropped-from-view
+    events instead of the stream silently undercounting (ADVICE r5)."""
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    now = time.time()
+    _write(watch, "b0.json", [(1, "signup", 1000), (1, "view", 2000)], now - 300)
+    # arrives a batch late: strictly before the stage clock (2000)
+    _write(watch, "b1.json", [(1, "click", 1500)], now - 200)
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(watch)
+    )
+    late = spark.sparkContext.accumulator(0)
+    got = run_to_memory(
+        funnel_stream(stream, late_counter=late),
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    # the late click is not a qualifying stage-3 completion (clock moved on)
+    assert sorted(r["step"] for r in got.collect()) == [1, 2]
+    assert late.value == 1
+
+
 def test_streaming_funnel_survives_arrow_chunking(spark, tmp_path):
     """A per-user group larger than the Arrow batch size arrives as
     multiple chunks; reverse-ordered input must still complete every
