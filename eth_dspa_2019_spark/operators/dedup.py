@@ -235,8 +235,38 @@ def _band_rows(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
     )
 
 
-def incremental_dedup(
+def corpus_dedup_artifacts(
     corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 8,
+    prefix: int = 64,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The standing-state side of incremental dedup, computed once per
+    corpus (or per kept delta): ``(keys, band_rows, shingles)`` —
+
+    - ``keys``: distinct 64-char-prefix hashes, ``(key_hash)``;
+    - ``band_rows``: MinHash LSH join keys, ``(id, band_id, band_key)``;
+    - ``shingles``: the n-gram relation ``(id, shingle)`` the exact
+      Jaccard verify reads.
+
+    At 100 TB these are persisted bucketed tables (by key_hash /
+    band_key); the streaming form (`streaming/corpus_dedup.py`) persists
+    them as versioned append-only deltas."""
+    keys = corpus.select(
+        h64(F.substring(F.col(text_col), 1, prefix)).alias("key_hash")
+    ).distinct()
+    sh_c = shingles(corpus, id_col, text_col, n)
+    bc = _band_rows(minhash_signatures(sh_c, num_perm), num_perm, bands)
+    return keys, bc, sh_c
+
+
+def incremental_dedup_against(
+    ckeys: DataFrame,
+    cbands: DataFrame,
+    cshingles: DataFrame,
     new: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -245,10 +275,12 @@ def incremental_dedup(
     bands: int = 8,
     threshold: float = 0.2,
     prefix: int = 64,
+    cache_registry: list | None = None,
 ) -> DataFrame:
-    """Dedup a NEW batch against an EXISTING corpus — the daily-ingest form
-    of dedup, where the corpus side is standing state and only the delta is
-    scored. One row per new document: ``(doc_id, is_exact_dup,
+    """Score a NEW batch against PRECOMPUTED corpus artifacts
+    (:func:`corpus_dedup_artifacts`) — the form a standing ingest
+    pipeline actually runs: the corpus side is state, only the delta is
+    hashed. One row per new document: ``(doc_id, is_exact_dup,
     is_near_dup, keep)``.
 
     Two screens, both sub-quadratic and both one-directional (new→corpus,
@@ -262,15 +294,12 @@ def incremental_dedup(
       :func:`minhash_lsh_pairs`, but the join is new⋈corpus instead of a
       self-join), candidates verified with exact shingle Jaccard.
 
-    At 100 TB the corpus-side shingles/signatures/keys are computed ONCE
-    at ingest and persisted (bucketed by band_key / key_hash); each new
-    batch pays only its own hashing plus probes proportional to the batch,
-    not the corpus.
+    Pass a ``cache_registry`` list to receive the persisted intermediate
+    so per-micro-batch callers can unpersist after materializing.
     """
     def _key(df: DataFrame) -> Column:
         return h64(F.substring(F.col(text_col), 1, prefix))
 
-    ckeys = corpus.select(_key(corpus).alias("key_hash")).distinct()
     exact = (
         new.select(F.col(id_col).alias("doc_id"), _key(new).alias("key_hash"))
         .join(ckeys, "key_hash")
@@ -278,11 +307,12 @@ def incremental_dedup(
         .distinct()
         .withColumn("is_exact_dup", F.lit(True))
     )
-    sh_c = shingles(corpus, id_col, text_col, n)
     sh_n = shingles(new, id_col, text_col, n)
-    sh = sh_c.unionByName(sh_n).persist()
+    sh = cshingles.unionByName(sh_n).persist()
+    if cache_registry is not None:
+        cache_registry.append(sh)
     bn = _band_rows(minhash_signatures(sh_n, num_perm), num_perm, bands)
-    bc = _band_rows(minhash_signatures(sh_c, num_perm), num_perm, bands)
+    bc = cbands
     cand = (
         bn.alias("n")
         .join(
@@ -316,6 +346,33 @@ def incremental_dedup(
         .withColumn(
             "keep", ~(F.col("is_exact_dup") | F.col("is_near_dup"))
         )
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 8,
+    threshold: float = 0.2,
+    prefix: int = 64,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the daily-ingest
+    form of dedup (see :func:`incremental_dedup_against` for semantics
+    and scale shape). This convenience form computes the corpus artifacts
+    inline; a standing pipeline computes them once at ingest
+    (:func:`corpus_dedup_artifacts`) and persists them."""
+    ckeys, cbands, csh = corpus_dedup_artifacts(
+        corpus, id_col, text_col, n=n, num_perm=num_perm, bands=bands,
+        prefix=prefix,
+    )
+    return incremental_dedup_against(
+        ckeys, cbands, csh, new, id_col, text_col,
+        n=n, num_perm=num_perm, bands=bands, threshold=threshold,
+        prefix=prefix,
     )
 
 
