@@ -1,0 +1,199 @@
+"""Candidate-growth regression for the dedup/ANN bucketing (VERDICT r5
+#3): SCALE.md's central claim — every candidate generator is bucketed and
+never-all-pairs — measured empirically, not just plan-asserted. Each
+family's candidate-pair count is measured at two corpus slices (10×
+apart, carved from the sf0.1 tables by id so both points share one data
+distribution) with the family's documented scale knob applied
+(band_bits / planes ~ log₂N, K ~ √N, fixed shingle-df cap), and the
+fitted growth exponent alpha = log(C₂/C₁)/log(N₂/N₁) must stay below the
+family's bound. A generator regressing to an unbucketed all-pairs shape
+jumps to alpha ≈ 2 and fails.
+
+Counts use a +N floor (C+N) so near-zero candidate counts at the small
+slice can't produce a spurious exponent. Thresholds sit well above the
+measured values (headroom for distribution noise) and well below 2:
+
+    family               measured   bound   design shape
+    minhash 16/4          ~1.0      1.35    banded LSH, collisions ~ dups
+    ngram df-cap 8        ~1.2      1.55    cap bounds per-shingle fanout
+    simhash wide          ~1.3      1.65    band_bits grows with log2 N
+    hyperplane LSH        ~1.1      1.40    planes grow with log2 N
+    IVF sum(n_c^2)        ~1.5      1.75    K=sqrt(N) -> N^1.5 pair mass
+                                            (query path probes 1 bucket:
+                                            per-query work sqrt(N))
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from eth_dspa_2019_spark.operators.dedup import (
+    _band_rows,
+    minhash_signatures,
+    shingles,
+    simhash_wide,
+)
+from eth_dspa_2019_spark.operators.similarity import (
+    ivf_assign,
+    lsh_buckets_batches,
+    stride_centroids,
+)
+
+_SF01 = "/root/testdata/sf0.1"
+_DOC_SLICES = (500, 5000)
+_EMB_SLICES = (500, 2000)
+
+
+def _alpha(points: list[tuple[int, int]]) -> float:
+    (n1, c1), (n2, c2) = points[0], points[-1]
+    return math.log((c2 + n2) / (c1 + n1)) / math.log(n2 / n1)
+
+
+def _band_pair_count(br, id_col: str = "id") -> int:
+    a, b = br.alias("a"), br.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(f"a.{id_col}", f"b.{id_col}")
+        .distinct()
+        .count()
+    )
+
+
+def _doc_slices(spark):
+    docs = spark.read.parquet(f"{_SF01}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return [
+        (n, docs.filter(F.col("doc_id") < n)) for n in _DOC_SLICES
+    ]
+
+
+def test_minhash_lsh_candidates_subquadratic(spark):
+    pts = []
+    for n, d in _doc_slices(spark):
+        sh = shingles(d)
+        c = _band_pair_count(_band_rows(minhash_signatures(sh, 16), 16, 4))
+        pts.append((n, c))
+    assert _alpha(pts) <= 1.35, pts
+
+
+def test_ngram_capped_candidates_subquadratic(spark):
+    cap = 8  # the max_shingle_df mechanism, scaled to bite at test size
+    pts = []
+    for n, d in _doc_slices(spark):
+        sh = shingles(d).persist()
+        rare = sh.join(
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= cap)
+            .select("shingle"),
+            "shingle",
+            "semi",
+        )
+        a, b = rare.alias("a"), rare.alias("b")
+        c = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select("a.id", "b.id")
+            .distinct()
+            .count()
+        )
+        sh.unpersist()
+        pts.append((n, c))
+    assert _alpha(pts) <= 1.55, pts
+
+
+def test_simhash_wide_candidates_subquadratic(spark):
+    """band_bits is the knob that grows with log2(corpus) — 64 buckets
+    per band at the small slice, 4096 at the large (SCALE.md table)."""
+    word_bits = (48, 36)
+    pts = []
+    for n, d in _doc_slices(spark):
+        bb = 6 if n < 2048 else 12
+        sims = simhash_wide(d)
+        mask = (1 << bb) - 1
+        structs, bid = [], 0
+        for w, bits in enumerate(word_bits):
+            for i in range(bits // bb):
+                structs.append(
+                    F.struct(
+                        F.lit(bid).alias("band_id"),
+                        F.shiftright(F.col(f"sim_{w}"), i * bb)
+                        .bitwiseAND(mask)
+                        .alias("band_key"),
+                    )
+                )
+                bid += 1
+        br = sims.select(
+            "id", F.explode(F.array(*structs)).alias("band")
+        ).select("id", "band.band_id", "band.band_key")
+        pts.append((n, _band_pair_count(br)))
+    assert _alpha(pts) <= 1.65, pts
+
+
+def _emb_slices(spark):
+    embs = spark.read.parquet(f"{_SF01}/embeddings.parquet")
+    return [
+        (n, embs.filter(F.col("vec_id") < n)) for n in _EMB_SLICES
+    ]
+
+
+def test_hyperplane_lsh_candidates_subquadratic(spark):
+    """planes per band grow with log2(N/target_load) so bucket count
+    tracks the corpus."""
+    pts = []
+    for n, e in _emb_slices(spark):
+        planes = max(4, math.ceil(math.log2(n / 8)))
+        bucketed = (
+            e.select("vec_id", F.col("embedding").alias("emb"))
+            .mapInPandas(
+                lsh_buckets_batches(4, planes, 64),
+                schema="vec_id long, band int, bucket long",
+            )
+        )
+        x, y = bucketed.alias("x"), bucketed.alias("y")
+        c = (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.vec_id") < F.col("y.vec_id")),
+            )
+            .select("x.vec_id", "y.vec_id")
+            .distinct()
+            .count()
+        )
+        pts.append((n, c))
+    assert _alpha(pts) <= 1.40, pts
+
+
+def test_ivf_bucket_mass_matches_design(spark):
+    """IVF with K=sqrt(N): the within-bucket pair mass sum(n_c^2) is
+    N^1.5 BY DESIGN (each query probes one ~sqrt(N)-sized list); the
+    regression guards the gap to quadratic — a degenerate assignment
+    (everything in one list) fails."""
+    pts = []
+    for n, e in _emb_slices(spark):
+        k = math.ceil(math.sqrt(n))
+        stride = max(1, n // k)
+        cents = stride_centroids(e, stride, "vec_id", "embedding")
+        asg = ivf_assign(e, cents, "vec_id", "embedding")
+        sizes = [
+            r["c"]
+            for r in asg.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ]
+        pts.append((n, sum(s * s for s in sizes)))
+    assert _alpha(pts) <= 1.75, pts
