@@ -52,11 +52,19 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # from the FRONT of this mapping. Rather than a static priority list (which
 # would permanently demote whatever lands past position 50), the order is
 # computed from the committed gate history (`CORRECTNESS_r*.json` at the repo
-# root): queries are sorted by the last round in which they had a GREEN gate
-# row, least-recent first — so never-green/red queries lead, the stalest
-# greens fill the remaining slots, and the freshest greens rotate to the
-# back. Every query is re-gated against current code roughly every other
-# round with no manual curation.
+# root) AND the code's change history (VERDICT r5 #5):
+#
+# 1. never-green / red queries lead,
+# 2. then green queries whose implementing module (the defining plan module
+#    plus the in-package modules it imports) changed since the round that
+#    produced their green row — a green resting on edited code is evidence
+#    about the OLD code, so it jumps the staleness queue,
+# 3. then untouched greens, stalest round first.
+#
+# Change detection uses git commit timestamps (per module file vs the gate
+# file of the query's last green round), with uncommitted working-tree
+# edits counting as "changed now". Every query is still re-gated roughly
+# every other round; edits pull their queries forward immediately.
 
 
 def _last_green_rounds() -> dict[str, int]:
@@ -89,18 +97,164 @@ def _last_green_rounds() -> dict[str, int]:
     return last
 
 
-_LAST_GREEN: dict[str, int] | None = None
+def _repo_root():
+    from pathlib import Path
+
+    return Path(__file__).resolve().parents[2]
+
+
+def _git_commit_ts(path: str) -> float | None:
+    """Unix time of the last commit touching ``path`` (None if unknown —
+    untracked file or git unavailable); +inf when the working tree has
+    uncommitted edits to it (changed NOW)."""
+    import subprocess
+
+    root = _repo_root()
+    try:
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--", path],
+            cwd=root, capture_output=True, text=True, timeout=10,
+        )
+        if dirty.returncode == 0 and dirty.stdout.strip():
+            return float("inf")
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", path],
+            cwd=root, capture_output=True, text=True, timeout=10,
+        )
+        if out.returncode == 0 and out.stdout.strip():
+            return float(out.stdout.strip())
+    except (OSError, subprocess.SubprocessError, ValueError):
+        pass
+    return None
+
+
+def _module_files(mod_name: str) -> set[str]:
+    """Repo-relative file of ``mod_name`` plus the in-package modules its
+    source imports (one transitive level — covers the plan-module →
+    operator-module indirection, e.g. plans/social.py → operators/anomaly).
+    """
+    import importlib
+    import re
+    import sys
+    from pathlib import Path
+
+    root = _repo_root()
+    files: set[str] = set()
+    # gate infrastructure, not query implementation: a registry/__init__
+    # edit must not mark every query's green row stale
+    infra = {
+        "eth_dspa_2019_spark/plans/registry.py",
+        "eth_dspa_2019_spark/plans/__init__.py",
+        "eth_dspa_2019_spark/__init__.py",
+    }
+
+    def _add(name: str) -> str | None:
+        try:
+            mod = sys.modules.get(name) or importlib.import_module(name)
+            f = getattr(mod, "__file__", None)
+            if f and Path(f).is_relative_to(root):
+                rel = str(Path(f).relative_to(root))
+                if rel not in infra:
+                    files.add(rel)
+                return f
+        except Exception:
+            pass
+        return None
+
+    src_file = _add(mod_name)
+    if not src_file:
+        return files
+    try:
+        src = Path(src_file).read_text()
+    except OSError:
+        return files
+    pkg_parts = mod_name.split(".")[:-1]  # defining module's package
+    for m in re.finditer(
+        r"^\s*from\s+(\.+|eth_dspa_2019_spark\.?)([\w.]*)\s+import\s+(.+)$",
+        src,
+        re.MULTILINE,
+    ):
+        head, tail, names = m.group(1), m.group(2), m.group(3)
+        if head.startswith("."):
+            base = pkg_parts[: len(pkg_parts) - (len(head) - 1)]
+            target = ".".join(base + ([tail] if tail else []))
+        else:
+            target = "eth_dspa_2019_spark" + ("." + tail if tail else "")
+        # `from pkg import name` where name is itself a module
+        if _add(target) is None:
+            continue
+        for name in re.split(r"[,\s()]+", names):
+            if name and name.isidentifier():
+                _add(f"{target}.{name}")
+    return files
+
+
+def _stale_greens(
+    last_green: dict[str, int],
+    specs: dict[str, "QuerySpec"],
+    module_files=_module_files,
+    commit_ts=_git_commit_ts,
+) -> set[str]:
+    """Green queries whose implementing files changed after the gate file
+    of their last green round was committed. Injection points
+    (``module_files``/``commit_ts``) exist for the unit test."""
+    gate_ts: dict[int, float] = {}
+    for name, rnd in last_green.items():
+        if rnd not in gate_ts:
+            ts = commit_ts(f"CORRECTNESS_r{rnd:02d}.json")
+            gate_ts[rnd] = ts if ts is not None else float("-inf")
+    file_ts: dict[str, float] = {}
+    stale: set[str] = set()
+    for name, rnd in last_green.items():
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        for f in module_files(spec.spark.__module__):
+            if f not in file_ts:
+                ts = commit_ts(f)
+                file_ts[f] = ts if ts is not None else float("inf")
+            if file_ts[f] > gate_ts[rnd]:
+                stale.add(name)
+                break
+    return stale
+
+
+def _ordered_names(
+    registry_names: list[str],
+    last_green: dict[str, int],
+    stale: set[str],
+) -> list[str]:
+    """Gate order: never-green first, then changed-module greens (stalest
+    round first), then untouched greens (stalest round first); ties break
+    on registration position. Pure — unit-tested directly."""
+    reg_pos = {n: i for i, n in enumerate(registry_names)}
+
+    def key(n: str):
+        green = last_green.get(n, 0)
+        if green == 0:
+            group = 0
+        elif n in stale:
+            group = 1
+        else:
+            group = 2
+        return (group, green, reg_pos[n])
+
+    return sorted(registry_names, key=key)
+
+
+_ORDER: list[str] | None = None
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    global _LAST_GREEN
-    if _LAST_GREEN is None:
-        _LAST_GREEN = _last_green_rounds()
-    reg_pos = {n: i for i, n in enumerate(_REGISTRY)}
-    ordered = sorted(
-        _REGISTRY, key=lambda n: (_LAST_GREEN.get(n, 0), reg_pos[n])
-    )
-    return {n: _REGISTRY[n] for n in ordered}
+    global _ORDER
+    if _ORDER is None:
+        last_green = _last_green_rounds()
+        try:
+            stale = _stale_greens(last_green, _REGISTRY)
+        except Exception:
+            stale = set()
+        _ORDER = _ordered_names(list(_REGISTRY), last_green, stale)
+    return {n: _REGISTRY[n] for n in _ORDER}
 
 
 def oracle_map() -> dict[str, str]:

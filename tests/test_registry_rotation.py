@@ -1,0 +1,72 @@
+"""Gate-rotation ordering (VERDICT r5 #5): never-green queries lead, then
+greens whose implementing modules changed since their last green gate row,
+then untouched greens stalest-first."""
+
+from __future__ import annotations
+
+from eth_dspa_2019_spark.plans import registry as R
+
+
+def test_ordering_groups_and_staleness():
+    names = ["a", "b", "c", "d", "e"]
+    last_green = {"b": 3, "c": 1, "d": 5, "e": 1}
+    # c and d's modules changed since their green rounds
+    stale = {"c", "d"}
+    got = R._ordered_names(names, last_green, stale)
+    # a: never green -> first. Then changed greens by round (c r1, d r5).
+    # Then untouched greens by round (e r1, b r3).
+    assert got == ["a", "c", "d", "e", "b"]
+
+
+def test_stale_detection_uses_module_and_gate_times():
+    specs = {
+        n: R.QuerySpec(n, fn, None)
+        for n, fn in {
+            "fresh": (lambda s, d: None),
+            "edited": (lambda s, d: None),
+        }.items()
+    }
+    specs["fresh"].spark.__module__ = "mod_fresh"
+    specs["edited"].spark.__module__ = "mod_edited"
+    last_green = {"fresh": 4, "edited": 4}
+
+    files = {"mod_fresh": {"f_fresh.py"}, "mod_edited": {"f_edited.py"}}
+    times = {
+        "CORRECTNESS_r04.json": 100.0,  # gate committed at t=100
+        "f_fresh.py": 50.0,             # untouched since before the gate
+        "f_edited.py": 200.0,           # edited after the gate
+    }
+    stale = R._stale_greens(
+        last_green,
+        specs,
+        module_files=lambda m: files[m],
+        commit_ts=lambda p: times[p],
+    )
+    assert stale == {"edited"}
+
+
+def test_uncommitted_edit_counts_as_changed_now():
+    specs = {"q": R.QuerySpec("q", (lambda s, d: None), None)}
+    specs["q"].spark.__module__ = "m"
+    stale = R._stale_greens(
+        {"q": 5},
+        specs,
+        module_files=lambda m: {"f.py"},
+        commit_ts=lambda p: (
+            float("inf") if p == "f.py" else 100.0  # dirty working tree
+        ),
+    )
+    assert stale == {"q"}
+
+
+def test_module_files_follow_plan_to_operator_imports():
+    """plans/social.py implements task3 via operators/anomaly.py — a
+    change there must pull social's queries forward."""
+    files = R._module_files("eth_dspa_2019_spark.plans.social")
+    assert "eth_dspa_2019_spark/plans/social.py" in files
+    assert any("/operators/" in f or "/sources/" in f for f in files), files
+
+
+def test_live_order_is_a_permutation_of_registry():
+    qs = R.all_queries()
+    assert set(qs) == set(R._REGISTRY)
