@@ -176,10 +176,13 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # Two jobs consume the scored relation (the histogram collect below,
-    # then the final ranked filter). At cluster scale, cache or checkpoint
-    # the scored projection between them; at fixture scale the recompute
-    # is cheaper than managing (and leaking) a session cache entry per
-    # invocation, so the relation is left lazy.
+    # then the final ranked filter) — materialize it once. localCheckpoint
+    # rather than persist: eager, lineage-cut, and the blocks are freed by
+    # the ContextCleaner when the frame goes out of scope instead of
+    # leaking a session cache entry per invocation (the r5 "drop leaky
+    # persist" review left this lazy, which re-tokenized every doc in the
+    # second job — the one bench regression of that round).
+    bucketed = bucketed.localCheckpoint(eager=True)
     hist = {
         (r["lang"], r["qb"]): r["n"]
         for r in bucketed.groupBy("lang", "qb")
