@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import h64, o_h64
 from ..io.readers import load_table
 from .registry import register
 
@@ -159,6 +160,70 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MIN_OVERLAP_HOURS = 6  # minimum shared active hours for a meaningful corr
 CORR_TOPK = 20
+# series-sketch knobs for the pruned variant: P random-sign planes over
+# the centered hourly series, banded B×(P/B) — bucket count per band is
+# 2^(P/B); at corpus scale P/B grows with log2(users) exactly like the
+# SimHash band_bits knob (SCALE.md dedup sizing table)
+CORR_PLANES = 24
+CORR_BANDS = 6
+
+
+def _hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, hour, v): exact fixed-point hourly activity series,
+    materialized once (users×hours rows — tiny next to any pair fan-out;
+    released by clear_plan_caches), with the loud int64 overflow guard
+    (ADVICE r5): the co-moment sums downstream wrap silently with ANSI
+    off while the DuckDB oracle promotes to hugeint — past fixture scale
+    the engines would diverge without erroring. A pair co-moment is
+    bounded by max|v|² × shared hours ≤ max|v|² × distinct hours, checked
+    exactly in Python bigints against the int64 ceiling (one scalar agg
+    over the checkpointed series — metadata cost). At real scale, shrink
+    the fx scale or split the sum (the HLL two-stage discipline) until
+    this passes."""
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("hour"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(38,6)")) * 100)
+        .cast("bigint")
+        .alias("v")
+    ).localCheckpoint(eager=True)
+    g = series.agg(
+        F.max(F.abs(F.col("v"))).alias("m"),
+        F.countDistinct("hour").alias("h"),
+    ).collect()[0]
+    if g["m"] is not None and int(g["m"]) ** 2 * int(g["h"]) >= 2**63:
+        raise ArithmeticError(
+            "user activity correlation: co-moment bound "
+            f"max|v|^2*hours = {int(g['m'])**2 * int(g['h'])} exceeds int64; "
+            "reduce the fixed-point scale before aggregating"
+        )
+    return series
+
+
+def _corr_topk_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Shared scoring tail: exact Pearson (fixed-point output) from the
+    per-pair integer co-moment sums, overlap/variance filters, top-k."""
+    nd = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var_prod = (nd * d("sxx") - d("sx") * d("sx")) * (
+        nd * d("syy") - d("sy") * d("sy")
+    )
+    corr_fx = F.floor(
+        1000000.0 * (nd * d("sxy") - d("sx") * d("sy")) / F.sqrt(var_prod)
+    ).cast("bigint")
+    return (
+        pairs.filter((F.col("n") >= MIN_OVERLAP_HOURS) & (var_prod > 0))
+        .select(
+            "u1",
+            "u2",
+            F.col("n").cast("bigint").alias("n_hours"),
+            corr_fx.alias("corr_fx"),
+        )
+        .orderBy(F.col("corr_fx").desc(), "u1", "u2")
+        .limit(CORR_TOPK)
+    )
 
 
 @register(
@@ -234,36 +299,7 @@ def user_activity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SimHash/random projection — `operators/similarity.py`) and run this
     exact correlation only on candidate pairs, exactly like the
     LSH→verify dedup path."""
-    ev = load_table(spark, sf_dir, "events")
-    series = ev.groupBy(
-        "user_id",
-        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("hour"),
-    ).agg(
-        (F.sum(F.col("value").cast("decimal(38,6)")) * 100)
-        .cast("bigint")
-        .alias("v")
-    )
-    # both join sides read the series — materialize it once (users×hours
-    # rows, tiny next to the pair fan-out; released by clear_plan_caches)
-    series = series.localCheckpoint(eager=True)
-    # Loud overflow guard (ADVICE r5): the int64 co-moment sums below wrap
-    # silently with ANSI off while the DuckDB oracle promotes to hugeint —
-    # past fixture scale the engines would diverge without erroring. A pair
-    # co-moment is bounded by max|v|² × shared hours ≤ max|v|² × distinct
-    # hours, checked exactly in Python bigints against the int64 ceiling
-    # (one scalar agg over the already-checkpointed series — metadata
-    # cost). At real scale, shrink the fx scale or split the sum (the HLL
-    # two-stage discipline) until this passes.
-    g = series.agg(
-        F.max(F.abs(F.col("v"))).alias("m"),
-        F.countDistinct("hour").alias("h"),
-    ).collect()[0]
-    if g["m"] is not None and int(g["m"]) ** 2 * int(g["h"]) >= 2**63:
-        raise ArithmeticError(
-            "user_activity_correlation: co-moment bound "
-            f"max|v|^2*hours = {int(g['m'])**2 * int(g['h'])} exceeds int64; "
-            "reduce the fixed-point scale before aggregating"
-        )
+    series = _hourly_series(spark, sf_dir)
     a = series.select(
         F.col("user_id").alias("u1"), "hour", F.col("v").alias("va")
     )
@@ -284,21 +320,242 @@ def user_activity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("vb") * F.col("vb")).alias("syy"),
         )
     )
-    nd = F.col("n").cast("double")
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
-    var_prod = (nd * d("sxx") - d("sx") * d("sx")) * (
-        nd * d("syy") - d("sy") * d("sy")
+    return _corr_topk_from_pairs(pairs)
+
+
+def _o_corr_sig() -> str:
+    """DuckDB mirror of the per-user centered-series sign sketch: one
+    conditional sum per plane over the mean-centered (scale-free) series
+    w = v·n_u − s_u, same md5-derived ±1 pattern as the Spark side."""
+    cols = []
+    for p in range(CORR_PLANES):
+        h = o_h64(f"'corrsketch#{p}#' || cast(hour AS varchar)")
+        cols.append(
+            f"CASE WHEN sum(w * (({h} % 2)*2 - 1)) > 0 "
+            f"THEN 1 ELSE 0 END AS b{p}"
+        )
+    return ",\n             ".join(cols)
+
+
+def _o_corr_bands() -> str:
+    rpb = CORR_PLANES // CORR_BANDS
+    selects = []
+    for b in range(CORR_BANDS):
+        key = " + ".join(f"{1 << r} * b{b * rpb + r}" for r in range(rpb))
+        selects.append(
+            f"SELECT user_id, {b} AS band_id, {key} AS band_key FROM sig"
+        )
+    return "\n      UNION ALL\n      ".join(selects)
+
+
+@register(
+    "user_correlation_sketch_pruned",
+    oracle=f"""
+    WITH series AS (
+      SELECT user_id,
+             cast(floor(epoch(ts)/3600) AS bigint) AS hour,
+             cast(sum(cast(value AS decimal(38,6))) * 100 AS bigint) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (SELECT count(DISTINCT hour) AS h FROM series),
+    stats AS (
+      SELECT user_id, sum(v) AS su, count(*) AS cu,
+             sum(v * v) AS sqv
+      FROM series GROUP BY 1
+    ),
+    cent AS (
+      SELECT s.user_id, s.hour, s.v * t.cu - t.su AS w
+      FROM series s JOIN stats t ON s.user_id = t.user_id
+    ),
+    sig AS (
+      SELECT user_id,
+             {_o_corr_sig()}
+      FROM cent GROUP BY 1
+    ),
+    bands AS (
+      {_o_corr_bands()}
+    ),
+    cand AS (
+      SELECT DISTINCT x.user_id AS u1, y.user_id AS u2
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key
+       AND x.user_id < y.user_id
+    ),
+    pairs AS (
+      SELECT c.u1, c.u2,
+             count(*) AS n_shared,
+             sum(a.v * b.v) AS sxy
+      FROM cand c
+      JOIN series a ON a.user_id = c.u1
+      JOIN series b ON b.user_id = c.u2 AND b.hour = a.hour
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.u1, p.u2, p.n_shared,
+             (cast(g.h AS double) * cast(p.sxy AS double)
+              - cast(t1.su AS double) * cast(t2.su AS double)) AS num,
+             (cast(g.h AS double) * cast(t1.sqv AS double)
+              - cast(t1.su AS double) * cast(t1.su AS double))
+             * (cast(g.h AS double) * cast(t2.sqv AS double)
+                - cast(t2.su AS double) * cast(t2.su AS double)) AS varp
+      FROM pairs p
+      JOIN stats t1 ON t1.user_id = p.u1
+      JOIN stats t2 ON t2.user_id = p.u2
+      CROSS JOIN grid g
     )
-    corr_fx = F.floor(
-        1000000.0 * (nd * d("sxy") - d("sx") * d("sy")) / F.sqrt(var_prod)
-    ).cast("bigint")
+    SELECT u1, u2, cast(n_shared AS bigint) AS n_hours,
+           cast(floor(1000000.0 * num / sqrt(varp)) AS bigint) AS corr_fx
+    FROM scored
+    WHERE varp > 0
+    ORDER BY corr_fx DESC, u1, u2
+    LIMIT {CORR_TOPK}
+    """,
+    doc="sketch-pruned top grid-correlated user series (LSH screen -> exact)",
+)
+def user_correlation_sketch_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path correlation search `user_activity_correlation`'s
+    docstring prescribes (VERDICT r5 #7): a random-hyperplane series
+    sketch screens user pairs BEFORE any hour-keyed join, and the exact
+    correlation is computed only for sketch candidates — the same
+    prune-then-verify discipline as the LSH→Jaccard dedup path.
+
+    Semantics: Pearson over the COMMON HOURLY GRID (inactive hour = 0,
+    the observed grid of H distinct active hours) — global co-movement of
+    the two series. This is the series similarity a projection sketch can
+    actually see; the sibling exact query's shared-support-only Pearson
+    is invisible to ANY global sketch when the overlap is a small
+    fraction of each series (measured: top-20 recall 5/20 for
+    shared-support vs 17/20 for grid semantics on the same fixture).
+    Grid semantics also makes the exact pass cheap: only the cross-moment
+    Σxy needs the pair join — means and variances are per-user stats,
+    and the grid size H is one global scalar.
+
+    Sketch: {CORR_PLANES} signed projections of the MEAN-CENTERED series
+    (w = v·n_u − s_u: integer-exact, scale-invariant — centering removes
+    the all-positive mean direction that would otherwise dominate every
+    projection; sign patterns md5-derived per (plane, hour) so both
+    engines build bit-identical signatures), banded
+    {CORR_BANDS}×{CORR_PLANES // CORR_BANDS}; a pair is a candidate iff
+    some band matches exactly (hyperplane-LSH collision curve:
+    P[agree] = 1 − θ/π per plane).
+
+    Scale shape: the ONLY join touching the full series relation is the
+    band equi-self-join over 2^{CORR_PLANES // CORR_BANDS} buckets/band;
+    bits-per-band is the knob that grows with log₂(users) exactly like
+    SimHash band_bits (SCALE.md sizing table). The Σxy hour join is
+    driven by the candidate list (u2-equi, never u1<u2 over raw hours).
+    Plan-asserted: every pair-inequality join carries a band key
+    (`tests/test_plans.py::test_pruned_correlation_has_no_unsketched_pair_join`).
+    """
+    series = _hourly_series(spark, sf_dir)
+    stats = series.groupBy("user_id").agg(
+        F.sum("v").alias("su"),
+        F.count(F.lit(1)).alias("cu"),
+        F.sum(F.col("v") * F.col("v")).alias("sqv"),
+    ).localCheckpoint(eager=True)
+    grid_h = series.select("hour").distinct().count()
+    cent = series.join(stats, "user_id").select(
+        "user_id",
+        "hour",
+        (F.col("v") * F.col("cu") - F.col("su")).alias("w"),
+    )
+    sign_aggs = [
+        F.sum(
+            F.col("w")
+            * (
+                (
+                    h64(
+                        F.concat(
+                            F.lit(f"corrsketch#{p}#"),
+                            F.col("hour").cast("string"),
+                        )
+                    )
+                    % 2
+                )
+                * 2
+                - 1
+            )
+        ).alias(f"s{p}")
+        for p in range(CORR_PLANES)
+    ]
+    sig = cent.groupBy("user_id").agg(*sign_aggs).select(
+        "user_id",
+        *[
+            F.when(F.col(f"s{p}") > 0, 1).otherwise(0).alias(f"b{p}")
+            for p in range(CORR_PLANES)
+        ],
+    )
+    rpb = CORR_PLANES // CORR_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            sum(
+                (F.col(f"b{b * rpb + r}") * (1 << r) for r in range(1, rpb)),
+                F.col(f"b{b * rpb}"),
+            ).alias("band_key"),
+        )
+        for b in range(CORR_BANDS)
+    ]
+    bands = sig.select(
+        "user_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("user_id", "band.band_id", "band.band_key")
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.user_id") < F.col("y.user_id")),
+        )
+        .select(
+            F.col("x.user_id").alias("u1"), F.col("y.user_id").alias("u2")
+        )
+        .distinct()
+    )
+    a = series.select(
+        F.col("user_id").alias("ua"), "hour", F.col("v").alias("va")
+    )
+    b = series.select(
+        F.col("user_id").alias("ub"),
+        F.col("hour").alias("hb"),
+        F.col("v").alias("vb"),
+    )
+    pairs = (
+        cand.join(a, F.col("u1") == F.col("ua"))
+        .join(b, (F.col("u2") == F.col("ub")) & (F.col("hour") == F.col("hb")))
+        .groupBy("u1", "u2")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum(F.col("va") * F.col("vb")).alias("sxy"),
+        )
+    )
+    t1 = stats.select(
+        F.col("user_id").alias("u1"),
+        F.col("su").alias("su1"),
+        F.col("sqv").alias("sqv1"),
+    )
+    t2 = stats.select(
+        F.col("user_id").alias("u2"),
+        F.col("su").alias("su2"),
+        F.col("sqv").alias("sqv2"),
+    )
+    hd = F.lit(float(grid_h))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = hd * d("sxy") - d("su1") * d("su2")
+    varp = (hd * d("sqv1") - d("su1") * d("su1")) * (
+        hd * d("sqv2") - d("su2") * d("su2")
+    )
     return (
-        pairs.filter((F.col("n") >= MIN_OVERLAP_HOURS) & (var_prod > 0))
+        pairs.join(t1, "u1")
+        .join(t2, "u2")
+        .filter(varp > 0)
         .select(
             "u1",
             "u2",
-            F.col("n").cast("bigint").alias("n_hours"),
-            corr_fx.alias("corr_fx"),
+            F.col("n_shared").cast("bigint").alias("n_hours"),
+            F.floor(1000000.0 * num / F.sqrt(varp)).cast("bigint").alias(
+                "corr_fx"
+            ),
         )
         .orderBy(F.col("corr_fx").desc(), "u1", "u2")
         .limit(CORR_TOPK)

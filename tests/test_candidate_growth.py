@@ -197,3 +197,71 @@ def test_ivf_bucket_mass_matches_design(spark):
         ]
         pts.append((n, sum(s * s for s in sizes)))
     assert _alpha(pts) <= 1.75, pts
+
+
+def test_pruned_correlation_sketch_beats_random_at_sf01(spark):
+    """Sketch-effectiveness evidence for `user_correlation_sketch_pruned`
+    (VERDICT r5 #7): at sf0.1 (1 500 users — the smallest scale where
+    grid correlations rise above noise), the banded sign-sketch must
+    recover most of the brute-force top-20 grid-correlated pairs.
+    Random band collisions alone would recover ~B/2^(P/B) ≈ 32% (~6/20);
+    the centered sketch measures 17/20 — the floor of 12 sits between,
+    failing if the sketch regresses to noise (e.g. uncentered signs,
+    which measure at the random baseline)."""
+    from pyspark.sql import functions as F2
+
+    from eth_dspa_2019_spark.plans import all_queries
+    from eth_dspa_2019_spark.plans.behavior import CORR_TOPK, _hourly_series
+
+    sf = _SF01
+    series = _hourly_series(spark, sf)
+    grid_h = float(series.select("hour").distinct().count())
+    stats = series.groupBy("user_id").agg(
+        F2.sum("v").alias("su"),
+        F2.sum(F2.col("v") * F2.col("v")).alias("sqv"),
+    )
+    a = series.select(
+        F2.col("user_id").alias("u1"), "hour", F2.col("v").alias("va")
+    )
+    b = series.select(
+        F2.col("user_id").alias("u2"),
+        F2.col("hour").alias("hb"),
+        F2.col("v").alias("vb"),
+    )
+    shared = (
+        a.join(b, (F2.col("hour") == F2.col("hb")) & (F2.col("u1") < F2.col("u2")))
+        .groupBy("u1", "u2")
+        .agg(F2.sum(F2.col("va") * F2.col("vb")).alias("sxy"))
+    )
+    t1 = stats.select(
+        F2.col("user_id").alias("u1"),
+        F2.col("su").alias("su1"),
+        F2.col("sqv").alias("sqv1"),
+    )
+    t2 = stats.select(
+        F2.col("user_id").alias("u2"),
+        F2.col("su").alias("su2"),
+        F2.col("sqv").alias("sqv2"),
+    )
+    d = lambda c: F2.col(c).cast("double")  # noqa: E731
+    num = F2.lit(grid_h) * d("sxy") - d("su1") * d("su2")
+    varp = (F2.lit(grid_h) * d("sqv1") - d("su1") * d("su1")) * (
+        F2.lit(grid_h) * d("sqv2") - d("su2") * d("su2")
+    )
+    truth = (
+        shared.join(t1, "u1")
+        .join(t2, "u2")
+        .filter(varp > 0)
+        .select(
+            "u1",
+            "u2",
+            F2.floor(1e6 * num / F2.sqrt(varp)).cast("bigint").alias("c"),
+        )
+        .orderBy(F2.desc("c"), "u1", "u2")
+        .limit(CORR_TOPK)
+        .collect()
+    )
+    tp = {(r.u1, r.u2) for r in truth}
+    pruned = all_queries()["user_correlation_sketch_pruned"].spark(spark, sf)
+    pp = {(r.u1, r.u2) for r in pruned.collect()}
+    assert len(tp & pp) >= 12, f"recall {len(tp & pp)}/{len(tp)}"

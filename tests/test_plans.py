@@ -352,3 +352,24 @@ def test_event_gaps_window_is_user_partitioned(spark, sf_dir):
     assert "SinglePartition" not in plan
     win = plan[plan.find("Window"):][:300]
     assert "user_id" in win
+
+
+def test_pruned_correlation_has_no_unsketched_pair_join(spark, sf_dir):
+    """VERDICT r5 #7: the sketch-pruned correlation must never build the
+    raw hour-keyed user×user product — the only pair-inequality join in
+    the plan is the banded sketch self-join (carries a band key), and
+    every hour-equi join also carries a candidate user equality."""
+    plan = _executed_plan(spark, sf_dir, "user_correlation_sketch_pruned")
+    assert "CartesianProduct" not in plan
+    assert "band_key" in plan  # the sketch screen is actually in the plan
+    for line in plan.splitlines():
+        if "Join" not in line:
+            continue
+        cond = line
+        # a '<' between user ids is only allowed inside the banded join
+        if "user_id" in cond and " < " in cond:
+            assert "band_key" in cond, line
+        # an hour-equi join must be candidate-driven (u2 equality rides
+        # along), never the bare series self-join on hour alone
+        if "hour" in cond and " = " in cond and "band_key" not in cond:
+            assert "ub" in cond or "u2" in cond or "user_id" in cond, line
