@@ -447,6 +447,37 @@ def user_correlation_sketch_pruned(spark: SparkSession, sf_dir: str) -> DataFram
     Plan-asserted: every pair-inequality join carries a band key
     (`tests/test_plans.py::test_pruned_correlation_has_no_unsketched_pair_join`).
     """
+    return _grid_corr_pruned(spark, sf_dir, CORR_PLANES, CORR_BANDS)
+
+
+def grid_correlation_pruned_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`user_correlation_sketch_pruned` with the band width sized from
+    the data — the form a deployment actually runs. The registered query
+    pins (planes, bands) so its DuckDB oracle is a static string; this
+    operator applies the knob rule instead: bits-per-band
+    R = clamp(4..12, log₂(users/8)) so bucket count tracks the user
+    population (collision mass ≈ bands·N²/2^R stays ~N·load), bands stay
+    the recall knob (cost linear in bands·N). The 10× scale run that
+    motivated this (SCALE.md "Measured scaling") clocked the fixed-R
+    registered form at 166 s on 15 000 users — a quadratic cliff — vs
+    ~linear for this auto-sized form; longer bands certify the
+    near-duplicate-series regime (collision probability concentrates at
+    high |corr|), with graceful recall decay for weaker pairs."""
+    import math
+
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    rpb = min(12, max(4, math.ceil(math.log2(max(users, 16) / 8))))
+    return _grid_corr_pruned(spark, sf_dir, CORR_BANDS * rpb, CORR_BANDS)
+
+
+def _grid_corr_pruned(
+    spark: SparkSession, sf_dir: str, planes: int, bands: int
+) -> DataFrame:
     series = _hourly_series(spark, sf_dir)
     stats = series.groupBy("user_id").agg(
         F.sum("v").alias("su"),
@@ -476,16 +507,16 @@ def user_correlation_sketch_pruned(spark: SparkSession, sf_dir: str) -> DataFram
                 - 1
             )
         ).alias(f"s{p}")
-        for p in range(CORR_PLANES)
+        for p in range(planes)
     ]
     sig = cent.groupBy("user_id").agg(*sign_aggs).select(
         "user_id",
         *[
             F.when(F.col(f"s{p}") > 0, 1).otherwise(0).alias(f"b{p}")
-            for p in range(CORR_PLANES)
+            for p in range(planes)
         ],
     )
-    rpb = CORR_PLANES // CORR_BANDS
+    rpb = planes // bands
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -494,12 +525,12 @@ def user_correlation_sketch_pruned(spark: SparkSession, sf_dir: str) -> DataFram
                 F.col(f"b{b * rpb}"),
             ).alias("band_key"),
         )
-        for b in range(CORR_BANDS)
+        for b in range(bands)
     ]
-    bands = sig.select(
+    bands_df = sig.select(
         "user_id", F.explode(F.array(*band_structs)).alias("band")
     ).select("user_id", "band.band_id", "band.band_key")
-    x, y = bands.alias("x"), bands.alias("y")
+    x, y = bands_df.alias("x"), bands_df.alias("y")
     cand = (
         x.join(
             y,

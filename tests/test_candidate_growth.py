@@ -265,3 +265,79 @@ def test_pruned_correlation_sketch_beats_random_at_sf01(spark):
     pruned = all_queries()["user_correlation_sketch_pruned"].spark(spark, sf)
     pp = {(r.u1, r.u2) for r in pruned.collect()}
     assert len(tp & pp) >= 12, f"recall {len(tp & pp)}/{len(tp)}"
+
+
+def test_auto_corr_sketch_candidates_subquadratic(spark):
+    """The auto-sized correlation sketch (bits-per-band ~ log2 users —
+    `plans/behavior.py::grid_correlation_pruned_auto`) must keep its
+    candidate mass sub-quadratic in the user count. The fixed-band
+    registered form measured a 166 s quadratic cliff at 10x in the scale
+    run (SCALE.md "Measured scaling"); this pins the knob rule."""
+    from eth_dspa_2019_spark.functions.hashing import h64
+    from eth_dspa_2019_spark.plans.behavior import CORR_BANDS, _hourly_series
+
+    series_full = _hourly_series(spark, _SF01)
+    pts = []
+    for n in (500, 1500):
+        series = series_full.filter(F.col("user_id") < n)
+        rpb = min(12, max(4, math.ceil(math.log2(max(n, 16) / 8))))
+        planes = CORR_BANDS * rpb
+        stats = series.groupBy("user_id").agg(
+            F.sum("v").alias("su"), F.count(F.lit(1)).alias("cu")
+        )
+        cent = series.join(stats, "user_id").select(
+            "user_id", "hour", (F.col("v") * F.col("cu") - F.col("su")).alias("w")
+        )
+        aggs = [
+            F.sum(
+                F.col("w")
+                * (
+                    (
+                        h64(
+                            F.concat(
+                                F.lit(f"corrsketch#{p}#"),
+                                F.col("hour").cast("string"),
+                            )
+                        )
+                        % 2
+                    )
+                    * 2
+                    - 1
+                )
+            ).alias(f"s{p}")
+            for p in range(planes)
+        ]
+        sig = cent.groupBy("user_id").agg(*aggs).select(
+            "user_id",
+            *[
+                F.when(F.col(f"s{p}") > 0, 1).otherwise(0).alias(f"b{p}")
+                for p in range(planes)
+            ],
+        )
+        structs = [
+            F.struct(
+                F.lit(b).alias("band_id"),
+                sum(
+                    (F.col(f"b{b * rpb + r}") * (1 << r) for r in range(1, rpb)),
+                    F.col(f"b{b * rpb}"),
+                ).alias("band_key"),
+            )
+            for b in range(CORR_BANDS)
+        ]
+        bands = sig.select(
+            "user_id", F.explode(F.array(*structs)).alias("bd")
+        ).select("user_id", "bd.band_id", "bd.band_key")
+        x, y = bands.alias("x"), bands.alias("y")
+        c = (
+            x.join(
+                y,
+                (F.col("x.band_id") == F.col("y.band_id"))
+                & (F.col("x.band_key") == F.col("y.band_key"))
+                & (F.col("x.user_id") < F.col("y.user_id")),
+            )
+            .select("x.user_id", "y.user_id")
+            .distinct()
+            .count()
+        )
+        pts.append((n, c))
+    assert _alpha(pts) <= 1.5, pts
