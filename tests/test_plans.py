@@ -373,3 +373,39 @@ def test_pruned_correlation_has_no_unsketched_pair_join(spark, sf_dir):
         # along), never the bare series self-join on hour alone
         if "hour" in cond and " = " in cond and "band_key" not in cond:
             assert "ub" in cond or "u2" in cond or "user_id" in cond, line
+
+
+def test_q8_broadcasts_all_dims(spark, sf_dir):
+    """Q8's seven-relation constellation: every dim broadcasts; lineitem
+    is the only shuffled relation and no cartesian appears."""
+    plan = _executed_plan(spark, sf_dir, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_decorrelated_no_cartesian(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS composition must run as keyed aggregations
+    + joins — no correlated re-execution, no cartesian/nested-loop."""
+    plan = _executed_plan(spark, sf_dir, "q21_suppliers_kept_waiting")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # two grouped rollups, partial+final
+
+
+def test_q11_global_scalar_is_broadcast(spark, sf_dir):
+    """The HAVING-vs-total comparison joins a 1-row broadcast, never
+    rescans or single-partitions the grouped relation."""
+    plan = _executed_plan(spark, sf_dir, "q11_important_stock")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q12_derived_predicates_stay_in_scan_stage(spark, sf_dir):
+    """The derived shipmode/commit/receipt predicates are pure
+    projections of scan columns — they must filter BEFORE the orders
+    join (no Exchange between the lineitem scan and the filter)."""
+    plan = _executed_plan(spark, sf_dir, "q12_shipmode_priority")
+    assert "CartesianProduct" not in plan
+    # the lineitem side reads only the columns the derivation needs
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    li = [s for s in read_schemas if "l_orderkey" in s][0]
+    assert "l_extendedprice" not in li and "l_tax" not in li
