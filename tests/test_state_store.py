@@ -217,3 +217,66 @@ def test_state_store_missing_table_raises(spark, tmp_path):
     # a state_dir whose snapshots lack any 'resolved' base also raises
     with pytest.raises(FileNotFoundError, match="resolved_missing"):
         store.load_chain(0, "resolved_missing", "id long, root_post_id long")
+
+
+def test_durable_tables_lifecycle(spark, tmp_path):
+    """The shared DurableTables harness (`streaming/durable.py`) through a
+    full life: 12 commits (> COMPACT_EVERY), a crash-replay rollback in
+    the middle, delta-chain reconstruction, and the pruning bound (at
+    most COMPACT_EVERY+1 delta dirs plus one compaction base retained)."""
+    from eth_dspa_2019_spark.streaming.durable import (
+        COMPACT_EVERY,
+        DurableTables,
+    )
+
+    sdir = str(tmp_path / "state")
+    fulls = {"cursor": "k long, v long"}
+    deltas = {"log": "batch long, x long"}
+
+    def mk():
+        return DurableTables(spark, sdir, fulls, deltas)
+
+    dt = mk()
+    acc = spark.createDataFrame([], deltas["log"])
+    for b in range(8):
+        assert dt.begin_batch(b) is None  # fresh ids never roll back
+        d = spark.createDataFrame([(b, b * 10)], deltas["log"])
+        acc = acc.unionByName(d)
+        cur = spark.createDataFrame([(0, b)], fulls["cursor"])
+        dt.commit(b, {"cursor": cur}, {"log": d}, {"log": acc})
+
+    # fresh process: recovers all 8 batches through the delta chain
+    dt2 = mk()
+    t = dt2.load_latest()
+    assert sorted(r["batch"] for r in t["log"].collect()) == list(range(8))
+    assert t["cursor"].collect()[0]["v"] == 7
+
+    # crash-replay: the engine re-runs batch 7 → state must roll back one
+    # version and re-absorb the batch without duplicating its delta
+    rolled = dt2.begin_batch(7)
+    assert rolled is not None
+    assert sorted(r["batch"] for r in rolled["log"].collect()) == list(range(7))
+    acc2 = rolled["log"]
+    d = spark.createDataFrame([(7, 999)], deltas["log"])  # new content
+    acc2 = acc2.unionByName(d)
+    dt2.commit(7, {"cursor": spark.createDataFrame([(0, 70)], fulls["cursor"])},
+               {"log": d}, {"log": acc2})
+    for b in range(8, 12):
+        assert dt2.begin_batch(b) is None
+        d = spark.createDataFrame([(b, b * 10)], deltas["log"])
+        acc2 = acc2.unionByName(d)
+        dt2.commit(b, {"cursor": spark.createDataFrame([(0, b)], fulls["cursor"])},
+                   {"log": d}, {"log": acc2})
+
+    # final recovery sees the REPLAYED batch-7 content, not the original
+    t3 = mk().load_latest()
+    rows = {r["batch"]: r["x"] for r in t3["log"].collect()}
+    assert rows[7] == 999
+    assert sorted(rows) == list(range(12))
+
+    # pruning bound: versions below the newest compaction at-or-below the
+    # previous batch are gone; the directory never grows with the stream
+    import glob
+
+    vdirs = sorted(glob.glob(f"{sdir}/v*"))
+    assert len(vdirs) <= COMPACT_EVERY + 2, vdirs
