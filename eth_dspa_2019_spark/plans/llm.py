@@ -1023,15 +1023,18 @@ def char_entropy_profile(docs: DataFrame) -> DataFrame:
     single builder behind `doc_char_entropy` and the `corpus_prep_e2e`
     composition."""
     docs = docs.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    # split('') is ONE pass over the string; the previous
+    # transform(sequence, i -> substring(text, i, 1)) form re-scanned the
+    # prefix per position (substring indexes code points, O(i) each) —
+    # O(n²) per document, measured 3.5× slower at sf0.1. split works in
+    # UTF-16 code units, identical to code points for all BMP text (the
+    # corpus is ASCII; non-BMP surrogates would profile as two units
+    # here vs one code point in the DuckDB oracle).
     chars = docs.select(
         "doc_id",
         F.length("text").alias("n"),
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
-            )
-        ).alias("c"),
-    )
+        F.explode(F.split("text", "")).alias("c"),
+    ).filter(F.col("c") != "")
     freq = chars.groupBy("doc_id", "n", "c").agg(F.count(F.lit(1)).alias("cnt"))
     return freq.groupBy("doc_id", F.col("n").cast("bigint").alias("n_chars")).agg(
         F.count(F.lit(1)).alias("distinct_chars"),
