@@ -9,11 +9,14 @@ LSH with exact-Jaccard verify — never corpus×corpus), and the KEPT
 documents' artifacts are appended to the state so later batches dedup
 against everything that survived before them.
 
-Semantics: batch k is scored against corpus ∪ kept(batches < k). Within-
-batch duplicates are NOT scored against each other (run the self-join
-dedup path on the batch first if the ingest source can contain them) —
-this matches the batch query, whose new side is scored against the
-corpus side only.
+Semantics: batch k is scored against corpus ∪ kept(batches < k). By
+default within-batch duplicates are NOT scored against each other —
+matching the batch query, whose new side is scored against the corpus
+side only. ``self_dedup=True`` adds the within-batch pass (the full
+daily-ingest semantics when the source itself can contain dups): exact
+prefix-key groups and MinHash-LSH near-dup pairs INSIDE the batch keep
+their min-doc_id canonical and mark the rest, so of k copies arriving
+together exactly one survives into the corpus.
 
 State is O(corpus artifacts), persisted through the shared
 versioned-snapshot harness (`streaming/durable.py`) as APPEND-ONLY
@@ -30,7 +33,9 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     corpus_dedup_artifacts,
+    h64,
     incremental_dedup_against,
+    minhash_lsh_pairs,
 )
 from .durable import COMPACT_EVERY, DurableTables
 
@@ -57,6 +62,7 @@ class StreamingCorpusDedup:
         threshold: float = 0.2,
         prefix: int = 64,
         grow: bool = True,
+        self_dedup: bool = False,
     ):
         self.spark = spark
         self.params = dict(
@@ -64,6 +70,7 @@ class StreamingCorpusDedup:
             bands=bands, threshold=threshold, prefix=prefix,
         )
         self.grow = grow
+        self.self_dedup = self_dedup
         self._corpus_src = corpus
         self.state = DurableTables(
             spark,
@@ -138,6 +145,53 @@ class StreamingCorpusDedup:
             },
         )
 
+    def _fold_within_batch(
+        self, new_docs: DataFrame, scored: DataFrame
+    ) -> DataFrame:
+        """Within-batch dedup pass (``self_dedup=True``): exact
+        prefix-key groups keep their min-id; MinHash-LSH near-dup pairs
+        go through connected components (`dedup_clusters`) so each
+        component keeps exactly its min-id canonical (a single
+        greater-of-pair pass would leak survivors on pair chains). The
+        marks OR into the corpus-screen flags — output schema unchanged."""
+        from ..operators.dedup import dedup_clusters
+
+        p = self.params
+        idc, txt = p["id_col"], p["text_col"]
+        key = h64(F.substring(F.col(txt), 1, p["prefix"]))
+        keyed = new_docs.select(F.col(idc).alias("doc_id"), key.alias("kh"))
+        canon = keyed.groupBy("kh").agg(F.min("doc_id").alias("canon"))
+        wb_exact = (
+            keyed.join(canon, "kh")
+            .filter(F.col("doc_id") != F.col("canon"))
+            .select("doc_id")
+            .withColumn("wbe", F.lit(True))
+        )
+        pairs = minhash_lsh_pairs(
+            new_docs, idc, txt, n=p["n"], num_perm=p["num_perm"],
+            bands=p["bands"], threshold=p["threshold"],
+        )
+        wb_near = (
+            dedup_clusters(pairs)
+            .filter(F.col("id") != F.col("cluster_id"))
+            .select(F.col("id").alias("doc_id"))
+            .withColumn("wbn", F.lit(True))
+        )
+        return (
+            scored.join(wb_exact, "doc_id", "left")
+            .join(wb_near, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.col("is_exact_dup") | F.coalesce("wbe", F.lit(False)))
+                .alias("is_exact_dup"),
+                (F.col("is_near_dup") | F.coalesce("wbn", F.lit(False)))
+                .alias("is_near_dup"),
+            )
+            .withColumn(
+                "keep", ~(F.col("is_exact_dup") | F.col("is_near_dup"))
+            )
+        )
+
     # -- the fold ---------------------------------------------------------
     def process_batch(self, new_docs: DataFrame) -> DataFrame:
         """Score one micro-batch against the standing state; returns
@@ -151,7 +205,10 @@ class StreamingCorpusDedup:
             p["id_col"], p["text_col"], n=p["n"], num_perm=p["num_perm"],
             bands=p["bands"], threshold=p["threshold"], prefix=p["prefix"],
             cache_registry=caches,
-        ).localCheckpoint(eager=True)
+        )
+        if self.self_dedup:
+            scored = self._fold_within_batch(new_docs, scored)
+        scored = scored.localCheckpoint(eager=True)
         for c in caches:
             c.unpersist()
         if not self.grow:

@@ -137,3 +137,51 @@ def test_stream_growing_corpus_crash_restart(spark, sf_dir, tmp_path):
     n_delta = sum(spark.read.parquet(d).count() for d in deltas)
     n_seed = shingles(seed, "doc_id", "text", SHINGLE_N).count()
     assert n_seed + n_delta == det.shingles.count()
+
+
+def test_self_dedup_marks_within_batch_copies(spark, sf_dir, tmp_path):
+    """self_dedup=True: of k identical docs arriving in ONE batch, only
+    the min-id canonical survives into the corpus; near-dup chains go
+    through connected components so each component keeps exactly one.
+    Without the flag, within-batch copies all pass (the batch-query
+    semantics) — asserted as the contrast."""
+    from eth_dspa_2019_spark.streaming.corpus_dedup import StreamingCorpusDedup
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 20)
+    )
+    # batch = originals + exact copies at +1000 ids (same text)
+    copies = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    batch = docs.unionByName(copies)
+    seed = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+
+    det = StreamingCorpusDedup(
+        spark, seed, None, self_dedup=True, **_PARAMS
+    )
+    scored = det.process_batch(batch)
+    rows = {r["doc_id"]: r for r in scored.collect()}
+    for i in [r["doc_id"] for r in docs.collect()]:
+        # every +1000 copy is marked exact-dup within the batch; the
+        # original (min id) is NOT marked by the self pass
+        assert rows[i + 1000]["is_exact_dup"], i
+        assert not rows[i + 1000]["keep"], i
+    # at least the non-corpus-colliding originals survive
+    assert any(r["keep"] for r in rows.values())
+    # the corpus grew by exactly the kept docs' keys (copies excluded)
+    kept = [d for d, r in rows.items() if r["keep"]]
+    assert all(d < 1000 for d in kept)
+
+    det2 = StreamingCorpusDedup(
+        spark, seed, None, self_dedup=False, **_PARAMS
+    )
+    scored2 = det2.process_batch(batch)
+    rows2 = {r["doc_id"]: r for r in scored2.collect()}
+    # contrast: without the self pass, a copy's flags equal its original's
+    for i in [r["doc_id"] for r in docs.collect()]:
+        assert rows2[i + 1000]["keep"] == rows2[i]["keep"], i
