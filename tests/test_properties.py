@@ -227,3 +227,71 @@ def test_comment_depths_match_reference_walk(spark, rows, data):
     acts = spark.createDataFrame(rows, _ACT_SCHEMA)
     got = {r["id"]: r["depth"] for r in comment_depths(acts).collect()}
     assert got == expected
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_durable_tables_model_based(spark, tmp_path_factory, data):
+    """Model-based check of the shared durability harness
+    (`streaming/durable.py`): against ANY random interleaving of commits,
+    process crashes (fresh instance on the same dir), and crash-replays
+    (the engine re-running the last committed batch id with different
+    content), the recovered delta-table content must equal a trivial
+    in-memory model that applies the same events — and the retained
+    version count must stay bounded (pruning)."""
+    import glob
+
+    from eth_dspa_2019_spark.streaming.durable import (
+        COMPACT_EVERY,
+        DurableTables,
+    )
+
+    sdir = str(tmp_path_factory.mktemp("durable_prop"))
+    fulls = {"cur": "v long"}
+    deltas = {"log": "batch long, x long"}
+
+    def mk():
+        return DurableTables(spark, sdir, fulls, deltas)
+
+    dt = mk()
+    model: dict[int, int] = {}  # batch -> x (the committed delta content)
+    acc = spark.createDataFrame([], deltas["log"])
+    next_batch = 0
+    n_steps = data.draw(st.integers(4, 10))
+    for step in range(n_steps):
+        action = data.draw(
+            st.sampled_from(["commit", "crash", "replay"]), label=f"a{step}"
+        )
+        if action == "crash":
+            dt = mk()
+            t = dt.load_latest()
+            acc = t["log"]
+            continue
+        if action == "replay" and model:
+            bid = max(model)  # the engine replays the LAST committed batch
+            rolled = dt.begin_batch(bid)
+            assert rolled is not None
+            acc = rolled["log"]
+            x = data.draw(st.integers(0, 1000), label=f"rx{step}")
+        else:
+            bid = next_batch
+            assert dt.begin_batch(bid) is None
+            x = data.draw(st.integers(0, 1000), label=f"x{step}")
+        d = spark.createDataFrame([(bid, x)], deltas["log"])
+        acc = acc.unionByName(d)
+        dt.commit(
+            bid,
+            {"cur": spark.createDataFrame([(bid,)], fulls["cur"])},
+            {"log": d},
+            {"log": acc},
+        )
+        model[bid] = x
+        next_batch = bid + 1
+
+    final = {r["batch"]: r["x"] for r in mk().load_latest()["log"].collect()}
+    assert final == model
+    assert len(glob.glob(f"{sdir}/v*")) <= COMPACT_EVERY + 2
