@@ -133,3 +133,154 @@ def event_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         F.least(*[F.col(f"c{r}") for r in range(CMS_D)]).alias("est_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: build + probe (deterministic, cross-engine bit-identical)
+
+BLOOM_M = 512  # bits — sized so the fixture exercises nonzero false positives
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos_sql(j: int, key_expr: str) -> str:
+    salted = f"'bloom#{j}#' || {key_expr}"
+    return f"{o_h64(salted)} % {BLOOM_M}"
+
+
+def _o_bloom() -> str:
+    mem_pos = " UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql(j, 'cast(user_id AS varchar)')} AS pos "
+        "FROM members"
+        for j in range(BLOOM_K)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT user_id, {_bloom_pos_sql(j, 'cast(user_id AS varchar)')} "
+        "AS pos FROM probes"
+        for j in range(BLOOM_K)
+    )
+    return f"""
+    WITH members AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND value > 300
+    ),
+    probes AS (SELECT DISTINCT user_id FROM events),
+    filter_bits AS (SELECT DISTINCT pos FROM ({mem_pos})),
+    ppos AS (SELECT DISTINCT user_id, pos FROM ({probe_pos})),
+    verdicts AS (
+      SELECT p.user_id,
+             count(*) AS n_pos,
+             count(f.pos) AS n_hit
+      FROM ppos p LEFT JOIN filter_bits f ON f.pos = p.pos
+      GROUP BY 1
+    ),
+    flagged AS (
+      SELECT v.user_id,
+             (v.n_hit = v.n_pos) AS positive,
+             (m.user_id IS NOT NULL) AS is_member
+      FROM verdicts v LEFT JOIN members m ON m.user_id = v.user_id
+    )
+    SELECT count(*) AS n_probed,
+           cast(sum(CASE WHEN positive THEN 1 ELSE 0 END) AS bigint)
+             AS n_positive,
+           cast(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS bigint)
+             AS n_members,
+           cast(sum(CASE WHEN positive AND NOT is_member THEN 1 ELSE 0 END)
+                AS bigint) AS n_false_positive
+    FROM flagged
+    """
+
+
+def bloom_positions(key: F.Column, k: int = BLOOM_K, m: int = BLOOM_M):
+    """The k bit positions of ``key`` — md5-derived like every sketch
+    hash here, so the DuckDB mirror is bit-identical."""
+    return [
+        h64(F.concat(F.lit(f"bloom#{j}#"), key.cast("string"))) % m
+        for j in range(k)
+    ]
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """The filter as its SET-BITS relation (≤ BLOOM_M rows — KBs at any
+    corpus size): the distributed form of a Bloom bitset, broadcastable
+    to any probe site. At 100 TB this is the standard shuffle-avoidance
+    move: build over the small join side, broadcast, and discard most of
+    the big side BEFORE the exchange (Spark's own runtime row-group
+    pruning does the same under `spark.sql.optimizer.runtime.bloomFilter`;
+    this explicit form is storable/shippable state, e.g. a standing
+    decontamination screen)."""
+    pos = bloom_positions(F.col(key_col))
+    return (
+        keys.select(F.explode(F.array(*pos)).alias("pos")).distinct()
+    )
+
+
+def bloom_probe(
+    probes: DataFrame, filter_bits: DataFrame, key_col: str
+) -> DataFrame:
+    """(key, positive): positive iff ALL k positions are set — no false
+    negatives ever; false positives at the classic (1-e^{-kn/m})^k rate."""
+    pos = bloom_positions(F.col(key_col))
+    ppos = probes.select(
+        F.col(key_col), F.explode(F.array(*pos)).alias("pos")
+    ).distinct()
+    # the match must be counted via an explicit marker: a USING left join
+    # coalesces `pos` to the (never-null) probe side, so counting it
+    # would read every probe as a hit
+    fb = filter_bits.withColumn("__hit", F.lit(1))
+    hits = (
+        ppos.join(F.broadcast(fb), "pos", "left")
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.count("__hit").alias("n_hit"),
+        )
+    )
+    return hits.select(
+        key_col, (F.col("n_hit") == F.col("n_pos")).alias("positive")
+    )
+
+
+@register("bloom_membership_screen", oracle=_o_bloom())
+def bloom_membership_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter build + probe, summarized: build over the
+    high-value purchasers (a minority member set), probe EVERY user, report probe/positive/member/false-positive
+    counts. A deterministic construction (md5-derived positions, set-bit
+    relation), so the false-positive count is a fixed data property both
+    engines compute identically — the query carries a real correctness
+    signal, not a statistical one.
+
+    Scale shape: the filter is ≤ BLOOM_M distinct positions regardless of
+    member count — the broadcastable standing state a decontamination
+    screen or a join-pruning pass ships to the scan side. Probing is one
+    broadcast join + a per-key all-bits-set check; no shuffle of the
+    probe relation beyond its own distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    members = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > 300)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    probes = ev.select("user_id").distinct()
+    bits = bloom_build(members, "user_id")
+    verdicts = bloom_probe(probes, bits, "user_id")
+    flagged = verdicts.join(
+        members.withColumn("is_member", F.lit(True)), "user_id", "left"
+    ).select(
+        "positive", F.coalesce("is_member", F.lit(False)).alias("is_member")
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.when(F.col("positive"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_positive"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_members"),
+        F.sum(
+            F.when(F.col("positive") & ~F.col("is_member"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_positive"),
+    )

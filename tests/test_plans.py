@@ -409,3 +409,21 @@ def test_q12_derived_predicates_stay_in_scan_stage(spark, sf_dir):
     read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     li = [s for s in read_schemas if "l_orderkey" in s][0]
     assert "l_extendedprice" not in li and "l_tax" not in li
+
+
+def test_bloom_probe_is_broadcast_and_bounded(spark, sf_dir):
+    """The Bloom filter's set-bits relation (<= BLOOM_M rows at ANY
+    member count) must broadcast to the probe side — never a shuffle of
+    the probe relation against the filter."""
+    from eth_dspa_2019_spark.plans.sketch import BLOOM_M, bloom_build
+    from eth_dspa_2019_spark.io.readers import load_table
+    from pyspark.sql import functions as F2
+
+    plan = _executed_plan(spark, sf_dir, "bloom_membership_screen")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    ev = load_table(spark, sf_dir, "events")
+    members = ev.filter(
+        (F2.col("event_type") == "purchase") & (F2.col("value") > 300)
+    ).select("user_id").distinct()
+    assert bloom_build(members, "user_id").count() <= BLOOM_M
