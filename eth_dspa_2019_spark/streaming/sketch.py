@@ -52,3 +52,24 @@ def hll_register_stream(events: DataFrame) -> DataFrame:
         "hour", "reg", _hll_rho_spark(F.expr(f"h div {HLL_M}")).alias("rho")
     )
     return split.groupBy("hour", "reg").agg(F.max("rho").alias("max_rho"))
+
+
+def bloom_bits_stream(members: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Streaming Bloom filter state: the set-bits relation accumulated
+    over a member stream — set-union is associative and monotone, so the
+    distinct aggregation over exploded bit positions IS the filter, with
+    state bounded at BLOOM_M rows forever (`plans/sketch.py` defines the
+    md5-derived positions; the batch build is the golden oracle). In
+    complete-output mode every trigger emits the whole (tiny) filter —
+    the broadcastable standing screen a downstream probe join consumes."""
+    from pyspark.sql.functions import array, col, explode
+
+    from ..plans.sketch import bloom_positions
+
+    pos = bloom_positions(col(key_col))
+    return (
+        members.select(explode(array(*pos)).alias("pos"))
+        .groupBy("pos")
+        .count()
+        .select("pos")
+    )

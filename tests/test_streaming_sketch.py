@@ -105,3 +105,46 @@ def test_streaming_hll_registers_equal_batch(spark, tmp_path):
     got_rows = {(r.hour, r.reg): r.max_rho for r in got.collect()}
     want_rows = {(r.hour, r.reg): r.max_rho for r in want.collect()}
     assert got_rows == want_rows and got_rows
+
+
+def test_streaming_bloom_bits_equal_batch(spark, tmp_path):
+    """Streaming Bloom accumulation == the batch build on the same
+    members, regardless of micro-batch boundaries (set union is
+    associative/monotone), with state bounded at BLOOM_M rows."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from eth_dspa_2019_spark.plans.sketch import BLOOM_M, bloom_build
+    from eth_dspa_2019_spark.streaming import run_to_memory
+    from eth_dspa_2019_spark.streaming.sketch import bloom_bits_stream
+
+    schema = T.StructType([T.StructField("user_id", T.LongType())])
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    now = time.time()
+    ids = [3, 17, 42, 99, 256, 1024, 4097, 65536]
+    for b, chunk in enumerate([ids[:3], ids[3:6], ids[6:]]):
+        p = os.path.join(watch, f"b{b}.json")
+        with open(p, "w") as f:
+            for u in chunk:
+                f.write(json.dumps({"user_id": u}) + "\n")
+        os.utime(p, (now - 300 + b, now - 300 + b))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(watch)
+    )
+    got = run_to_memory(
+        bloom_bits_stream(stream), str(tmp_path / "ck"), "complete"
+    )
+    batch = bloom_build(
+        spark.createDataFrame([(u,) for u in ids], schema), "user_id"
+    )
+    s_rows = sorted(r["pos"] for r in got.collect())
+    b_rows = sorted(r["pos"] for r in batch.collect())
+    assert s_rows == b_rows
+    assert len(s_rows) <= BLOOM_M
