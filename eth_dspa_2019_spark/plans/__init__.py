@@ -24,6 +24,7 @@ from . import corpus  # noqa: E402,F401
 from . import sketch  # noqa: E402,F401
 from . import behavior  # noqa: E402,F401
 from . import tpch_extra  # noqa: E402,F401
+from . import graph  # noqa: E402,F401
 
 
 def clear_plan_caches(spark) -> None:

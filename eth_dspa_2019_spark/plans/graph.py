@@ -1,0 +1,155 @@
+"""Graph analytics over the synthesized user graph: triangle counting
+with degree-ordered orientation — the second classic distributed graph
+primitive next to the connected-components clustering the dedup family
+already ships (`operators/dedup.py::dedup_clusters`).
+
+The edge set is synthesized deterministically from the event users with
+the same modular-arithmetic discipline as the task-2 friend edges
+(`operators/recommend.py::synth_friend_edges`): D pseudo-random
+neighbors per user, canonicalized undirected. Both engines build the
+identical edge list, so the triangle count is a fixed data property.
+
+Scale shape (the textbook result this query exists to encode): counting
+wedges naively joins adjacency on BOTH endpoints — Σ deg² explodes on
+hubs. Orienting every edge from its lower to its higher endpoint in the
+(degree, id) total order caps the OUT-degree at O(√E) (a node of
+out-degree d has d higher-degree neighbors, each of degree ≥ d, so
+d² ≤ 2E), making the wedge join Σ outdeg² = O(E^1.5) worst-case — the
+MapReduce triangle-counting bound (Suri & Vassilvitskii, WWW'11). Every
+join is an equi-join on node keys; the closing edge lookup needs no OR
+condition because the orientation totally orders each wedge's endpoints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.readers import load_table
+from .registry import register
+
+TRI_FAN = 3  # synthesized neighbors per user
+
+
+def _o_edges() -> str:
+    probes = " UNION ALL ".join(
+        f"SELECT user_id AS u, (user_id * 7 + {11 * j}) % n AS v "
+        "FROM users CROSS JOIN nn"
+        for j in range(1, TRI_FAN + 1)
+    )
+    return f"""
+    users AS (SELECT DISTINCT user_id FROM events),
+    nn AS (SELECT max(user_id) + 1 AS n FROM users),
+    raw AS ({probes}),
+    edges AS (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM raw WHERE u <> v
+    )
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_o_edges()},
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges
+      ) GROUP BY 1
+    ),
+    okey AS (
+      SELECT d.node, d.d * (SELECT n FROM nn) + d.node AS k FROM deg d
+    ),
+    oriented AS (
+      SELECT CASE WHEN ka.k < kb.k THEN e.a ELSE e.b END AS src,
+             CASE WHEN ka.k < kb.k THEN e.b ELSE e.a END AS dst,
+             CASE WHEN ka.k < kb.k THEN kb.k ELSE ka.k END AS dst_k
+      FROM edges e
+      JOIN okey ka ON ka.node = e.a
+      JOIN okey kb ON kb.node = e.b
+    ),
+    wedges AS (
+      SELECT e1.dst AS b, e2.dst AS c
+      FROM oriented e1 JOIN oriented e2
+        ON e1.src = e2.src AND e1.dst_k < e2.dst_k
+    )
+    SELECT (SELECT count(*) FROM users) AS n_nodes,
+           (SELECT count(*) FROM edges) AS n_edges,
+           count(*) AS n_triangles
+    FROM wedges w
+    JOIN oriented e3 ON e3.src = w.b AND e3.dst = w.c
+    """,
+    doc="oriented triangle count over the synthesized user graph",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count (+ node/edge counts) — module docstring for
+    the orientation argument. The single output row makes the O(E^1.5)
+    wedge-join bound the only thing the query can spend time on."""
+    users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct()
+    )
+    n = users.agg(F.max("user_id")).collect()[0][0] + 1
+    n_nodes = users.count()
+    raw = users.select(
+        F.col("user_id").alias("u"),
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("user_id") * 7 + 11 * j) % n).alias(f"v{j}")
+                    for j in range(1, TRI_FAN + 1)
+                ]
+            )
+        ).alias("v"),
+    )
+    edges = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds degree + both join sides
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .select("node", (F.col("d") * n + F.col("node")).alias("k"))
+    )
+    ka = deg.select(F.col("node").alias("a"), F.col("k").alias("ka"))
+    kb = deg.select(F.col("node").alias("b"), F.col("k").alias("kb"))
+    oriented = (
+        edges.join(ka, "a")
+        .join(kb, "b")
+        .select(
+            F.when(F.col("ka") < F.col("kb"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("src"),
+            F.when(F.col("ka") < F.col("kb"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("dst"),
+            F.greatest("ka", "kb").alias("dst_k"),
+        )
+        .localCheckpoint(eager=True)  # three consumers below
+    )
+    e1 = oriented.select(
+        F.col("src").alias("s"), F.col("dst").alias("wb"),
+        F.col("dst_k").alias("kb_"),
+    )
+    e2 = oriented.select(
+        F.col("src").alias("s"), F.col("dst").alias("wc"),
+        F.col("dst_k").alias("kc_"),
+    )
+    wedges = e1.join(e2, "s").filter(F.col("kb_") < F.col("kc_"))
+    closing = oriented.select(
+        F.col("src").alias("wb"), F.col("dst").alias("wc")
+    )
+    tri = wedges.join(closing, ["wb", "wc"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    n_edges = edges.count()
+    return tri.select(
+        F.lit(n_nodes).cast("bigint").alias("n_nodes"),
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.col("n_triangles"),
+    )

@@ -427,3 +427,12 @@ def test_bloom_probe_is_broadcast_and_bounded(spark, sf_dir):
         (F2.col("event_type") == "purchase") & (F2.col("value") > 300)
     ).select("user_id").distinct()
     assert bloom_build(members, "user_id").count() <= BLOOM_M
+
+
+def test_triangle_count_wedge_join_is_keyed(spark, sf_dir):
+    """The wedge join must be an equi-join on the shared endpoint and the
+    closing-edge lookup an equi-join on the wedge pair — never a
+    cartesian (the degree orientation's whole point)."""
+    plan = _executed_plan(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
