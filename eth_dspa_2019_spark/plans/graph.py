@@ -153,3 +153,130 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_edges).cast("bigint").alias("n_edges"),
         F.col("n_triangles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank, integer fixed-point, K unrolled iterations
+
+PR_Q = 10**12  # fixed-point scale
+PR_ITERS = 5
+PR_TOPK = 10
+
+
+def _o_pagerank() -> str:
+    base = f"(15 * {PR_Q}) // (100 * (SELECT count(*) FROM users))"
+    its = []
+    for k in range(1, PR_ITERS + 1):
+        its.append(f"""
+    r{k} AS (
+      SELECT od.node,
+             {base} + (85 * coalesce(s.m, 0)) // 100 AS r
+      FROM outdeg od LEFT JOIN (
+        SELECT e.v AS node, sum(r.r // d2.deg) AS m
+        FROM bi e
+        JOIN r{k - 1} r ON r.node = e.u
+        JOIN outdeg d2 ON d2.node = e.u
+        GROUP BY 1
+      ) s ON s.node = od.node
+    )""")
+    return f"""
+    WITH {_o_edges()},
+    bi AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL SELECT b AS u, a AS v FROM edges
+    ),
+    outdeg AS (SELECT u AS node, count(*) AS deg FROM bi GROUP BY 1),
+    r0 AS (
+      SELECT node, {PR_Q} // (SELECT count(*) FROM users) AS r FROM outdeg
+    ),{",".join(its)}
+    SELECT node AS user_id, cast(r AS bigint) AS rank_fx
+    FROM r{PR_ITERS}
+    ORDER BY rank_fx DESC, user_id
+    LIMIT {PR_TOPK}
+    """
+
+
+@register(
+    "graph_pagerank_top10",
+    oracle=_o_pagerank(),
+    doc="integer fixed-point PageRank (5 iterations) over the user graph",
+)
+def graph_pagerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the synthesized (bidirectional) user graph — the
+    iterative-algorithm surface, in EXACT integer fixed-point so
+    {PR_ITERS} unrolled iterations are bit-identical in both engines:
+    contributions are ``rank_fx div outdeg`` (integer division), the
+    damping update ``base + (85·Σ) div 100`` — no float summation whose
+    order could diverge. The graph has no dangling nodes by construction
+    (every user's probes yield ≥1 non-self edge), so no dangling-mass
+    term is needed.
+
+    Scale shape: each iteration is ONE keyed join (ranks ⋈ edges on the
+    source) + one grouped sum on the destination — the standard
+    Pregel-as-joins form; ranks materialize per iteration (localCheckpoint
+    — the same lineage-cut every iterative op here uses), so the plan
+    stays K independent joins, never a 2^K tree. At 100 TB the edge list
+    would be bucketed by source so the per-iteration join is
+    exchange-free on one side (`io/bucketed.py`)."""
+    users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct()
+    )
+    n = users.agg(F.max("user_id")).collect()[0][0] + 1
+    n_nodes = users.count()
+    raw = users.select(
+        F.col("user_id").alias("u"),
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("user_id") * 7 + 11 * j) % n).alias(f"v{j}")
+                    for j in range(1, TRI_FAN + 1)
+                ]
+            )
+        ).alias("v"),
+    )
+    edges = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    bi = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint(eager=True)
+    outdeg = bi.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=True)
+    base = (15 * PR_Q) // (100 * n_nodes)
+    ranks = outdeg.select(
+        "node", F.lit(PR_Q // n_nodes).cast("bigint").alias("r")
+    )
+    srcdeg = outdeg.select(F.col("node").alias("u"), F.col("deg"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            bi.join(ranks.withColumnRenamed("node", "u"), "u")
+            .join(srcdeg, "u")
+            .select("v", F.expr("r div deg").alias("c"))
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = (
+            outdeg.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr("85 * coalesce(m, 0) div 100")
+                ).cast("bigint").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("user_id"),
+            F.col("r").alias("rank_fx"),
+        )
+        .orderBy(F.col("rank_fx").desc(), "user_id")
+        .limit(PR_TOPK)
+    )
