@@ -280,3 +280,125 @@ def graph_pagerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_fx").desc(), "user_id")
         .limit(PR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling, fixed unrolled rounds
+
+KCORE_K = 6
+KCORE_ROUNDS = 8
+
+
+def _o_kcore() -> str:
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, and each round references
+    # the previous one ~5x — unmaterialized, round 8 would expand to 5^8
+    # copies of the events scan (observed as an fd-exhaustion blowup).
+    cte = ["e0 AS MATERIALIZED (SELECT a, b FROM edges)"]
+    rows = [
+        "SELECT 0 AS round, (SELECT count(DISTINCT node) FROM "
+        "(SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)) "
+        "AS nodes_remaining, (SELECT count(*) FROM e0) AS edges_remaining"
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        p = r - 1
+        cte.append(f"""
+    k{r} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT node, count(*) AS deg FROM (
+          SELECT a AS node FROM e{p} UNION ALL SELECT b AS node FROM e{p}
+        ) GROUP BY 1
+      ) WHERE deg >= {KCORE_K}
+    )""")
+        cte.append(f"""
+    e{r} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{p} e
+      JOIN k{r} x ON x.node = e.a
+      JOIN k{r} y ON y.node = e.b
+    )""")
+        rows.append(
+            f"SELECT {r} AS round, (SELECT count(*) FROM k{r}) AS "
+            f"nodes_remaining, (SELECT count(*) FROM e{r}) AS edges_remaining"
+        )
+    body = " UNION ALL ".join(rows)
+    return f"""
+    WITH {_o_edges()},
+    {",".join(cte)}
+    SELECT cast(round AS bigint) AS round,
+           cast(nodes_remaining AS bigint) AS nodes_remaining,
+           cast(edges_remaining AS bigint) AS edges_remaining
+    FROM ({body}) ORDER BY round
+    """
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=_o_kcore(),
+    doc=f"{KCORE_K}-core peeling trace ({KCORE_ROUNDS} unrolled rounds)",
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core decomposition by iterative peeling over the
+    synthesized user graph (module docstring): each round recomputes
+    degrees and drops every node below {KCORE_K}, for {KCORE_ROUNDS}
+    fixed unrolled rounds — the round-by-round (nodes, edges) trace is
+    the output, so both engines agree bit-for-bit even on a graph where
+    peeling hasn't converged by round {KCORE_ROUNDS}. The probe graph has
+    degrees 5-6 only, so K=6 exercises the interesting regime: a genuine
+    cascade (removing a degree-5 node drags neighbors below 6) that
+    empties the graph within ~5 rounds — the trailing fixed-point rows
+    prove convergence.
+
+    Scale shape: one round = one map-side-combined degree groupBy +
+    two semi-join edge filters — O(E) per round, K independent stages
+    (localCheckpoint lineage cut per round, like PageRank above). The
+    per-round counts are 1-row scalar aggregates; the result frame is
+    {KCORE_ROUNDS + 1} precomputed rows assembled on the driver."""
+    users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct()
+    )
+    n = users.agg(F.max("user_id")).collect()[0][0] + 1
+    raw = users.select(
+        F.col("user_id").alias("u"),
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("user_id") * 7 + 11 * j) % n).alias(f"v{j}")
+                    for j in range(1, TRI_FAN + 1)
+                ]
+            )
+        ).alias("v"),
+    )
+    edges = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    def counts(e: DataFrame) -> tuple[int, int]:
+        nodes = e.select(F.col("a").alias("node")).unionByName(
+            e.select(F.col("b").alias("node"))
+        ).distinct().count()
+        return nodes, e.count()
+    trace = [(0, *counts(edges))]
+    cur = edges
+    for r in range(1, KCORE_ROUNDS + 1):
+        keep = (
+            cur.select(F.col("a").alias("node"))
+            .unionByName(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("node")
+        )
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        nk = keep.count()
+        trace.append((r, nk, cur.count()))
+    return spark.createDataFrame(
+        trace, "round bigint, nodes_remaining bigint, edges_remaining bigint"
+    )

@@ -1042,3 +1042,107 @@ def char_entropy_profile(docs: DataFrame) -> DataFrame:
             F.col("cnt") * F.length(F.bin(F.expr("n div cnt")))
         ).cast("bigint").alias("entropy_bits_fx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level corpus dedup with reassembly (C4-style line dedup)
+
+PARA_W = 3  # words per paragraph at fixture scale (prod: real newline paras)
+PARA_KEY = 1_000_000  # pidx fits well under this; (doc_id, pidx) -> one key
+
+
+def _o_para_dedup() -> str:
+    return f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    tok AS (
+      SELECT doc_id, (i - 1) // {PARA_W} AS pidx, i, t[i] AS tok
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM base)
+    ),
+    paras AS (
+      SELECT doc_id, pidx, string_agg(tok, ' ' ORDER BY i) AS para
+      FROM tok GROUP BY doc_id, pidx
+    ),
+    win AS (
+      SELECT para, min(doc_id * {PARA_KEY} + pidx) AS wkey
+      FROM paras GROUP BY para
+    ),
+    kept AS (
+      SELECT p.doc_id, p.pidx, p.para
+      FROM paras p JOIN win w
+        ON w.para = p.para
+       AND p.doc_id * {PARA_KEY} + p.pidx = w.wkey
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS nk,
+             string_agg(para, ' ' ORDER BY pidx) AS clean_text
+      FROM kept GROUP BY doc_id
+    ),
+    np AS (SELECT doc_id, count(*) AS n FROM paras GROUP BY doc_id)
+    SELECT np.doc_id,
+           cast(np.n AS bigint) AS n_paras,
+           cast(np.n - coalesce(a.nk, 0) AS bigint) AS n_dropped,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM np LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@register(
+    "doc_paragraph_dedup",
+    oracle=_o_para_dedup(),
+    doc="paragraph-level first-occurrence dedup with document reassembly",
+)
+def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity corpus dedup (the C4 / RefinedWeb "line
+    dedup" transform, the missing middle between `exact_dedup_prefix64`'s
+    whole-document hash and `boilerplate_strip`'s 3-gram span removal):
+    the corpus is cut into {PARA_W}-word paragraphs, each paragraph
+    survives only at its FIRST occurrence corpus-wide (first = smallest
+    (doc_id, paragraph-index), the deterministic keep rule both engines
+    evaluate identically), and every document is re-assembled from its
+    surviving paragraphs in order. Reference analogue: the reply/like
+    cleaning dedup discipline of `project/tasks/StreamsCleaner.scala`
+    applied at sub-document granularity.
+
+    Scale shape: first-occurrence election is a map-side-combined
+    groupBy(paragraph).min(key) — the aggregate shrinks each paragraph's
+    occurrence list to ONE row before the shuffle, so a pathological
+    million-copy boilerplate paragraph costs map-side partials, not a
+    skewed reduce; the keeper join is a hash equi-join on the paragraph
+    string; reassembly groups by doc_id (per-doc state only). Nothing
+    global, three shuffles total, all linear in token count."""
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("t")
+    )
+    paras = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(t) - 1) div {PARA_W}), "
+                f"j -> concat_ws(' ', slice(t, j * {PARA_W} + 1, {PARA_W})))"
+            )
+        ).alias("pidx", "para"),
+    ).withColumn(
+        "okey", F.col("doc_id") * PARA_KEY + F.col("pidx")
+    )
+    win = paras.groupBy("para").agg(F.min("okey").alias("wkey"))
+    kept = paras.join(win, "para").filter(F.col("okey") == F.col("wkey"))
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pidx", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("clean_text"),
+    )
+    nparas = paras.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    return nparas.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        (F.col("n_paras") - F.coalesce(F.col("nk"), F.lit(0))).alias(
+            "n_dropped"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
