@@ -963,3 +963,165 @@ def ivf_sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantized (PQ) ANN: per-subspace codebooks + integer lookup scan
+
+
+PQ_SUBS = 16  # M subspaces; fixture dim 64 -> 4 dims per subspace
+PQ_STRIDE = 7  # codebook seed: every 7th vector (K ~ N/7 entries per subspace)
+
+
+def _pq_quantize(df: DataFrame, mxg: float, id_col: str, emb_col: str) -> DataFrame:
+    """GLOBAL-scale integer quantization (vs SQ8's per-vector scale):
+    ``q_i = floor(x_i·127 / max|x|corpus + 0.5)``. A single shared scale
+    keeps inter-vector L2 distances meaningful in the quantized domain —
+    the property PQ codebook distances need and per-vector scaling lacks.
+    The expression runs JVM-side; every step is IEEE-deterministic and
+    the DuckDB oracle replays it verbatim."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"transform({emb_col}, x -> cast(floor(cast(x AS double)"
+            f" * 127.0 / cast({mxg!r} AS double) + 0.5) AS bigint))"
+        ).alias("qvec"),
+    )
+
+
+def pq_adc_batches(
+    cb_codes: "np.ndarray", qtab: "np.ndarray", query_ids: "np.ndarray"
+) -> "callable":
+    """Arrow-batched PQ encode + lookup scan. ``cb_codes`` is the (K, M, S)
+    int64 codebook tensor (centroid rows sorted ascending by centroid id so
+    argmin's first-wins tie-break IS the smallest-id rule the oracle uses);
+    ``qtab`` is the (Q, M, K) integer table of query-subvector-to-centroid
+    squared distances. Each corpus vector is encoded to its M nearest
+    sub-centroids, then its approximate distance to every query is M table
+    lookups — never a full-width dot product. All arithmetic is int64, so
+    both engines produce identical distances."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        K, M, S = cb_codes.shape
+        flat_cb = cb_codes.reshape(K, M * S)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            B = V.shape[0]
+            # (B, K, M): squared L2 between every vec and centroid subvector
+            diff = V[:, None, :] - flat_cb[None, :, :]
+            d2 = (diff * diff).reshape(B, K, M, S).sum(axis=3)
+            codes = d2.argmin(axis=1)  # (B, M); ties -> smallest cid
+            # ad2[b, q] = sum_m qtab[q, m, codes[b, m]] — M table lookups
+            lut = qtab.transpose(1, 2, 0)  # (M, K, Q)
+            ad2 = np.zeros((B, qtab.shape[0]), dtype=np.int64)
+            for m in range(M):
+                ad2 += lut[m][codes[:, m]]
+            vids = pdf["vec_id"].to_numpy()
+            nq = len(query_ids)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(query_ids, B),
+                    "vec_id": np.tile(vids, nq),
+                    "ad2": ad2.T.reshape(-1),
+                }
+            )
+
+    return gen
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    cand_k: int = 15,
+    n_subs: int = PQ_SUBS,
+    stride: int = PQ_STRIDE,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantized ANN top-k (FAISS ``PQ16`` shape): vectors are cut
+    into ``n_subs`` subspaces, each encoded as its nearest entry of a
+    per-subspace codebook (stride-seeded, like :func:`stride_centroids` —
+    K ~ N/stride entries), and the approximate scan is ``n_subs`` integer
+    TABLE LOOKUPS per (query, vector) instead of a D-wide dot product —
+    the compression lever that holds ``n_subs·log2(K)`` bits per vector
+    (~16 bytes at the defaults) where SQ8 holds 8·D. Both sides are quantized (symmetric/SDC lookup tables; the
+    asymmetric variant would table the raw query), keeping every distance
+    an exact int64 the DuckDB oracle reproduces bit-for-bit. The ``cand_k``
+    best candidates per query are re-ranked by the exact fixed-point
+    cosine kernel, same as every ANN variant here.
+
+    Scale shape: the codebook is tiny (K·D ints) and BROADCASTS into the
+    Arrow kernel; encoding is map-only over the corpus; the scan emits
+    O(N·Q) candidate rows only because the query set is small — at real
+    scale the same codes feed the IVF-pruned layout (`ivf_sq8_topk`)
+    so only probed lists are scanned. The corpus is never shuffled; the
+    refine fetches full-width vectors for O(queries·cand_k) rows."""
+    mxg = corpus.agg(
+        F.max(
+            F.expr(
+                f"array_max(transform({emb_col},"
+                " x -> abs(cast(x AS double))))"
+            )
+        )
+    ).collect()[0][0]
+    qcorpus = _pq_quantize(corpus, mxg, id_col, emb_col)
+    cb_rows = (
+        qcorpus.filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .collect()
+    )
+    cb = np.array([r.qvec for r in cb_rows], dtype=np.int64)
+    K, D = cb.shape
+    S = D // n_subs
+    cb_codes = cb.reshape(K, n_subs, S)
+    q_rows = (
+        _pq_quantize(queries, mxg, id_col, emb_col).orderBy("vec_id").collect()
+    )
+    query_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    qv = np.array([r.qvec for r in q_rows], dtype=np.int64).reshape(
+        len(q_rows), n_subs, S
+    )
+    # (Q, M, K) integer query->centroid squared-distance tables
+    qtab = ((qv[:, None, :, :] - cb_codes[None, :, :, :]) ** 2).sum(
+        axis=3
+    ).transpose(0, 2, 1)
+    qscored = qcorpus.mapInPandas(
+        pq_adc_batches(cb_codes, qtab, query_ids),
+        schema="query_id long, vec_id long, ad2 long",
+    ).filter(F.col("query_id") != F.col("vec_id"))
+    wq = Window.partitionBy("query_id").orderBy(F.asc("ad2"), F.asc("vec_id"))
+    cand = (
+        qscored.withColumn("crk", F.row_number().over(wq))
+        .filter(F.col("crk") <= cand_k)
+        .select("query_id", "vec_id")
+    )
+    c_full = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("c_emb"),
+        norm2_fx(F.col(emb_col)).alias("c_n2"),
+    )
+    q_full = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm2_fx(F.col(emb_col)).alias("q_n2"),
+    )
+    scored = (
+        F.broadcast(cand)
+        .join(c_full, "vec_id")
+        .join(F.broadcast(q_full), "query_id")
+        .mapInPandas(
+            pair_cosine_batches(**_QC_KERNEL_ARGS),
+            schema="query_id long, vec_id long, cos_sim double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cos_sim")
+    )

@@ -22,8 +22,11 @@ from ..operators.similarity import (
     neardup_pairs_lsh,
     o_bucket_expr,
     plane_signs,
+    pq_topk,
     sq8_topk,
     stride_centroids,
+    PQ_STRIDE,
+    PQ_SUBS,
     SQ8_MAX,
 )
 from .registry import register
@@ -753,3 +756,99 @@ def paraphrase_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") < PARA_MAX_JACCARD)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Product-quantized ANN (PQ + exact re-rank)
+
+PQ_CAND_K = 25  # 5x oversample before the exact re-rank
+PQ_SUB_DIM = DIM // PQ_SUBS  # 4 dims per subspace on the 64-d fixture
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH {_O_ELEMENTS},
+    gmx AS (SELECT max(abs(x)) AS mxg FROM el),
+    pqel AS (
+      SELECT vec_id, i,
+             cast(floor(x * 127.0 / mxg + 0.5) AS bigint) AS qx
+      FROM el CROSS JOIN gmx
+    ),
+    sub AS (
+      SELECT vec_id, cast((i - 1) // {PQ_SUB_DIM} AS bigint) AS m, i, qx
+      FROM pqel
+    ),
+    cb AS (
+      SELECT vec_id AS cid, m, i, qx AS cx
+      FROM sub WHERE vec_id % {PQ_STRIDE} = 0
+    ),
+    encd AS (
+      SELECT s.vec_id, s.m, c.cid,
+             cast(sum((s.qx - c.cx) * (s.qx - c.cx)) AS bigint) AS d2
+      FROM sub s JOIN cb c ON c.m = s.m AND c.i = s.i
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, cid) AS rn
+        FROM encd
+      ) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT vec_id AS query_id, m, cid, d2 FROM encd
+      WHERE vec_id < {N_QUERIES}
+    ),
+    adc AS (
+      SELECT t.query_id, v.vec_id, cast(sum(t.d2) AS bigint) AS ad2
+      FROM codes v
+      JOIN qtab t ON t.m = v.m AND t.cid = v.code
+      WHERE t.query_id != v.vec_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY ad2, vec_id) AS crk
+        FROM adc
+      ) WHERE crk <= {PQ_CAND_K}
+    ),
+    dots AS (
+      SELECT cd.query_id, cd.vec_id,
+             sum(cast(floor(a.x * b.x * {FIXED_POINT}.0) AS bigint)) AS dp
+      FROM cand cd
+      JOIN el a ON a.vec_id = cd.query_id
+      JOIN el b ON b.vec_id = cd.vec_id AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.vec_id,
+             cast(d.dp AS double)
+               / (sqrt(cast(na.n2 AS double)) * sqrt(cast(nb.n2 AS double)))
+               AS cos_sim
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.query_id
+      JOIN norms nb ON nb.vec_id = d.vec_id
+    )
+    {_o_rank_select('scored')}
+    """
+
+
+@register("ann_topk_pq", oracle=_pq_oracle())
+def ann_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN top-5 (FAISS ``PQ{PQ_SUBS}`` shape): the
+    fourth compression point of the ANN family — LSH/IVF cut candidate
+    COUNT, SQ8 cuts bytes-per-coordinate 4x, PQ cuts the whole vector to
+    {PQ_SUBS} codebook indices and replaces the scan's dot products with
+    {PQ_SUBS} integer table lookups. Codebooks are stride-seeded per
+    subspace (K ~ N/{PQ_STRIDE} entries), distances are exact int64 at
+    every step (global-scale quantization -> squared-L2 in the quantized
+    domain), and the oracle replays the identical
+    quantize -> encode -> lookup-scan -> refine algorithm. Recall vs
+    brute force is asserted in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    df = pq_topk(emb, queries, k=TOP_K, cand_k=PQ_CAND_K)
+    return df.withColumn("rank", F.col("rank").cast("int"))
