@@ -460,3 +460,111 @@ def training_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("h") % NSHARDS).alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) data layout over (user, hour)
+
+ZBITS = 8  # bits per dimension after equi-width binning to 0..255
+ZGROUPS_LOG2 = 6  # 64 file groups = top 6 bits of the 16-bit z-key
+
+
+def _z_interleave_expr(u: str, h: str) -> str:
+    """Bit-interleave expression shared verbatim by the Spark plan and the
+    DuckDB oracle: z = Σ_b ((u>>b)&1)<<(2b+1) | ((h>>b)&1)<<(2b), written
+    with div/mod so no engine-specific bit operators are involved."""
+    terms = []
+    for b in range(ZBITS):
+        terms.append(f"(({u} div {2 ** b}) % 2) * {2 ** (2 * b + 1)}")
+        terms.append(f"(({h} div {2 ** b}) % 2) * {2 ** (2 * b)}")
+    return " + ".join(terms)
+
+
+def _o_zorder() -> str:
+    z = _z_interleave_expr("u8", "h8").replace(" div ", " // ")
+    return f"""
+    WITH ev AS (
+      SELECT user_id, cast(floor(epoch(ts)/3600) AS bigint) AS hour
+      FROM events
+    ),
+    st AS (
+      SELECT min(user_id) AS umin, max(user_id) AS umax,
+             min(hour) AS hmin, max(hour) AS hmax
+      FROM ev
+    ),
+    binned AS (
+      SELECT ((user_id - umin) * {2 ** ZBITS}) // (umax - umin + 1) AS u8,
+             ((hour - hmin) * {2 ** ZBITS}) // (hmax - hmin + 1) AS h8
+      FROM ev CROSS JOIN st
+    ),
+    keyed AS (
+      SELECT u8, h8, ({z}) // {2 ** (2 * ZBITS - ZGROUPS_LOG2)} AS zgroup
+      FROM binned
+    )
+    SELECT cast(zgroup AS bigint) AS zgroup,
+           cast(count(*) AS bigint) AS n_rows,
+           cast(min(u8) AS bigint) AS min_u8,
+           cast(max(u8) AS bigint) AS max_u8,
+           cast(min(h8) AS bigint) AS min_h8,
+           cast(max(h8) AS bigint) AS max_h8
+    FROM keyed GROUP BY 1
+    """
+
+
+@register(
+    "events_zorder_layout",
+    oracle=_o_zorder(),
+    doc="Z-order (Morton) file-group layout over (user, hour)",
+)
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data-layout clustering — the Delta/Iceberg
+    ``OPTIMIZE ZORDER BY (user_id, hour)`` shape: both dimensions are
+    equi-width-binned to {2**ZBITS} buckets, bit-interleaved into a
+    16-bit Morton key, and rows are assigned to one of 2^{ZGROUPS_LOG2}
+    file groups by the key's top bits (a range split on the z-key —
+    exactly how table formats cut z-ordered files). The output is the
+    per-group statistics a scan planner would keep as file-level min/max:
+    because the Morton curve preserves locality in BOTH dimensions, a
+    predicate on user_id alone OR hour alone overlaps the (min, max)
+    span of only ~sqrt-fraction of the groups — the two-dimensional scan
+    pruning a single-column sort cannot give. Production binning would
+    use per-column range-bucket ranks (quantiles) instead of equi-width;
+    the interleave and group split are identical.
+
+    Scale shape: the dimension stats are ONE 4-scalar aggregate; binning
+    + interleave are map-only integer expressions (the identical
+    div/mod-written expression runs in both engines); the group stats
+    are one map-side-combined groupBy on a {2 ** ZGROUPS_LOG2}-value
+    key. No joins, no windows, nothing global but the 4 scalars."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("cast(ts AS timestamp)").cast("long").alias("es"),
+    ).select("user_id", F.expr("es div 3600").alias("hour"))
+    st = ev.agg(
+        F.min("user_id").alias("umin"),
+        F.max("user_id").alias("umax"),
+        F.min("hour").alias("hmin"),
+        F.max("hour").alias("hmax"),
+    ).collect()[0]
+    umin, umax, hmin, hmax = st.umin, st.umax, st.hmin, st.hmax
+    binned = ev.select(
+        F.expr(
+            f"((user_id - {umin}) * {2 ** ZBITS}) div ({umax} - {umin} + 1)"
+        ).alias("u8"),
+        F.expr(
+            f"((hour - {hmin}) * {2 ** ZBITS}) div ({hmax} - {hmin} + 1)"
+        ).alias("h8"),
+    )
+    z = _z_interleave_expr("u8", "h8")
+    keyed = binned.select(
+        "u8",
+        "h8",
+        F.expr(f"({z}) div {2 ** (2 * ZBITS - ZGROUPS_LOG2)}").alias("zgroup"),
+    )
+    return keyed.groupBy(F.col("zgroup").cast("bigint").alias("zgroup")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("u8").cast("bigint").alias("min_u8"),
+        F.max("u8").cast("bigint").alias("max_u8"),
+        F.min("h8").cast("bigint").alias("min_h8"),
+        F.max("h8").cast("bigint").alias("max_h8"),
+    )

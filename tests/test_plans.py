@@ -436,3 +436,26 @@ def test_triangle_count_wedge_join_is_keyed(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "graph_triangle_count")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_layout_is_map_only_plus_one_aggregate(spark, sf_dir):
+    """Bin + interleave must stay map-only integer projections; the only
+    shuffle is the group-stats aggregate on the (<= 64-value) zgroup key,
+    with a map-side partial so the tiny key space never funnels raw rows.
+    No joins at all (the 4 dimension stats are literals in the plan)."""
+    plan = _executed_plan(spark, sf_dir, "events_zorder_layout")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning(") <= 1
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_paragraph_dedup_election_is_aggregated_before_join(spark, sf_dir):
+    """First-occurrence election must be groupBy(para).min — a map-side
+    combined aggregate — joined back by paragraph hash; no window over the
+    full paragraph stream and no single-partition funnel anywhere."""
+    plan = _executed_plan(spark, sf_dir, "doc_paragraph_dedup")
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan
