@@ -728,3 +728,124 @@ def user_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "user_id")
         .limit(SKEW_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the global hourly activity series
+
+ACF_MAX_LAG = 24  # one day of hourly lags
+
+
+@register(
+    "hourly_value_acf",
+    oracle=f"""
+    WITH series AS (
+      SELECT cast(floor(epoch(ts)/3600) AS bigint) AS hour,
+             cast(sum(cast(value AS decimal(38,6))) * 100 AS bigint) AS v
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag),
+    pairs AS (
+      SELECT l.lag,
+             count(*) AS n,
+             sum(a.v * b.v) AS sxy,
+             sum(a.v) AS sx,
+             sum(b.v) AS sy,
+             sum(a.v * a.v) AS sxx,
+             sum(b.v * b.v) AS syy
+      FROM series a
+      CROSS JOIN lags l
+      JOIN series b ON b.hour = a.hour + l.lag
+      GROUP BY 1
+    )
+    SELECT cast(lag AS bigint) AS lag,
+           cast(n AS bigint) AS n_pairs,
+           cast(floor(1000000.0
+                * (cast(n AS double) * cast(sxy AS double)
+                   - cast(sx AS double) * cast(sy AS double))
+                / sqrt((cast(n AS double) * cast(sxx AS double)
+                        - cast(sx AS double) * cast(sx AS double))
+                       * (cast(n AS double) * cast(syy AS double)
+                          - cast(sy AS double) * cast(sy AS double))))
+             AS bigint) AS corr_fx
+    FROM pairs
+    WHERE (cast(n AS double) * cast(sxx AS double)
+           - cast(sx AS double) * cast(sx AS double))
+          * (cast(n AS double) * cast(syy AS double)
+             - cast(sy AS double) * cast(sy AS double)) > 0
+    ORDER BY lag
+    """,
+    doc="lag-1..24 autocorrelation of the global hourly value series",
+)
+def hourly_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the corpus-wide hourly activity-value
+    series at lags 1..{ACF_MAX_LAG} — the seasonality probe (a daily cycle
+    shows as a lag-24 peak) completing the time-series family next to
+    `user_activity_correlation` (cross-series) and `user_event_gaps`
+    (point process). Same exact-integer discipline as the correlation
+    family: the series is fixed-point cents, all co-moments are int64
+    sums, one textual double expression emits the fixed-point Pearson.
+    Pairs are hour-(t, t+lag) matches over ACTIVE hours only
+    (pairwise-complete ACF; a gap hour contributes no pair rather than a
+    zero — document the convention, don't hide it).
+
+    Scale shape: the series aggregate is one map-side-combined groupBy
+    (hours, not events, cross the shuffle); the lag fan-out replicates
+    the TINY series {ACF_MAX_LAG}x and equi-joins it to itself on the
+    shifted hour key — O(hours·lags) work total, independent of event
+    count. The overflow guard from `_hourly_series` applies: max|v|²
+    × hours is checked in exact Python ints against the int64 ceiling."""
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy(
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("hour")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(38,6)")) * 100)
+        .cast("bigint")
+        .alias("v")
+    ).localCheckpoint(eager=True)
+    g = series.agg(
+        F.max(F.abs(F.col("v"))).alias("m"), F.count(F.lit(1)).alias("h")
+    ).collect()[0]
+    if g["m"] is not None and int(g["m"]) ** 2 * int(g["h"]) >= 2**63:
+        raise ArithmeticError(
+            "hourly ACF: co-moment bound max|v|^2*hours = "
+            f"{int(g['m']) ** 2 * int(g['h'])} exceeds int64; reduce the "
+            "fixed-point scale before aggregating"
+        )
+    a = series.select(
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, ACF_MAX_LAG + 1)])
+        ).alias("lag"),
+        "hour",
+        F.col("v").alias("va"),
+    ).withColumn("hb_key", F.col("hour") + F.col("lag"))
+    b = series.select(F.col("hour").alias("hb"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, F.col("hb_key") == F.col("hb"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("va") * F.col("vb")).alias("sxy"),
+            F.sum("va").alias("sx"),
+            F.sum("vb").alias("sy"),
+            F.sum(F.col("va") * F.col("va")).alias("sxx"),
+            F.sum(F.col("vb") * F.col("vb")).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var_prod = (nd * d("sxx") - d("sx") * d("sx")) * (
+        nd * d("syy") - d("sy") * d("sy")
+    )
+    corr_fx = F.floor(
+        1000000.0 * (nd * d("sxy") - d("sx") * d("sy")) / F.sqrt(var_prod)
+    ).cast("bigint")
+    return (
+        pairs.filter(var_prod > 0)
+        .select(
+            F.col("lag").cast("bigint").alias("lag"),
+            F.col("n").cast("bigint").alias("n_pairs"),
+            corr_fx.alias("corr_fx"),
+        )
+        .orderBy("lag")
+    )
