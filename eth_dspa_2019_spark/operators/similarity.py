@@ -1125,3 +1125,173 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "cos_sim")
     )
+
+
+def pq_encode_batches(cb_codes: "np.ndarray") -> "callable":
+    """Arrow-batched PQ encoding only: each vector's M nearest sub-centroid
+    INDICES (rows of ``cb_codes``, which are sorted ascending by centroid
+    id — so argmin's first-wins tie-break is the smallest-id rule)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        K, M, S = cb_codes.shape
+        flat_cb = cb_codes.reshape(K, M * S)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            B = V.shape[0]
+            diff = V[:, None, :] - flat_cb[None, :, :]
+            d2 = (diff * diff).reshape(B, K, M, S).sum(axis=3)
+            codes = d2.argmin(axis=1)  # (B, M)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "codes": list(codes.astype(np.int64)),
+                }
+            )
+
+    return gen
+
+
+def pq_lookup_batches(
+    qtab: "np.ndarray", query_ids: "np.ndarray"
+) -> "callable":
+    """Arrow-batched PQ lookup scan over pre-encoded (query_id, vec_id,
+    codes) rows: ad2 = Σ_m qtab[query, m, code_m] — M int64 table reads
+    per row, no vector math at all."""
+    qidx = {int(q): i for i, q in enumerate(query_ids)}
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            qi = pdf["query_id"].map(qidx).to_numpy(dtype=np.int64)
+            ad2 = np.zeros(len(pdf), dtype=np.int64)
+            for m in range(C.shape[1]):
+                ad2 += qtab[qi, m, C[:, m]]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "ad2": ad2,
+                }
+            )
+
+    return gen
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    cand_k: int = 25,
+    n_subs: int = PQ_SUBS,
+    stride: int = PQ_STRIDE,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ composed ANN top-k — the FAISS ``IVFx,PQy`` architecture,
+    the production default for billion-vector corpora: coarse inverted
+    lists prune WHICH vectors each query scans (top-nprobe of ~N/31
+    lists), product quantization shrinks each scanned vector to ``n_subs``
+    code bytes and the scan itself to ``n_subs`` integer table lookups,
+    and only ``cand_k`` survivors touch full-precision vectors for the
+    exact re-rank. PQ here encodes raw vectors, not IVF residuals (the
+    ``by_residual=false`` variant) — one codebook serves all lists, which
+    is what keeps the codebook a broadcastable constant at 100 TB.
+
+    Plan shape: one corpus assignment shuffle + one map-only encode pass
+    (both buildable once and reusable across query batches), the probe
+    relation broadcast against the coded lists, the lookup scan a map-only
+    Arrow kernel over the pruned candidate rows, and a broadcast-candidate
+    fetch for the refine. The corpus is never shuffled per query."""
+    assigned = ivf_assign(corpus, centroids, id_col, emb_col).select(
+        "vec_id", "centroid_id"
+    )
+    mxg = corpus.agg(
+        F.max(
+            F.expr(
+                f"array_max(transform({emb_col},"
+                " x -> abs(cast(x AS double))))"
+            )
+        )
+    ).collect()[0][0]
+    qcorpus = _pq_quantize(corpus, mxg, id_col, emb_col)
+    cb_rows = (
+        qcorpus.filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .collect()
+    )
+    cb = np.array([r.qvec for r in cb_rows], dtype=np.int64)
+    K, D = cb.shape
+    S = D // n_subs
+    cb_codes = cb.reshape(K, n_subs, S)
+    q_rows = (
+        _pq_quantize(queries, mxg, id_col, emb_col).orderBy("vec_id").collect()
+    )
+    query_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    qv = np.array([r.qvec for r in q_rows], dtype=np.int64).reshape(
+        len(q_rows), n_subs, S
+    )
+    qtab = ((qv[:, None, :, :] - cb_codes[None, :, :, :]) ** 2).sum(
+        axis=3
+    ).transpose(0, 2, 1)
+    codes_df = qcorpus.mapInPandas(
+        pq_encode_batches(cb_codes), schema="vec_id long, codes array<bigint>"
+    )
+    lists = assigned.join(codes_df, "vec_id")
+    qvecs = _vecs(queries, id_col, emb_col)
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.desc("cs"), F.asc("centroid_id")
+    )
+    probe = (
+        _centroid_scores(qvecs, centroids)
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "centroid_id")
+    )
+    scanned = (
+        lists.join(F.broadcast(probe), "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", "codes")
+        .mapInPandas(
+            pq_lookup_batches(qtab, query_ids),
+            schema="query_id long, vec_id long, ad2 long",
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.asc("ad2"), F.asc("vec_id"))
+    cand = (
+        scanned.withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= cand_k)
+        .select("query_id", "vec_id")
+    )
+    c_full = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("c_emb"),
+        norm2_fx(F.col(emb_col)).alias("c_n2"),
+    )
+    q_full = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm2_fx(F.col(emb_col)).alias("q_n2"),
+    )
+    scored = (
+        F.broadcast(cand)
+        .join(c_full, "vec_id")
+        .join(F.broadcast(q_full), "query_id")
+        .mapInPandas(
+            pair_cosine_batches(**_QC_KERNEL_ARGS),
+            schema="query_id long, vec_id long, cos_sim double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cos_sim")
+    )

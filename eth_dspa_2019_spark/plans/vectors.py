@@ -852,3 +852,134 @@ def ann_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     df = pq_topk(emb, queries, k=TOP_K, cand_k=PQ_CAND_K)
     return df.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composed ANN
+
+
+def _ivf_pq_oracle() -> str:
+    return f"""
+    WITH {_O_ELEMENTS},
+    gmx AS (SELECT max(abs(x)) AS mxg FROM el),
+    pqel AS (
+      SELECT vec_id, i,
+             cast(floor(x * 127.0 / mxg + 0.5) AS bigint) AS qx
+      FROM el CROSS JOIN gmx
+    ),
+    sub AS (
+      SELECT vec_id, cast((i - 1) // {PQ_SUB_DIM} AS bigint) AS m, i, qx
+      FROM pqel
+    ),
+    cb AS (
+      SELECT vec_id AS cid, m, i, qx AS cx
+      FROM sub WHERE vec_id % {PQ_STRIDE} = 0
+    ),
+    encd AS (
+      SELECT s.vec_id, s.m, c.cid,
+             cast(sum((s.qx - c.cx) * (s.qx - c.cx)) AS bigint) AS d2
+      FROM sub s JOIN cb c ON c.m = s.m AND c.i = s.i
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, cid) AS rn
+        FROM encd
+      ) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT vec_id AS query_id, m, cid, d2 FROM encd
+      WHERE vec_id < {N_QUERIES}
+    ),
+    cdots AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS cid,
+             sum(cast(floor(a.x * b.x * {FIXED_POINT}.0) AS bigint)) AS dp
+      FROM el a JOIN el b ON a.i = b.i AND b.vec_id % {IVF_STRIDE} = 0
+      GROUP BY 1, 2
+    ),
+    cscored AS (
+      SELECT c.vec_id, c.cid,
+             cast(c.dp AS double)
+               / (sqrt(cast(na.n2 AS double)) * sqrt(cast(nb.n2 AS double)))
+               AS cs
+      FROM cdots c
+      JOIN norms na ON na.vec_id = c.vec_id
+      JOIN norms nb ON nb.vec_id = c.cid
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cid) AS rn
+        FROM cscored
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cid) AS rn
+        FROM cscored WHERE vec_id < {N_QUERIES}
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    adc AS (
+      SELECT p.query_id, a.vec_id, cast(sum(t.d2) AS bigint) AS ad2
+      FROM probe p
+      JOIN assign a ON a.cid = p.cid
+      JOIN codes v ON v.vec_id = a.vec_id
+      JOIN qtab t ON t.query_id = p.query_id
+                 AND t.m = v.m AND t.cid = v.code
+      WHERE a.vec_id != p.query_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY ad2, vec_id) AS crk
+        FROM adc
+      ) WHERE crk <= {PQ_CAND_K}
+    ),
+    dots AS (
+      SELECT cd.query_id, cd.vec_id,
+             sum(cast(floor(a.x * b.x * {FIXED_POINT}.0) AS bigint)) AS dp
+      FROM cand cd
+      JOIN el a ON a.vec_id = cd.query_id
+      JOIN el b ON b.vec_id = cd.vec_id AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.vec_id,
+             cast(d.dp AS double)
+               / (sqrt(cast(na.n2 AS double)) * sqrt(cast(nb.n2 AS double)))
+               AS cos_sim
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.query_id
+      JOIN norms nb ON nb.vec_id = d.vec_id
+    )
+    {_o_rank_select('scored')}
+    """
+
+
+@register("ivf_pq_topk", oracle=_ivf_pq_oracle())
+def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FAISS ``IVF,PQ`` production compose, completing the quantized
+    family (LSH / multiprobe / IVF / SQ8 / IVF,SQ8 / PQ): coarse inverted
+    lists prune WHICH vectors are scanned (top-{IVF_NPROBE} of ~N/
+    {IVF_STRIDE} lists), PQ codes shrink the scan to {PQ_SUBS} integer
+    table lookups per candidate, and {PQ_CAND_K} survivors per query are
+    re-ranked exactly. PQ encodes raw vectors (``by_residual=false``) so
+    ONE broadcastable codebook serves every list. The oracle replays the
+    identical assign -> probe -> encode -> lookup-scan -> refine pipeline;
+    recall within the IVF candidate set is asserted in pytest."""
+    from ..operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    cents = stride_centroids(emb, IVF_STRIDE)
+    df = ivf_pq_topk(
+        emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE, cand_k=PQ_CAND_K
+    )
+    return df.withColumn("rank", F.col("rank").cast("int"))

@@ -527,3 +527,36 @@ def test_pq_codes_shape_and_determinism(spark, sf_dir):
     a = sorted(map(tuple, pq_topk(emb, queries, k=5).collect()))
     b = sorted(map(tuple, pq_topk(emb, queries, k=5).collect()))
     assert a == b and len(a) == 15
+
+
+def test_ivf_pq_recall_within_ivf(spark, sf_dir):
+    """IVF+PQ loses recall through IVF's list pruning AND PQ's coarse
+    codes; with a 5x oversample the PQ ranking recovers most of the
+    within-list exact order, so hits against brute force must be within
+    two of plain IVF's on the fixture."""
+    from eth_dspa_2019_spark.io.readers import load_table
+    from eth_dspa_2019_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+        ivf_topk,
+        stride_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = stride_centroids(emb, 31)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, queries, cents, k=5, nprobe=3).collect()
+    }
+    pq = {
+        (r.query_id, r.vec_id)
+        for r in ivf_pq_topk(
+            emb, queries, cents, k=5, nprobe=3, cand_k=25
+        ).collect()
+    }
+    assert len(exact & pq) >= len(exact & ivf) - 2
