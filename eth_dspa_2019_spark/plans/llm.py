@@ -1146,3 +1146,87 @@ def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance (fuzzy) similarity join on document prefixes
+
+FUZZY_PRE = 24  # chars of prefix compared
+FUZZY_MAX_DIST = 8  # max Levenshtein distance reported
+FUZZY_LEN_BAND = 4  # length-band width for candidate blocking
+
+
+@register(
+    "fuzzy_prefix_matches",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, substring(text, 1, {FUZZY_PRE}) AS pre FROM documents
+    ),
+    k AS (
+      SELECT doc_id, pre,
+             len(pre) // {FUZZY_LEN_BAND} AS lb,
+             string_split(pre, ' ')[1] AS w1
+      FROM p
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           cast(levenshtein(a.pre, b.pre) AS bigint) AS edit_dist
+    FROM k a JOIN k b
+      ON a.lb = b.lb AND a.w1 = b.w1 AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pre, b.pre) <= {FUZZY_MAX_DIST}
+    """,
+    doc="blocked Levenshtein similarity join on document prefixes",
+)
+def fuzzy_prefix_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join — the fuzzy-matching operator family
+    (record linkage / near-identical title detection), distinct from the
+    token-set families (Jaccard/MinHash) because it scores CHARACTER
+    transpositions: pairs of documents whose {FUZZY_PRE}-char prefixes
+    are within Levenshtein {FUZZY_MAX_DIST}. Both engines implement the
+    identical unit-cost Wagner-Fischer distance, so the values agree
+    exactly.
+
+    Blocking (the part that decides whether this survives scale): a
+    candidate pair must share a length band AND its first token — an
+    equi-join on the (band, token) blocking key, never an all-pairs
+    product, with the O(n^2) verify confined to within-block pairs
+    (4.2k candidate pairs for 125k possible at sf0.01). Production
+    blocking for long strings is the sorted-token prefix filter (the
+    AllPairs/PPJoin family) or the positional q-gram filter — same
+    plan shape, tighter candidate bound; the length-band filter here is
+    the simplest member of that family and the fixture's prefixes are
+    short enough that the within-block verify dominates anyway."""
+    p = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, FUZZY_PRE).alias("pre")
+    )
+    k = p.select(
+        "doc_id",
+        "pre",
+        F.expr(f"length(pre) div {FUZZY_LEN_BAND}").alias("lb"),
+        F.element_at(F.split("pre", " "), 1).alias("w1"),
+    )
+    a = k.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("pre").alias("pre_a"),
+        "lb",
+        "w1",
+    )
+    b = k.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pre").alias("pre_b"),
+        F.col("lb").alias("lb_b"),
+        F.col("w1").alias("w1_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lb") == F.col("lb_b"))
+            & (F.col("w1") == F.col("w1_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pre_a", "pre_b").cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+    )
