@@ -849,3 +849,115 @@ def hourly_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user robust outliers (median/MAD) — the grouped-map Arrow surface
+
+MAD_K2 = 7  # flag |v - med| > 3.5 x MAD, in the doubled-integer domain
+
+
+@register(
+    "user_value_outliers_mad",
+    oracle=f"""
+    WITH vals AS (
+      SELECT user_id,
+             cast(cast(value AS decimal(38,6)) * 100 AS bigint) AS v
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, v,
+             row_number() OVER (PARTITION BY user_id ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM vals
+    ),
+    med AS (
+      SELECT user_id, max(n) AS n,
+             sum(CASE WHEN rn = (n + 1) // 2 THEN v ELSE 0 END)
+             + sum(CASE WHEN rn = n // 2 + 1 THEN v ELSE 0 END) AS med2
+      FROM s GROUP BY user_id
+    ),
+    dev AS (
+      SELECT s.user_id, abs(2 * s.v - m.med2) AS d,
+             row_number() OVER (PARTITION BY s.user_id
+                                ORDER BY abs(2 * s.v - m.med2)) AS rn,
+             m.n, m.med2
+      FROM s JOIN med m ON m.user_id = s.user_id
+    )
+    SELECT user_id,
+           cast(max(n) AS bigint) AS n,
+           cast(max(med2) AS bigint) AS med2_fx,
+           cast(sum(CASE WHEN rn = (n + 1) // 2 THEN d ELSE 0 END)
+                + sum(CASE WHEN rn = n // 2 + 1 THEN d ELSE 0 END)
+                AS bigint) AS mad2_fx,
+           cast(sum(CASE WHEN 2 * d > {MAD_K2} *
+                         (SELECT sum(CASE WHEN rn2 = (n2 + 1) // 2 THEN d2
+                                          ELSE 0 END)
+                               + sum(CASE WHEN rn2 = n2 // 2 + 1 THEN d2
+                                          ELSE 0 END)
+                          FROM (SELECT d AS d2, rn AS rn2, n AS n2
+                                FROM dev i WHERE i.user_id = dev.user_id))
+                    THEN 1 ELSE 0 END) AS bigint) AS n_outliers
+    FROM dev GROUP BY user_id
+    """,
+    doc="per-user robust (median/MAD) outlier counts via grouped-map Arrow",
+)
+def user_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust outlier detection — exact median + MAD (median
+    absolute deviation), flagging events beyond 3.5 MADs: the
+    Iglewicz-Hoaglin robust z-score, the right screen when a user's value
+    distribution has the very outliers a mean/stddev screen would absorb.
+    All math stays integer: values are exact cents, medians are carried
+    DOUBLED (sum of the two middle order statistics — lower==upper for
+    odd counts), so both engines agree bit-for-bit with no float quantile
+    interpolation anywhere. When MAD==0 (over half the values identical)
+    the 2d > {MAD_K2}·0 rule degenerates to d > 0 — any deviation from
+    the median flags, in both engines, by the same inequality.
+
+    This query is the engine's GROUPED-MAP Arrow surface
+    (``applyInPandas`` without state — the batch sibling of
+    `streaming/features.py`'s applyInPandasWithState): exact medians need
+    each user's full value set in one place, which is precisely the
+    grouped-map contract. The group is one user's events — bounded by
+    per-key activity, never corpus-scale — so the pandas kernel's memory
+    is the per-group row count, and Spark shuffles each group to one
+    worker ONCE (the same hash exchange a groupBy would pay).
+
+    Scale shape: one hash shuffle on user_id; per-group O(n log n) numpy
+    sorts; output one row per user. A skew-heavy corpus would pre-split
+    hot users with the salting scaffold (`operators/skew.py`) and merge
+    the per-salt order statistics via the two-level median-of-medians
+    refinement; the fixture's groups are uniform."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("value").cast("decimal(38,6)") * 100)
+        .cast("bigint")
+        .alias("v"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(pdf["v"].to_numpy(np.int64))
+        n = len(v)
+        k1, k2 = (n + 1) // 2 - 1, n // 2
+        med2 = int(v[k1]) + int(v[k2])
+        d = np.abs(2 * v.astype(np.int64) - med2)
+        ds = np.sort(d)
+        mad2 = int(ds[k1]) + int(ds[k2])
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n": [n],
+                "med2_fx": [med2],
+                "mad2_fx": [mad2],
+                "n_outliers": [int((2 * d > MAD_K2 * mad2).sum())],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        fold,
+        schema="user_id long, n long, med2_fx long, mad2_fx long, "
+        "n_outliers long",
+    )
