@@ -712,3 +712,114 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum("l_quantity").alias("sum_qty"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC merge (MERGE INTO semantics): apply a change batch to a snapshot
+
+CDC_UPD_MOD, CDC_DEL_MOD = 3, 7  # deterministic change-batch partition
+
+
+@register(
+    "customer_cdc_merge",
+    oracle=f"""
+    WITH snap AS (
+      SELECT c_custkey,
+             cast(cast(c_acctbal AS decimal(38,6)) * 100 AS bigint)
+               AS bal_cents,
+             c_nationkey
+      FROM customer
+    ),
+    upd AS (
+      SELECT o_custkey AS c_custkey,
+             cast(sum(cast(o_totalprice AS decimal(38,6)) * 100)
+                  % 10000 AS bigint) AS delta_cents
+      FROM orders WHERE o_custkey % 3 = 0 GROUP BY 1
+    ),
+    ins AS (
+      SELECT cast((SELECT max(c_custkey) FROM snap) + n_nationkey + 1
+                  AS bigint) AS c_custkey,
+             cast(n_nationkey * 1000 AS bigint) AS bal_cents
+      FROM nation
+    ),
+    merged AS (
+      SELECT s.c_custkey,
+             s.bal_cents + coalesce(u.delta_cents, 0) AS bal_cents,
+             CASE WHEN u.c_custkey IS NOT NULL
+                  THEN 'updated' ELSE 'kept' END AS src
+      FROM snap s LEFT JOIN upd u ON u.c_custkey = s.c_custkey
+      WHERE NOT (u.c_custkey IS NULL AND s.c_custkey % 7 = 0)
+      UNION ALL
+      SELECT c_custkey, bal_cents, 'inserted' AS src FROM ins
+    )
+    SELECT c_custkey, cast(bal_cents AS bigint) AS bal_cents, src
+    FROM merged
+    """,
+    doc="MERGE INTO-shaped CDC application: update/delete/insert in one pass",
+)
+def customer_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture application — the lakehouse ``MERGE INTO``
+    shape (Delta/Iceberg upsert), expressed as the join Spark actually
+    executes underneath: a deterministic change batch (derived from
+    orders so both engines synthesize the identical changes — WHEN
+    MATCHED THEN UPDATE balance += order-volume delta for custkey%3==0;
+    WHEN NOT MATCHED BY SOURCE AND custkey%7==0 THEN DELETE; WHEN NOT
+    MATCHED THEN INSERT one seeded row per nation — rules chosen so all
+    four outcomes are populated on the fixture) is applied to the customer snapshot in ONE
+    pass: snapshot LEFT JOIN changes -> anti-delete filter -> update
+    projection -> union inserts. Money stays in exact integer cents
+    (the decimal(38,6)-sum rule).
+
+    Scale shape: one hash equi-join on the merge key (at 100 TB both
+    sides bucket on the key — `io/bucketed.py` — making the merge
+    exchange-free, which is exactly how table formats lay out MERGE
+    targets), a map-only filter/projection, and a union with the tiny
+    insert set. No window, nothing global. Snapshot versioning/time
+    travel is the sink side: `io/writers.py`'s partitioned overwrite
+    writes the merged snapshot as the next version directory."""
+    snap = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal").cast("decimal(38,6)") * 100)
+        .cast("bigint")
+        .alias("bal_cents"),
+    )
+    upd = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 3 == 0)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)") * 100)
+                % 10000
+            )
+            .cast("bigint")
+            .alias("delta_cents")
+        )
+    )
+    maxkey = snap.agg(F.max("c_custkey")).collect()[0][0]
+    ins = load_table(spark, sf_dir, "nation").select(
+        (F.lit(maxkey) + F.col("n_nationkey") + 1)
+        .cast("bigint")
+        .alias("c_custkey"),
+        (F.col("n_nationkey") * 1000).cast("bigint").alias("bal_cents"),
+        F.lit("inserted").alias("src"),
+    )
+    merged = (
+        snap.join(upd, "c_custkey", "left")
+        .filter(
+            ~(
+                F.col("delta_cents").isNull()
+                & (F.col("c_custkey") % 7 == 0)
+            )
+        )
+        .select(
+            "c_custkey",
+            (
+                F.col("bal_cents") + F.coalesce("delta_cents", F.lit(0))
+            ).alias("bal_cents"),
+            F.when(F.col("delta_cents").isNotNull(), F.lit("updated"))
+            .otherwise(F.lit("kept"))
+            .alias("src"),
+        )
+    )
+    return merged.unionByName(ins)
