@@ -989,6 +989,31 @@ def _pq_quantize(df: DataFrame, mxg: float, id_col: str, emb_col: str) -> DataFr
     )
 
 
+def _pq_encode_codes(V: "np.ndarray", cb_codes: "np.ndarray") -> "np.ndarray":
+    """(B, M) nearest-sub-centroid indices for int64 subvector batch V
+    (B, D) against the (K, M, S) codebook. Distances expand via
+    d2 = |v|^2 - 2 v.c + |c|^2 computed in float64 matmuls — every term is
+    an integer below 2^53 (|qx| <= 127, S <= 64), so the float64 arithmetic
+    is EXACT and the argmin (first-wins = smallest centroid id, rows sorted
+    by id) matches the int64 reference bit-for-bit, at BLAS speed instead
+    of a (B, K, D) difference tensor."""
+    K, M, S = cb_codes.shape
+    B = V.shape[0]
+    Vm = V.reshape(B, M, S).astype(np.float64)
+    Cm = cb_codes.astype(np.float64)  # (K, M, S)
+    codes = np.empty((B, M), dtype=np.int64)
+    for m in range(M):
+        v = Vm[:, m, :]  # (B, S)
+        c = Cm[:, m, :]  # (K, S)
+        d2 = (
+            (v * v).sum(axis=1)[:, None]
+            - 2.0 * (v @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )  # (B, K), exact integers in float64
+        codes[:, m] = d2.argmin(axis=1)
+    return codes
+
+
 def pq_adc_batches(
     cb_codes: "np.ndarray", qtab: "np.ndarray", query_ids: "np.ndarray"
 ) -> "callable":
@@ -1002,18 +1027,14 @@ def pq_adc_batches(
     both engines produce identical distances."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        K, M, S = cb_codes.shape
-        flat_cb = cb_codes.reshape(K, M * S)
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
             B = V.shape[0]
-            # (B, K, M): squared L2 between every vec and centroid subvector
-            diff = V[:, None, :] - flat_cb[None, :, :]
-            d2 = (diff * diff).reshape(B, K, M, S).sum(axis=3)
-            codes = d2.argmin(axis=1)  # (B, M); ties -> smallest cid
+            codes = _pq_encode_codes(V, cb_codes)  # (B, M), exact argmin
             # ad2[b, q] = sum_m qtab[q, m, codes[b, m]] — M table lookups
+            M = codes.shape[1]
             lut = qtab.transpose(1, 2, 0)  # (M, K, Q)
             ad2 = np.zeros((B, qtab.shape[0]), dtype=np.int64)
             for m in range(M):
@@ -1133,16 +1154,11 @@ def pq_encode_batches(cb_codes: "np.ndarray") -> "callable":
     id — so argmin's first-wins tie-break is the smallest-id rule)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        K, M, S = cb_codes.shape
-        flat_cb = cb_codes.reshape(K, M * S)
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
-            B = V.shape[0]
-            diff = V[:, None, :] - flat_cb[None, :, :]
-            d2 = (diff * diff).reshape(B, K, M, S).sum(axis=3)
-            codes = d2.argmin(axis=1)  # (B, M)
+            codes = _pq_encode_codes(V, cb_codes)  # (B, M), exact argmin
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
