@@ -961,3 +961,102 @@ def user_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="user_id long, n long, med2_fx long, mad2_fx long, "
         "n_outliers long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence: event_type x hour-of-day
+
+CHI2_FX = 1_000_000  # fixed-point scale of the per-cell contribution
+
+
+@register(
+    "event_type_hour_chi2",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type,
+             cast(floor(epoch(ts)/3600) % 24 AS bigint) AS hod
+      FROM events
+    ),
+    nn AS (SELECT count(*) AS n FROM ev),
+    rt AS (SELECT event_type, count(*) AS r FROM ev GROUP BY 1),
+    ct AS (SELECT hod, count(*) AS c FROM ev GROUP BY 1),
+    obs AS (SELECT event_type, hod, count(*) AS o FROM ev GROUP BY 1, 2)
+    SELECT rt.event_type, ct.hod,
+           cast(coalesce(o.o, 0) AS bigint) AS obs,
+           cast(floor({CHI2_FX}.0
+                * (cast(coalesce(o.o, 0) * nn.n - rt.r * ct.c AS double)
+                   * cast(coalesce(o.o, 0) * nn.n - rt.r * ct.c AS double))
+                / (cast(nn.n AS double) * cast(rt.r AS double)
+                   * cast(ct.c AS double)))
+             AS bigint) AS cell_chi2_fx
+    FROM rt CROSS JOIN ct CROSS JOIN nn
+    LEFT JOIN obs o ON o.event_type = rt.event_type AND o.hod = ct.hod
+    """,
+    doc="chi-square independence cells: event_type x hour-of-day",
+)
+def event_type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    hour-of-day — the categorical-association member of the statistics
+    family (next to Pearson correlation, ACF, and the MAD outliers): one
+    row per contingency cell with its observed count and fixed-point
+    chi-square contribution; Σ cell_chi2_fx / {CHI2_FX} is the statistic
+    against dof = (types-1)·(24-1). EMPTY cells are materialized (tiny
+    dims cross-joined, observed left-joined) because a missing
+    (type, hour) combination still contributes r·c/N — dropping them is
+    the classic silent chi-square bug.
+
+    Determinism: (o·N − r·c) is EXACT int64 (the guard below raises
+    loudly before N is large enough to overflow the square in double
+    space differently), then one textual double expression — square,
+    divide, floor — runs identically in both engines; the per-cell
+    bigint contributions sum order-independently downstream.
+
+    Scale shape: three map-side-combined aggregates over the event
+    stream (obs / row / column margins) and a broadcast cross of the
+    TINY margin dims (types x 24) — the event table is scanned once,
+    nothing global but the 1-row count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.floor(F.col("ts").cast("long") / 3600) % 24)
+        .cast("bigint")
+        .alias("hod"),
+    ).localCheckpoint(eager=True)
+    n = ev.count()
+    rt = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("r"))
+    ct = ev.groupBy("hod").agg(F.count(F.lit(1)).alias("c"))
+    obs = ev.groupBy("event_type", "hod").agg(F.count(F.lit(1)).alias("o"))
+    g = rt.agg(F.max("r")).collect()[0][0], ct.agg(F.max("c")).collect()[0][0]
+    if max(g[0] * g[1], g[1] * n) ** 2 >= 2**63:
+        raise ArithmeticError(
+            "chi-square: |o*N - r*c| bound "
+            f"{max(g[0] * g[1], g[1] * n)} squares past int64; "
+            "aggregate margins at a coarser fixed-point scale first"
+        )
+    cells = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(obs, ["event_type", "hod"], "left")
+        .select(
+            "event_type",
+            "hod",
+            F.coalesce("o", F.lit(0)).cast("bigint").alias("obs"),
+            "r",
+            "c",
+        )
+    )
+    diff = (F.col("obs") * n - F.col("r") * F.col("c")).cast("double")
+    return cells.select(
+        "event_type",
+        "hod",
+        "obs",
+        F.floor(
+            F.lit(float(CHI2_FX))
+            * (diff * diff)
+            / (
+                F.lit(float(n))
+                * F.col("r").cast("double")
+                * F.col("c").cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("cell_chi2_fx"),
+    )
