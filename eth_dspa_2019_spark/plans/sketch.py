@@ -284,3 +284,152 @@ def bloom_membership_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_false_positive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (mergeable), fourth sketch family
+
+QS_BINS = 256  # bins; error bound = one bin width of the value range
+QS_PCTS = (50, 90, 99)
+
+
+def quantile_sketch_histogram(
+    vals: DataFrame, vmin: int, vrange: int, bins: int = QS_BINS
+) -> DataFrame:
+    """(bin, cnt) histogram of integer values over a FIXED [vmin,
+    vmin+vrange) domain — the mergeable sketch state: histograms over
+    the same domain merge by adding counts (associative, streaming-safe).
+    Values are clamped into the domain so a merge never silently drops
+    out-of-range rows."""
+    b = (
+        F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.expr(f"(v - {vmin}) * {bins} div {vrange}"),
+            ),
+        )
+        .cast("bigint")
+        .alias("bin")
+    )
+    return vals.select(b).groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def quantiles_from_histogram(
+    hist: DataFrame, n: int, vmin: int, vrange: int,
+    bins: int = QS_BINS, pcts: tuple[int, ...] = QS_PCTS,
+) -> DataFrame:
+    """Integer quantile estimates from the histogram: rank t lands in the
+    first bin whose cumulative count exceeds it; the estimate is the
+    bin's exact lower edge plus a within-bin linear step — all integer
+    division, so both engines agree bit-for-bit. The cumulative window
+    orders <= ``bins`` rows (the sketch, never the data) — bounded state,
+    not a data-sized single partition."""
+    # cumulative counts via a triangular self-join of the SKETCH with
+    # itself (<= bins^2/2 joined rows, fully parallel) — the sketch is
+    # small enough that a window would also work, but this form has no
+    # single-partition stage at all, matching the rest of the engine
+    lo = hist.select(F.col("bin").alias("lbin"), F.col("cnt").alias("lcnt"))
+    cum = (
+        hist.join(F.broadcast(lo), F.col("lbin") <= F.col("bin"))
+        .groupBy("bin", "cnt")
+        .agg(F.sum("lcnt").alias("cum"))
+    )
+    pct_rows = None
+    spark = hist.sparkSession
+    pcts_df = spark.createDataFrame([(p,) for p in pcts], "pct int")
+    t = F.expr(f"pct * ({n} - 1) div 100")
+    sel = (
+        pcts_df.crossJoin(F.broadcast(cum))
+        .withColumn("t", t)
+        .filter((F.col("cum") > F.col("t")) & (F.col("cum") - F.col("cnt") <= F.col("t")))
+    )
+    del pct_rows
+    est = (
+        F.lit(vmin)
+        + F.expr(f"bin * {vrange} div {bins}")
+        + F.expr(f"(t - (cum - cnt)) * ({vrange} div {bins}) div cnt")
+    )
+    return sel.select(
+        F.col("pct").cast("bigint").alias("pct"),
+        F.lit(n).cast("bigint").alias("n"),
+        F.col("bin").cast("bigint").alias("bin"),
+        est.cast("bigint").alias("est_cents"),
+        F.col("cnt").cast("bigint").alias("bin_cnt"),
+    )
+
+
+def _o_qsketch() -> str:
+    pcts = ", ".join(str(p) for p in QS_PCTS)
+    return f"""
+    WITH vals AS (
+      SELECT cast(cast(value AS decimal(38,6)) * 100 AS bigint) AS v
+      FROM events
+    ),
+    st AS (
+      SELECT min(v) AS vmin, max(v) - min(v) + 1 AS r, count(*) AS n
+      FROM vals
+    ),
+    hist AS (
+      SELECT least({QS_BINS - 1}, greatest(0,
+               (v - vmin) * {QS_BINS} // r)) AS bin,
+             count(*) AS cnt
+      FROM vals CROSS JOIN st GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      FROM hist
+    ),
+    p AS (SELECT unnest([{pcts}]) AS pct)
+    SELECT cast(p.pct AS bigint) AS pct,
+           cast(st.n AS bigint) AS n,
+           cast(c.bin AS bigint) AS bin,
+           cast(st.vmin + c.bin * st.r // {QS_BINS}
+                + (p.pct * (st.n - 1) // 100 - (c.cum - c.cnt))
+                  * (st.r // {QS_BINS}) // c.cnt
+             AS bigint) AS est_cents,
+           cast(c.cnt AS bigint) AS bin_cnt
+    FROM p CROSS JOIN st
+    JOIN cum c
+      ON c.cum > p.pct * (st.n - 1) // 100
+     AND c.cum - c.cnt <= p.pct * (st.n - 1) // 100
+    """
+
+
+@register(
+    "value_quantile_sketch",
+    oracle=_o_qsketch(),
+    doc="mergeable 256-bin histogram quantile sketch (p50/p90/p99)",
+)
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles from a MERGEABLE histogram sketch — the
+    fourth sketch family (HLL distinct / CMS frequency / Bloom
+    membership / histogram quantiles): {QS_BINS} fixed-width bins over
+    the observed value range, estimates exact-integer interpolated
+    within the target bin, error bounded by one bin width (range/256 ~
+    0.4% of the range). Unlike the exact percentile queries
+    (`value_percentiles_exact`, `customer_balance_quartiles`) this
+    needs NO global sort at any scale: the sketch is {QS_BINS} counters,
+    partial-aggregated map-side, and two histograms over the same
+    domain merge by ADDING counts — the property the streaming twin
+    (`streaming/sketch.py::StreamingQuantileSketch`) exercises across
+    micro-batches. GK/KLL would adapt bins to the data; the fixed-bin
+    form trades that for determinism and a one-line merge, the same
+    trade the CMS/Bloom rows make.
+
+    Scale shape: one scan for the (min, max, n) scalars, one map-side
+    combined groupBy onto <= {QS_BINS} keys, and a window over the
+    SKETCH (bounded by {QS_BINS} rows, never the data)."""
+    vals = load_table(spark, sf_dir, "events").select(
+        (F.col("value").cast("decimal(38,6)") * 100)
+        .cast("bigint")
+        .alias("v")
+    )
+    st = vals.agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    vmin, vrange, n = st.vmin, st.vmax - st.vmin + 1, st.n
+    hist = quantile_sketch_histogram(vals, vmin, vrange)
+    return quantiles_from_histogram(hist, n, vmin, vrange)

@@ -73,3 +73,20 @@ def bloom_bits_stream(members: DataFrame, key_col: str = "user_id") -> DataFrame
         .count()
         .select("pos")
     )
+
+
+def quantile_histogram_stream(
+    vals: DataFrame, vmin: int, vrange: int
+) -> DataFrame:
+    """Streaming histogram-quantile sketch state: the (bin, cnt) table of
+    `plans/sketch.py::quantile_sketch_histogram` over a FIXED
+    [vmin, vmin+vrange) domain (streaming bins must be spec'd up front —
+    the batch query derives the domain from the data, a luxury a stream
+    doesn't have). Counter increments are associative, so micro-batch
+    folds equal the batch histogram exactly; state is bounded at QS_BINS
+    rows forever. Quantile extraction
+    (`plans/sketch.py::quantiles_from_histogram`) is batch-side
+    post-processing over this table at read time."""
+    from ..plans.sketch import quantile_sketch_histogram
+
+    return quantile_sketch_histogram(vals, vmin, vrange)

@@ -148,3 +148,55 @@ def test_streaming_bloom_bits_equal_batch(spark, tmp_path):
     b_rows = sorted(r["pos"] for r in batch.collect())
     assert s_rows == b_rows
     assert len(s_rows) <= BLOOM_M
+
+
+def test_streaming_quantile_histogram_equals_batch(spark, tmp_path):
+    """The micro-batch-folded histogram must equal the batch sketch over
+    the same rows (fixed domain), and the quantiles extracted from it
+    must equal the batch extraction — merge-by-addition is the whole
+    point of the fixed-bin design."""
+    import os as _os
+    import time as _time
+
+    from eth_dspa_2019_spark.plans.sketch import (
+        quantile_sketch_histogram,
+        quantiles_from_histogram,
+    )
+    from eth_dspa_2019_spark.streaming.sketch import quantile_histogram_stream
+
+    watch = str(tmp_path / "watch")
+    _os.makedirs(watch)
+    now = _time.time()
+    vals0 = [(i * 37) % 500 for i in range(40)]
+    vals1 = [(i * 91 + 13) % 500 for i in range(35)]
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    for name, vals, age in (("b0.json", vals0, 300), ("b1.json", vals1, 240)):
+        p = _os.path.join(watch, name)
+        with open(p, "w") as f:
+            for v in vals:
+                f.write(json.dumps({"v": v}) + "\n")
+        _os.utime(p, (now - age, now - age))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(watch)
+    )
+    got = run_to_memory(
+        quantile_histogram_stream(stream, vmin=0, vrange=500),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="complete",
+    )
+    batch = spark.createDataFrame([(v,) for v in vals0 + vals1], "v long")
+    want = quantile_sketch_histogram(batch, vmin=0, vrange=500)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # quantiles extracted from the streamed state == batch extraction
+    n = len(vals0) + len(vals1)
+    qs = sorted(
+        map(tuple, quantiles_from_histogram(got, n, 0, 500).collect())
+    )
+    qb = sorted(
+        map(tuple, quantiles_from_histogram(want, n, 0, 500).collect())
+    )
+    assert qs == qb and len(qs) == 3
