@@ -837,3 +837,56 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Weighted (probability-proportional-to-size) Poisson sample
+
+WS_K = 100  # expected sample size
+WS_M = 1 << 20  # hash-coin resolution
+
+
+@register(
+    "weighted_doc_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, cast(n_chars AS bigint) AS wt FROM documents
+    ),
+    tot AS (SELECT sum(wt) AS wsum FROM w)
+    SELECT doc_id, wt
+    FROM w CROSS JOIN tot
+    WHERE ({o_h64("'wsample:' || cast(doc_id AS varchar)")} % {WS_M}) * wsum
+          < {WS_K} * wt * {WS_M}
+    """,
+    doc="deterministic weighted Poisson sample (inclusion prob ~ k*w/W)",
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Poisson sampling — inclusion probability min(1, k·w/W)
+    per document with w = n_chars (probability-proportional-to-size, the
+    sampler a token-budgeted corpus draw actually wants: long documents
+    carry proportionally more of the token mass so they must be drawn
+    proportionally more often). The coin is a salted deterministic hash
+    compared by EXACT integer cross-multiplication — u·W < k·w·M with
+    u = h64 mod M — so there is no floating-point acceptance threshold
+    to diverge between engines and re-runs are reproducible (the same
+    documents are drawn every time; epoch reshuffles re-salt the hash).
+    Completes the sampler family: rate-based Bernoulli (stratified),
+    exact per-stratum quotas (K-smallest reservoir), count-aware domain
+    mixture, and now weight-proportional.
+
+    Scale shape: one scalar total-weight aggregate broadcast back, then
+    a map-only filter — no shuffle of the corpus at all. Overflow guard:
+    u·W needs W < 2^43 at M = 2^20 (checked loudly below); a corpus past
+    that re-splits the comparison or drops M — same remedy the
+    correlation guard documents."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("wt")
+    )
+    wsum = docs.agg(F.sum("wt")).collect()[0][0]
+    if wsum * WS_M >= 2**63:
+        raise ArithmeticError(
+            f"weighted sample: total weight {wsum} x M={WS_M} exceeds "
+            "int64; shrink the coin resolution M"
+        )
+    u = h64(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))) % WS_M
+    return docs.filter(u * F.lit(wsum) < WS_K * F.col("wt") * WS_M)
