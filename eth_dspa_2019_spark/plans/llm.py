@@ -1230,3 +1230,139 @@ def fuzzy_prefix_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval: top-k documents for the corpus's head query terms
+
+BM25_QTERMS = 5  # query = the corpus's 5 most frequent tokens
+BM25_TOPK = 10
+BM25_FX = 1_000_000  # fixed-point scale of the score
+# k1 = 1.2, b = 0.75, cross-multiplied by 40*avgdl so the per-term score
+# is floor(FX * num/den) over exact integers:
+#   num = idf_bits * tf * 88 * avgdl
+#   den = 40*avgdl*tf + 12*avgdl + 36*dl
+
+
+def _o_bm25() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    st AS (
+      SELECT count(*) AS n, sum(dl) // count(*) AS avgdl FROM dl
+    ),
+    cf AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    q AS (
+      SELECT c.tok, d.df,
+             length(bin(((SELECT n FROM st) - d.df) // d.df + 1))
+               AS idf_bits
+      FROM cf c JOIN dfreq d ON d.tok = c.tok
+      ORDER BY c.cnt DESC, c.tok LIMIT {BM25_QTERMS}
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT t.doc_id,
+             cast(floor({BM25_FX}.0
+                  * cast(q.idf_bits * t.tf * 88 * st.avgdl AS double)
+                  / cast(40 * st.avgdl * t.tf + 12 * st.avgdl
+                         + 36 * d.dl AS double))
+               AS bigint) AS term_fx
+      FROM tf t
+      JOIN q ON q.tok = t.tok
+      JOIN dl d ON d.doc_id = t.doc_id
+      CROSS JOIN st
+    )
+    SELECT doc_id, cast(sum(term_fx) AS bigint) AS score_fx,
+           cast(row_number() OVER (ORDER BY sum(term_fx) DESC, doc_id)
+                AS int) AS rank
+    FROM terms GROUP BY doc_id
+    ORDER BY rank LIMIT {BM25_TOPK}
+    """
+
+
+@register(
+    "bm25_search_topk",
+    oracle=_o_bm25(),
+    doc=f"BM25 top-{BM25_TOPK} retrieval for the corpus head terms",
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text retrieval — BM25-ranked top-{BM25_TOPK} documents for a
+    query made of the corpus's {BM25_QTERMS} most frequent tokens (the
+    search-engine surface the TF-IDF query lacks: TF-IDF profiles a
+    document's own terms; BM25 RANKS documents against a query with
+    saturating term frequency and length normalization). Okapi constants
+    k1=1.2, b=0.75 are cross-multiplied away: per-term score =
+    floor(FX·num/den) with num = idf_bits·tf·88·avgdl and den =
+    40·avgdl·tf + 12·avgdl + 36·dl — every operand an exact integer
+    (idf via the bit-length log2 trick, avgdl an integer division), the
+    one division performed on identical doubles in both engines.
+
+    Scale shape: the inverted-index shape without materializing one —
+    token stream grouped to (doc, term) postings (map-side combined),
+    the TINY query-term relation broadcast onto it, per-doc sums, then a
+    TakeOrdered top-k. At corpus scale the postings groupBy is the only
+    big shuffle and it co-partitions with the df/cf aggregates."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+    ).localCheckpoint(eager=True)
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(dl) div count(*)").alias("avgdl"),
+    ).collect()[0]
+    n, avgdl = st.n, st.avgdl
+    cf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    dfreq = tok.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    q = (
+        cf.join(dfreq, "tok")
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(BM25_QTERMS)
+        .select(
+            "tok",
+            F.length(F.bin(F.expr(f"({n} - df) div df + 1"))).alias(
+                "idf_bits"
+            ),
+        )
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    terms = (
+        tf.join(F.broadcast(q), "tok")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.floor(
+                F.lit(float(BM25_FX))
+                * (F.col("idf_bits") * F.col("tf") * 88 * avgdl).cast(
+                    "double"
+                )
+                / (
+                    40 * avgdl * F.col("tf")
+                    + 12 * avgdl
+                    + 36 * F.col("dl")
+                ).cast("double")
+            )
+            .cast("bigint")
+            .alias("term_fx"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    scored = terms.groupBy("doc_id").agg(
+        F.sum("term_fx").cast("bigint").alias("score_fx")
+    )
+    w = Window.orderBy(F.desc("score_fx"), "doc_id")
+    return (
+        scored.orderBy(F.desc("score_fx"), "doc_id")
+        .limit(BM25_TOPK)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
