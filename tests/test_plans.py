@@ -459,3 +459,28 @@ def test_paragraph_dedup_election_is_aggregated_before_join(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan
+
+
+def test_bm25_query_terms_are_broadcast(spark, sf_dir):
+    """The query-term relation must broadcast onto the postings stream;
+    no cartesian anywhere; the top-k is a limit, not a global sort of
+    all scores through one partition before it."""
+    plan = _executed_plan(spark, sf_dir, "bm25_search_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_sketch_has_no_single_partition_stage(spark, sf_dir):
+    """The cumulative step runs on the SKETCH via a triangular join —
+    no data-sized single-partition window may appear."""
+    plan = _executed_plan(spark, sf_dir, "value_quantile_sketch")
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_merge_is_one_keyed_join(spark, sf_dir):
+    """MERGE = snapshot x changes on the merge key plus a union with the
+    tiny insert set: equi-join only, no cartesian, no window."""
+    plan = _executed_plan(spark, sf_dir, "customer_cdc_merge")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
