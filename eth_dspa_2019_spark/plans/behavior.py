@@ -1060,3 +1060,74 @@ def event_type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cell_chi2_fx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential-model training sequences: per-user next-event windows
+
+SEQ_L = 8  # context length (events)
+SEQ_S = 4  # stride between window starts
+
+
+@register(
+    "user_event_sequences",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS types
+      FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT user_id, types,
+             unnest(range(0, len(types) - {SEQ_L}, {SEQ_S})) AS pos
+      FROM ordered WHERE len(types) > {SEQ_L}
+    )
+    SELECT user_id, cast(pos AS bigint) AS pos,
+           array_to_string(types[pos + 1 : pos + {SEQ_L}], '>') AS context,
+           types[pos + {SEQ_L} + 1] AS label
+    FROM win
+    """,
+    doc="per-user sliding next-event training windows (context -> label)",
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence preparation for sequential models (next-event
+    prediction / session-based recommendation): each user's event-type
+    stream, ordered by (ts, event_id), cut into sliding windows of
+    {SEQ_L} context events with the following event as the label, stride
+    {SEQ_S} — the (context, label) pairs a sequence model trains on,
+    exactly the corpus-side mirror of `doc_sliding_chunks` for event
+    streams instead of token streams.
+
+    Scale shape: ONE groupBy(user) building the per-user ordered array
+    (bounded by per-key activity — the same per-key-state bound as every
+    keyed operator here; a power-user cap would truncate or split the
+    array at ingest), then a map-only posexplode into windows. No window
+    function, no self-join; window generation never reshuffles."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.col("ts").cast("long").alias("es"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("et"),
+        ).alias("s"),
+    )
+    ordered = ev.groupBy("user_id").agg(
+        F.expr("transform(array_sort(collect_list(s)), x -> x.et)").alias(
+            "types"
+        )
+    )
+    win = ordered.filter(F.size("types") > SEQ_L).select(
+        "user_id",
+        "types",
+        F.explode(
+            F.expr(f"sequence(0, size(types) - {SEQ_L} - 1, {SEQ_S})")
+        ).alias("pos"),
+    )
+    return win.select(
+        "user_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.expr(f"array_join(slice(types, pos + 1, {SEQ_L}), '>')").alias(
+            "context"
+        ),
+        F.expr(f"types[pos + {SEQ_L}]").alias("label"),
+    )
