@@ -1360,6 +1360,9 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = terms.groupBy("doc_id").agg(
         F.sum("term_fx").cast("bigint").alias("score_fx")
     )
+    # the global sort compiles to TakeOrderedAndProject (no full-sort
+    # stage); the unkeyed rank window runs AFTER the limit, over exactly
+    # BM25_TOPK rows — bounded by k, never by the corpus
     w = Window.orderBy(F.desc("score_fx"), "doc_id")
     return (
         scored.orderBy(F.desc("score_fx"), "doc_id")
