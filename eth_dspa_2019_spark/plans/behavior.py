@@ -1005,11 +1005,12 @@ def event_type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, hour) combination still contributes r·c/N — dropping them is
     the classic silent chi-square bug.
 
-    Determinism: (o·N − r·c) is EXACT int64 (the guard below raises
-    loudly before N is large enough to overflow the square in double
-    space differently), then one textual double expression — square,
-    divide, floor — runs identically in both engines; the per-cell
-    bigint contributions sum order-independently downstream.
+    Determinism: (o·N − r·c) is EXACT int64 (guarded loudly), and the
+    square/divide/floor run as ONE textual double expression over that
+    identical operand in both engines — deterministic even when the
+    square exceeds 2^53, because both engines round the same product
+    the same way; the per-cell bigint contributions sum
+    order-independently downstream.
 
     Scale shape: three map-side-combined aggregates over the event
     stream (obs / row / column margins) and a broadcast cross of the
@@ -1026,11 +1027,15 @@ def event_type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct = ev.groupBy("hod").agg(F.count(F.lit(1)).alias("c"))
     obs = ev.groupBy("event_type", "hod").agg(F.count(F.lit(1)).alias("o"))
     g = rt.agg(F.max("r")).collect()[0][0], ct.agg(F.max("c")).collect()[0][0]
-    if max(g[0] * g[1], g[1] * n) ** 2 >= 2**63:
+    # only the DIFFERENCE is int64; its square happens in double space,
+    # where both engines square the identical operand (deterministic even
+    # past 2^53 — same rounding of the same product). So the guard bounds
+    # o*N and r*c themselves, not their square.
+    if max(g[0] * g[1], g[1] * n) >= 2**63:
         raise ArithmeticError(
-            "chi-square: |o*N - r*c| bound "
-            f"{max(g[0] * g[1], g[1] * n)} squares past int64; "
-            "aggregate margins at a coarser fixed-point scale first"
+            "chi-square: margin product bound "
+            f"{max(g[0] * g[1], g[1] * n)} exceeds int64; "
+            "aggregate margins at a coarser scale first"
         )
     cells = (
         rt.crossJoin(F.broadcast(ct))
