@@ -1,0 +1,78 @@
+"""Engine-wide plan hygiene: EVERY registered query's physical plan is
+scanned for the three distributed anti-patterns. The whitelists are not
+excuses — each entry names a BOUNDED occurrence (a 1-row scalar
+aggregate, a broadcast query set, a sketch-sized triangular join) that is
+part of the query's documented design; anything new that introduces one
+of these patterns fails until it is either fixed or justified here.
+
+- ``CartesianProduct``: never allowed, no exceptions — a real row×row
+  product has no bounded form.
+- ``Exchange SinglePartition``: allowed only for 1-row/ k-row funnels
+  (global scalar aggregates, single-row reports, post-limit ranks).
+- ``BroadcastNestedLoopJoin``: allowed only where the broadcast side is
+  provably tiny (1-row scalars, the <= N_QUERIES query set, the
+  <= QS_BINS sketch) — the non-equi join is then O(rows·tiny).
+"""
+
+from __future__ import annotations
+
+from eth_dspa_2019_spark.plans import all_queries
+
+# 1-row (or k-row, k fixed) funnels: global scalar aggregates and
+# single-row report shapes. The single partition carries ~one row.
+SINGLE_PARTITION_OK = {
+    "bloom_membership_screen",  # one-row screen summary
+    "cleaned_invariants",  # one-row invariant report
+    "corpus_prep_e2e",  # composes surprisal (scalar total)
+    "doc_unigram_surprisal",  # corpus-total scalar
+    "domain_mixture_sample",  # per-domain quota scalars
+    "event_funnel",  # four 1-row step counts unioned
+    "graph_triangle_count",  # one-row triangle count
+    "q6_forecast_revenue",  # single-row TPC-H aggregate
+    "q11_important_stock",  # global scalar threshold
+    "q15_top_supplier",  # global max revenue scalar
+    "q17_small_quantity_revenue",  # single-row aggregate
+    "q19_disjunctive_revenue",  # single-row aggregate
+    "q22_idle_high_balance",  # global avg-balance scalar
+    "referential_audit",  # one-row audit report
+    "user_key_skew_profile",  # skew summary scalars
+    "bm25_search_topk",  # rank window AFTER limit(k)
+}
+
+# broadcast side provably tiny: 1-row scalars, the query set, the sketch
+BNLJ_OK = {
+    "ann_topk_sq8",  # broadcast quantized query set (N_QUERIES rows)
+    "corpus_prep_e2e",  # 1-row corpus-total cross join
+    "cosine_topk_bruteforce",  # broadcast query set x corpus (by design)
+    "doc_unigram_surprisal",  # 1-row total cross join
+    "domain_mixture_sample",  # 1-row quota cross join
+    "event_type_hour_chi2",  # 1-row N cross join
+    "q11_important_stock",  # 1-row threshold cross join
+    "q22_idle_high_balance",  # 1-row avg cross join
+    "referential_audit",  # 1-row totals cross join
+    "task2_recommendations",  # broadcast window-range relation
+    "task2_static_similarity",  # broadcast candidate user set
+    "user_key_skew_profile",  # 1-row totals cross join
+    "value_quantile_sketch",  # triangular join of the <=256-row sketch
+    "vector_pipeline_e2e",  # composes cosine_topk (broadcast queries)
+}
+
+
+def test_every_registered_plan_is_anti_pattern_free(spark, sf_dir):
+    """Builds all ~142 physical plans (runs builder-embedded scalar jobs;
+    a few minutes) and asserts the three-pattern policy above."""
+    bad: list[str] = []
+    for name, spec in sorted(all_queries().items()):
+        plan = (
+            spec.spark(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in plan:
+            bad.append(f"{name}: CartesianProduct")
+        if "Exchange SinglePartition" in plan and name not in SINGLE_PARTITION_OK:
+            bad.append(f"{name}: Exchange SinglePartition")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            bad.append(f"{name}: BroadcastNestedLoopJoin")
+    assert not bad, "plan hygiene violations:\n" + "\n".join(bad)
