@@ -130,3 +130,78 @@ def _frame_sample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def sample_frames(images: DataFrame) -> DataFrame:
     """mapInPandas row-expansion (1 payload → n frame rows)."""
     return images.mapInPandas(_frame_sample_batches, schema=FRAME_SCHEMA)
+
+
+RESIZE_TARGET = 224  # fit-within square (the ViT/CNN preprocessing box)
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, dst_w int, dst_h int, "
+    "scale_fx bigint"
+)
+
+
+def _resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Aspect-preserving fit-within-{RESIZE_TARGET}px resize PLAN: integer
+    target dims + fixed-point scale per image. The pixel resample itself
+    is the codec-boundary stub (`_real_decode`); the planning math is the
+    real thing a preprocessing pipeline shards on."""
+    for pdf in it:
+        rows = {"doc_id": [], "width": [], "height": [], "dst_w": [],
+                "dst_h": [], "scale_fx": []}
+        for doc_id, buf in zip(pdf["doc_id"], pdf["image"]):
+            w, h, _c, ok = _fake_decode(buf)
+            if not ok:
+                continue
+            m = max(w, h)
+            rows["doc_id"].append(doc_id)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["dst_w"].append(w * RESIZE_TARGET // m)
+            rows["dst_h"].append(h * RESIZE_TARGET // m)
+            rows["scale_fx"].append(1_000_000 * RESIZE_TARGET // m)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "dst_w": pd.Series(rows["dst_w"], dtype="int32"),
+                "dst_h": pd.Series(rows["dst_h"], dtype="int32"),
+                "scale_fx": pd.Series(rows["scale_fx"], dtype="int64"),
+            }
+        )
+
+
+def resize_plan(images: DataFrame) -> DataFrame:
+    """mapInPandas resize planning over (doc_id, image)."""
+    return images.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+
+
+FEAT_BUCKETS = 16
+
+FEAT_SCHEMA = "doc_id bigint, " + ", ".join(
+    f"f{i} bigint" for i in range(FEAT_BUCKETS)
+)
+
+
+def _byte_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-image byte-histogram features over the raw PAYLOAD bytes (the
+    16-dim stand-in for a learned visual embedding): bucket = byte % 16,
+    vectorized numpy bincount per image. Real byte-level plumbing — the
+    oracle cross-checks it from the text column (the payload is utf-8,
+    ASCII on the fixture, so byte values == character codes)."""
+    import numpy as np
+
+    for pdf in it:
+        out = {"doc_id": pdf["doc_id"].to_numpy()}
+        feats = np.zeros((len(pdf), FEAT_BUCKETS), dtype="int64")
+        for j, buf in enumerate(pdf["image"]):
+            b = np.frombuffer(bytes(buf), dtype=np.uint8)[HEADER_LEN:]
+            feats[j] = np.bincount(b % FEAT_BUCKETS, minlength=FEAT_BUCKETS)
+        for i in range(FEAT_BUCKETS):
+            out[f"f{i}"] = feats[:, i]
+        yield pd.DataFrame(out)
+
+
+def byte_features(images: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over (doc_id, image)."""
+    return images.mapInPandas(_byte_feature_batches, schema=FEAT_SCHEMA)

@@ -60,3 +60,66 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas row expansion (deterministic stride stand-in)."""
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(synth_image_column(docs))
+
+
+@register(
+    "multimodal_resize_plan",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             cast(doc_id % 640 + 64 AS bigint) AS w,
+             cast(doc_id % 480 + 48 AS bigint) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           cast(w AS int) AS width,
+           cast(h AS int) AS height,
+           cast(w * 224 // greatest(w, h) AS int) AS dst_w,
+           cast(h * 224 // greatest(w, h) AS int) AS dst_h,
+           cast(1000000 * 224 // greatest(w, h) AS bigint) AS scale_fx
+    FROM dims
+    """,
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning (fit within 224px): the decode →
+    plan chain runs as Arrow mapInPandas over the binary column; the
+    oracle recomputes the target dims in closed form from the payload
+    spec, checking the whole encode → decode → integer-planning path.
+    The pixel resample is the documented codec-boundary stub."""
+    from ..operators.multimodal import resize_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_plan(synth_image_column(docs))
+
+
+def _o_byte_features() -> str:
+    from ..operators.multimodal import FEAT_BUCKETS
+
+    cols = ", ".join(
+        f"cast(sum(CASE WHEN ord(c) % {FEAT_BUCKETS} = {i} "
+        f"THEN 1 ELSE 0 END) AS bigint) AS f{i}"
+        for i in range(FEAT_BUCKETS)
+    )
+    return f"""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c
+      FROM documents
+    )
+    SELECT doc_id, {cols}
+    FROM chars WHERE c != '' GROUP BY doc_id
+    """
+
+
+@register("multimodal_byte_features", oracle=_o_byte_features())
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-dim byte-histogram features per image payload — the
+    feature-extraction stage of the multimodal pipeline (a deterministic
+    stand-in for a learned embedding, with the REAL byte-level numpy
+    plumbing): bucket = byte % 16 over the payload bytes. The oracle
+    computes the same histogram from the text column (the payload is the
+    utf-8 text; ASCII ⇒ byte == character code), so the binary path is
+    verified end-to-end without an imaging library."""
+    from ..operators.multimodal import byte_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return byte_features(synth_image_column(docs))
