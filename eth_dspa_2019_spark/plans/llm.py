@@ -1369,3 +1369,82 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BM25_TOPK)
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM surprisal (conditional next-token bits)
+
+
+@register(
+    "doc_bigram_surprisal",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+            FROM base WHERE len(t) >= 2)
+    ),
+    uni AS (
+      SELECT w1, count(*) AS c1 FROM grams GROUP BY 1
+    ),
+    bi AS (
+      SELECT w1, w2, count(*) AS c12 FROM grams GROUP BY 1, 2
+    )
+    SELECT g.doc_id,
+           count(*) AS n_bigrams,
+           cast(sum(length(bin(u.c1 // b.c12))) AS bigint)
+             AS surprisal_bits,
+           cast(floor(1000000.0 * sum(length(bin(u.c1 // b.c12)))
+                      / count(*)) AS bigint) AS mean_bits_fx
+    FROM grams g
+    JOIN uni u ON u.w1 = g.w1
+    JOIN bi b ON b.w1 = g.w1 AND b.w2 = g.w2
+    GROUP BY 1
+    """,
+    doc="bigram LM surprisal per doc (conditional next-token bits)",
+)
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring — the conditional-probability step
+    up from `doc_unigram_surprisal`: each adjacent token pair contributes
+    bit_length(count(w1) div count(w1,w2)) ≈ -log2 P(w2|w1) bits (the
+    corpus-trained bigram MLE, integer-log2'd with the same bin-length
+    trick so both engines agree exactly). High mean bits = improbable
+    word transitions = the perplexity-filter signal one LM order deeper
+    than unigram frequency.
+
+    Scale shape: the bigram stream is one map-only posexplode; the w1
+    margin and (w1,w2) counts are two map-side-combined groupBys that
+    co-partition on w1; scoring re-joins the stream on the same keys
+    (broadcast at fixture scale, shuffle equi-joins sharing one
+    partitioning at corpus scale); one per-doc sum."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", tokens("text").alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS w1, t[i] AS w2))")
+        ).alias("_p", "g"),
+    ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    grams = grams.localCheckpoint(eager=True)
+    uni = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bi = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bits = F.length(F.bin(F.expr("c1 div c12")))
+    return (
+        grams.join(uni, "w1")
+        .join(bi, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(bits).cast("bigint").alias("surprisal_bits"),
+            F.floor(
+                1000000.0 * F.sum(bits) / F.count(F.lit(1))
+            ).cast("bigint").alias("mean_bits_fx"),
+        )
+    )
