@@ -568,3 +568,147 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h8").cast("bigint").alias("min_h8"),
         F.max("h8").cast("bigint").alias("max_h8"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order pruning effectiveness vs a single-dimension sort layout
+
+ZP_PROBE_MOD = 29  # probe set: binned u8 of users with user_id % 29 == 0
+
+
+def _o_zpruning() -> str:
+    z = _z_interleave_expr("u8", "h8").replace(" div ", " // ")
+    return f"""
+    WITH ev AS (
+      SELECT user_id, cast(floor(epoch(ts)/3600) AS bigint) AS hour
+      FROM events
+    ),
+    st AS (
+      SELECT min(user_id) AS umin, max(user_id) AS umax,
+             min(hour) AS hmin, max(hour) AS hmax
+      FROM ev
+    ),
+    binned AS (
+      SELECT user_id,
+             ((user_id - umin) * {2 ** ZBITS}) // (umax - umin + 1) AS u8,
+             ((hour - hmin) * {2 ** ZBITS}) // (hmax - hmin + 1) AS h8
+      FROM ev CROSS JOIN st
+    ),
+    zg AS (
+      SELECT ({z}) // {2 ** (2 * ZBITS - ZGROUPS_LOG2)} AS grp,
+             min(u8) AS lo, max(u8) AS hi
+      FROM binned GROUP BY 1
+    ),
+    hg AS (
+      SELECT h8 // {2 ** (ZBITS - ZGROUPS_LOG2)} AS grp,
+             min(u8) AS lo, max(u8) AS hi
+      FROM binned GROUP BY 1
+    ),
+    probes AS (
+      SELECT DISTINCT u8 FROM binned
+      WHERE user_id % {ZP_PROBE_MOD} = 0
+    ),
+    t AS (
+      SELECT 'zorder' AS layout, count(*) AS touched,
+             (SELECT count(*) FROM probes)
+               * (SELECT count(*) FROM zg) AS total
+      FROM probes p JOIN zg g ON p.u8 BETWEEN g.lo AND g.hi
+      UNION ALL
+      SELECT 'hour_sorted', count(*),
+             (SELECT count(*) FROM probes)
+               * (SELECT count(*) FROM hg)
+      FROM probes p JOIN hg g ON p.u8 BETWEEN g.lo AND g.hi
+    )
+    SELECT layout,
+           cast(touched AS bigint) AS groups_touched,
+           cast(total AS bigint) AS groups_possible,
+           cast(floor(1000000.0 * touched / total) AS bigint)
+             AS touch_frac_fx
+    FROM t
+    """
+
+
+@register(
+    "zorder_pruning_stats",
+    oracle=_o_zpruning(),
+    doc="measured file-group pruning: Z-order vs single-dimension sort",
+)
+def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The empirical case for `events_zorder_layout`: for a deterministic
+    set of user-point predicates, how many file groups' [min_u8, max_u8]
+    footer spans must be scanned under (a) the Morton layout vs (b) a
+    plain hour-sorted layout with the same group count. Hour-sorting
+    leaves every group spanning the FULL user range (every group touched
+    by every user predicate — touch fraction 1.0); the Z-order groups
+    bound both dimensions, so a user predicate overlaps only the groups
+    sharing its u8 high bits (~2^{ZGROUPS_LOG2}/2^{ZBITS} of them). This
+    is exactly the min/max-stats skipping a lakehouse scan planner does;
+    the query turns the layout claim into a measured, oracle-checked
+    number.
+
+    Scale shape: the group-stats aggregates are the layout query's; the
+    probe×group containment join is (probes x {2 ** ZGROUPS_LOG2})
+    broadcast rows — metadata-scale, like every planner computation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("cast(ts AS timestamp)").cast("long").alias("es"),
+    ).select("user_id", F.expr("es div 3600").alias("hour"))
+    st = ev.agg(
+        F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
+        F.min("hour").alias("hmin"), F.max("hour").alias("hmax"),
+    ).collect()[0]
+    umin, umax, hmin, hmax = st.umin, st.umax, st.hmin, st.hmax
+    binned = ev.select(
+        "user_id",
+        F.expr(
+            f"((user_id - {umin}) * {2 ** ZBITS}) div ({umax} - {umin} + 1)"
+        ).alias("u8"),
+        F.expr(
+            f"((hour - {hmin}) * {2 ** ZBITS}) div ({hmax} - {hmin} + 1)"
+        ).alias("h8"),
+    ).localCheckpoint(eager=True)
+    z = _z_interleave_expr("u8", "h8")
+    zg = (
+        binned.select(
+            F.expr(f"({z}) div {2 ** (2 * ZBITS - ZGROUPS_LOG2)}").alias("grp"),
+            "u8",
+        )
+        .groupBy("grp")
+        .agg(F.min("u8").alias("lo"), F.max("u8").alias("hi"))
+    )
+    hg = (
+        binned.select(
+            F.expr(f"h8 div {2 ** (ZBITS - ZGROUPS_LOG2)}").alias("grp"),
+            "u8",
+        )
+        .groupBy("grp")
+        .agg(F.min("u8").alias("lo"), F.max("u8").alias("hi"))
+    )
+    probes = (
+        binned.filter(F.col("user_id") % ZP_PROBE_MOD == 0)
+        .select("u8")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_probes = probes.count()
+
+    def touched(groups: DataFrame, label: str) -> DataFrame:
+        n_groups = groups.count()
+        total = n_probes * n_groups
+        return (
+            probes.crossJoin(F.broadcast(groups))
+            .filter(
+                (F.col("u8") >= F.col("lo")) & (F.col("u8") <= F.col("hi"))
+            )
+            .agg(F.count(F.lit(1)).alias("touched"))
+            .select(
+                F.lit(label).alias("layout"),
+                F.col("touched").cast("bigint").alias("groups_touched"),
+                F.lit(total).cast("bigint").alias("groups_possible"),
+                F.floor(1000000.0 * F.col("touched") / total)
+                .cast("bigint")
+                .alias("touch_frac_fx"),
+            )
+        )
+
+    return touched(zg, "zorder").unionByName(touched(hg, "hour_sorted"))
