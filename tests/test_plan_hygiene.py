@@ -35,6 +35,7 @@ SINGLE_PARTITION_OK = {
     "q19_disjunctive_revenue",  # single-row aggregate
     "q22_idle_high_balance",  # global avg-balance scalar
     "referential_audit",  # one-row audit report
+    "zorder_pruning_stats",  # two 1-row layout summaries unioned
     "user_key_skew_profile",  # skew summary scalars
     "bm25_search_topk",  # rank window AFTER limit(k)
 }
@@ -54,6 +55,7 @@ BNLJ_OK = {
     "task2_static_similarity",  # broadcast candidate user set
     "user_key_skew_profile",  # 1-row totals cross join
     "value_quantile_sketch",  # triangular join of the <=256-row sketch
+    "zorder_pruning_stats",  # probes x <=64 broadcast group spans
     "vector_pipeline_e2e",  # composes cosine_topk (broadcast queries)
 }
 
