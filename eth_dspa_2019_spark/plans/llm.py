@@ -1314,17 +1314,27 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(tokens("text")).alias("tok"))
     ).localCheckpoint(eager=True)
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    return bm25_from_postings(tf, dl)
+
+
+def bm25_from_postings(tf: DataFrame, dl: DataFrame) -> DataFrame:
+    """BM25 scoring from the inverted-index relations themselves —
+    ``tf`` = (doc_id, tok, tf) postings, ``dl`` = (doc_id, dl) document
+    lengths. The registered batch query derives them from the documents
+    table; the streaming index (`streaming/postings.py`) maintains them
+    as durable state and calls this at search time — one scorer, two
+    index-maintenance strategies. Collection frequency and document
+    frequency both derive from the postings (cnt = Σ tf, df = row
+    count), so the index needs no extra margin tables."""
     st = dl.agg(
         F.count(F.lit(1)).alias("n"),
         F.expr("sum(dl) div count(*)").alias("avgdl"),
     ).collect()[0]
     n, avgdl = st.n, st.avgdl
-    cf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    dfreq = tok.groupBy("tok").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
     q = (
-        cf.join(dfreq, "tok")
+        tf.groupBy("tok")
+        .agg(F.sum("tf").alias("cnt"), F.count(F.lit(1)).alias("df"))
         .orderBy(F.desc("cnt"), "tok")
         .limit(BM25_QTERMS)
         .select(
@@ -1334,7 +1344,6 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     terms = (
         tf.join(F.broadcast(q), "tok")
         .join(dl, "doc_id")

@@ -1,0 +1,144 @@
+"""Incrementally-maintained inverted index: the streaming side of
+`plans/llm.py::bm25_search_topk`. Documents arrive in micro-batches; each
+batch's postings (doc_id, tok, tf) and document lengths (doc_id, dl) are
+APPENDED to the standing index as durable deltas — documents are
+immutable, so index maintenance is pure append, the cheapest possible
+state discipline (O(batch) writes, compaction every COMPACT_EVERY
+batches, rollback-on-replay — `streaming/durable.py`).
+
+Search runs batch-side over the standing relations through the SAME
+scorer the registered query uses (`bm25_from_postings`), so "index built
+incrementally" vs "index derived from the corpus in one pass" is golden-
+testable: stream K doc-splits, search, compare to the oracle-checked
+batch query. Collection/document frequencies derive from the postings at
+search time — no margin tables to keep consistent.
+
+At 100 TB the postings deltas bucket by token (`io/bucketed.py`) so
+search-time margin aggregation and the query join are exchange-free;
+the append-only layout is exactly a log-structured index segment list,
+with compaction as the segment merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .durable import COMPACT_EVERY, DurableTables
+
+_TF_SCHEMA = "doc_id long, tok string, tf long"
+_DL_SCHEMA = "doc_id long, dl long"
+
+
+class StreamingPostingsIndex:
+    """Folds micro-batches of (doc_id, text) into a durable inverted
+    index; ``search()`` scores the standing index with BM25."""
+
+    def __init__(self, spark: SparkSession, state_dir: str | None = None):
+        self.spark = spark
+        self.state = DurableTables(
+            spark,
+            state_dir,
+            fulls={},
+            deltas={"tf": _TF_SCHEMA, "dl": _DL_SCHEMA},
+        )
+        self._since_compact = 0
+        if self.state.committed_batch is not None:
+            self._adopt(self.state.load_latest())
+        else:
+            self._seed()
+
+    def _seed(self) -> None:
+        self.tf = self.spark.createDataFrame([], _TF_SCHEMA)
+        self.dl = self.spark.createDataFrame([], _DL_SCHEMA)
+        self._delta = {"tf": self.tf.limit(0), "dl": self.dl.limit(0)}
+
+    def _adopt(self, tables: dict[str, DataFrame]) -> None:
+        self.tf = tables["tf"]
+        self.dl = tables["dl"]
+        self._delta = {"tf": self.tf.limit(0), "dl": self.dl.limit(0)}
+
+    def begin_batch(self, batch_id: int) -> None:
+        tables = self.state.begin_batch(batch_id)
+        if tables is not None:
+            self._since_compact = 0
+            if self.state.committed_batch is None:
+                self._seed()
+            else:
+                self._adopt(tables)
+
+    def commit(self, batch_id: int) -> None:
+        self.state.commit(
+            batch_id,
+            fulls={},
+            deltas=self._delta,
+            compacted={"tf": self.tf, "dl": self.dl},
+        )
+
+    def process_batch(self, docs: DataFrame) -> None:
+        """Append one micro-batch of (doc_id, text) documents."""
+        tok = (
+            docs.filter(F.col("text").isNotNull())
+            .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        )
+        d_tf = (
+            tok.groupBy("doc_id", "tok")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .localCheckpoint(eager=True)
+        )
+        d_dl = (
+            tok.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("dl"))
+            .localCheckpoint(eager=True)
+        )
+        self._delta = {"tf": d_tf, "dl": d_dl}
+        self.tf = self.tf.unionByName(d_tf)
+        self.dl = self.dl.unionByName(d_dl)
+        self._since_compact += 1
+        if self._since_compact >= COMPACT_EVERY:
+            self.tf = self.tf.localCheckpoint(eager=True)
+            self.dl = self.dl.localCheckpoint(eager=True)
+            self._since_compact = 0
+
+    def search(self) -> DataFrame:
+        """BM25 top-k over the standing index — the registered query's
+        scorer verbatim (`plans/llm.py::bm25_from_postings`)."""
+        from ..plans.llm import bm25_from_postings
+
+        return bm25_from_postings(self.tf, self.dl)
+
+
+def postings_index_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    schema,
+    checkpoint_dir: str,
+    state_dir: str | None = None,
+    _fail_at_batch: int | None = None,
+) -> "StreamingPostingsIndex":
+    """Wire the index to a parquet micro-batch document stream (one file
+    per trigger); with ``state_dir`` set, exactly-once across restarts."""
+    idx = StreamingPostingsIndex(spark, state_dir)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        idx.begin_batch(batch_id)
+        idx.process_batch(batch_df)
+        idx.commit(batch_id)
+        if _fail_at_batch is not None and batch_id == _fail_at_batch:
+            raise RuntimeError(
+                f"injected crash after committing batch {batch_id}"
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return idx
