@@ -890,3 +890,45 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     u = h64(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))) % WS_M
     return docs.filter(u * F.lit(wsum) < WS_K * F.col("wt") * WS_M)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+
+KANON_K = 5  # groups smaller than this are re-identification risks
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, count(*) AS n_docs
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT lang, source, cast(n_docs AS bigint) AS n_docs
+    FROM g WHERE n_docs < {KANON_K}
+    """,
+    doc=f"quasi-identifier groups below k={KANON_K} (re-identification risk)",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance audit — k-anonymity over the (lang, source)
+    quasi-identifier pair: every combination shared by fewer than
+    {KANON_K} documents is a re-identification risk (a record's quasi
+    identifiers alone pin it to a tiny candidate set). The remediation
+    is generalization (coarsen source to its domain class) or
+    suppression of the flagged rows before release — this query is the
+    detector both act on, the privacy sibling of `pii_redaction` (which
+    scrubs direct identifiers; k-anonymity handles the INDIRECT ones).
+
+    Scale shape: one map-side-combined groupBy over the quasi columns,
+    then a filter — linear, one shuffle onto the (small) group key
+    space. Quasi-identifier sets with high-cardinality columns first
+    generalize (bucket, truncate) exactly as the fixture buckets would
+    at a finer audit."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") < KANON_K)
+        .select("lang", "source", F.col("n_docs").cast("bigint").alias("n_docs"))
+    )
