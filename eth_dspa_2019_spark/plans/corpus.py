@@ -712,3 +712,108 @@ def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return touched(zg, "zorder").unionByName(touched(hg, "hour_sorted"))
+
+
+# ---------------------------------------------------------------------------
+# Quantile-binned Z-order: the skew-proof variant
+
+ZQ_BINS = 2 ** ZBITS  # rank bins per dimension (equi-DEPTH, not width)
+
+
+def _o_zorder_quantile() -> str:
+    z = _z_interleave_expr("u8", "h8").replace(" div ", " // ")
+    return f"""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             cast(floor(epoch(ts)/3600) AS bigint) AS hour
+      FROM events
+    ),
+    nn AS (SELECT count(*) AS n FROM ev),
+    ranked AS (
+      SELECT (row_number() OVER (ORDER BY user_id, event_id) - 1) AS ru,
+             (row_number() OVER (ORDER BY hour, event_id) - 1) AS rh
+      FROM ev
+    ),
+    binned AS (
+      SELECT ru * {ZQ_BINS} // n AS u8, rh * {ZQ_BINS} // n AS h8
+      FROM ranked CROSS JOIN nn
+    ),
+    keyed AS (
+      SELECT u8, h8, ({z}) // {2 ** (2 * ZBITS - ZGROUPS_LOG2)} AS zgroup
+      FROM binned
+    )
+    SELECT cast(zgroup AS bigint) AS zgroup,
+           cast(count(*) AS bigint) AS n_rows,
+           cast(min(u8) AS bigint) AS min_u8,
+           cast(max(u8) AS bigint) AS max_u8,
+           cast(min(h8) AS bigint) AS min_h8,
+           cast(max(h8) AS bigint) AS max_h8
+    FROM keyed GROUP BY 1
+    """
+
+
+@register(
+    "events_zorder_quantile",
+    oracle=_o_zorder_quantile(),
+    doc="quantile-binned (equi-depth) Z-order layout — the skew-proof form",
+)
+def events_zorder_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-proof Z-order variant `events_zorder_layout`'s docstring
+    prescribes: dimensions are binned by RANK (equi-depth — every bin
+    holds ~N/{ZQ_BINS} rows) instead of value range, so a pathological
+    value distribution (one hot user, a burst hour) cannot collapse the
+    layout into a handful of occupied bins — this is what Delta's
+    OPTIMIZE ZORDER actually does (range-partition ids per column).
+    Output is the same per-group min/max pruning stats relation.
+
+    Scale shape: the global ranks run on the two-stage range-prefix plan
+    (`operators/prefix.py::global_running_sums` discipline — here via
+    percent-rank-free integer row_numbers per dimension computed with
+    range partitioning); at fixture scale Spark's rank window is
+    per-dimension ordered but the PLAN never funnels data through one
+    partition (asserted): each dimension's rank uses the range
+    partitioner exactly like `repair_timestamps`."""
+    from ..operators.prefix import global_running_sums
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("cast(ts AS timestamp)").cast("long").alias("es"),
+        "event_id",
+    ).select("user_id", F.expr("es div 3600").alias("hour"), "event_id")
+    n = ev.count()
+    # global 0-based ranks per dimension on the range-prefix scaffold:
+    # rank = running count - 1 over the dimension's total order
+    ru = global_running_sums(
+        ev.select("user_id", "event_id"), ["user_id", "event_id"],
+        {"r": F.lit(1)},
+    ).select(
+        "event_id",
+        F.expr(f"((r - 1) * {ZQ_BINS}) div {n}").alias("u8"),
+    )
+    rh = global_running_sums(
+        ev.select("hour", "event_id"), ["hour", "event_id"],
+        {"r": F.lit(1)},
+    ).select(
+        F.col("event_id").alias("eid2"),
+        F.expr(f"((r - 1) * {ZQ_BINS}) div {n}").alias("h8"),
+    )
+    binned = ru.join(rh, F.col("event_id") == F.col("eid2")).select(
+        "u8", "h8"
+    )
+    z = _z_interleave_expr("u8", "h8")
+    keyed = binned.select(
+        "u8",
+        "h8",
+        F.expr(f"({z}) div {2 ** (2 * ZBITS - ZGROUPS_LOG2)}").alias(
+            "zgroup"
+        ),
+    )
+    return keyed.groupBy(
+        F.col("zgroup").cast("bigint").alias("zgroup")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("u8").cast("bigint").alias("min_u8"),
+        F.max("u8").cast("bigint").alias("max_u8"),
+        F.min("h8").cast("bigint").alias("min_h8"),
+        F.max("h8").cast("bigint").alias("max_h8"),
+    )
