@@ -1136,3 +1136,106 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(f"types[pos + {SEQ_L}]").alias("label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build: per-user event-type state history
+
+
+@register(
+    "user_state_scd2",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             cast(floor(epoch(ts)) AS bigint) AS es,
+             event_id
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_type, es, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w != event_type
+                  THEN 1 ELSE 0 END AS is_start
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, es, event_id,
+             sum(is_start) OVER (PARTITION BY user_id
+                                 ORDER BY es, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    ),
+    spans AS (
+      SELECT user_id, run_id, min(event_type) AS state,
+             min(es) AS valid_from, count(*) AS n_events
+      FROM runs GROUP BY 1, 2
+    )
+    SELECT user_id,
+           cast(run_id AS bigint) AS version,
+           state,
+           cast(valid_from AS bigint) AS valid_from_es,
+           cast(coalesce(lead(valid_from) OVER (
+                  PARTITION BY user_id ORDER BY run_id) - 1, 9999999999)
+                AS bigint) AS valid_to_es,
+           cast(n_events AS bigint) AS n_events
+    FROM spans
+    """,
+    doc="SCD2 state history: per-user event-type runs with validity ranges",
+)
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) CONSTRUCTION — the warehouse
+    pattern the as-of join (`events_asof_last_purchase`) consumes but
+    nothing here built until now: each user's event-type stream is cut
+    into consecutive same-type runs; each run becomes one dimension
+    version with [valid_from, valid_to] epoch-second validity (current
+    version open-ended at the 9999999999 sentinel, the SCD2 convention).
+    The run segmentation is the classic gaps-and-islands shape: a
+    boundary marker (lag over the per-user order) prefix-summed into a
+    run id, grouped into spans, validity closed by lead().
+
+    Scale shape: every window is PARTITIONED BY user_id — per-key
+    ordered state only, no global sort anywhere; two keyed window passes
+    + one groupBy, all sharing the same user_id partitioning. The span
+    count (output size) is bounded by type-changes, not events."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("es"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    marked = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    runs = marked.withColumn(
+        "run_id",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("state"),
+        F.min("es").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("run_id")
+    return spans.select(
+        "user_id",
+        F.col("run_id").cast("bigint").alias("version"),
+        "state",
+        F.col("valid_from").cast("bigint").alias("valid_from_es"),
+        F.coalesce(
+            F.lead("valid_from").over(wv) - 1, F.lit(9999999999)
+        )
+        .cast("bigint")
+        .alias("valid_to_es"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
