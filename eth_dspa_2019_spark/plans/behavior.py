@@ -1239,3 +1239,103 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("valid_to_es"),
         F.col("n_events").cast("bigint").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules over user-day baskets
+
+
+@register(
+    "event_type_association_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT user_id, cast(ts AS date) AS day, event_type
+      FROM events
+    ),
+    nb AS (
+      SELECT count(*) AS n FROM (
+        SELECT DISTINCT user_id, day FROM baskets
+      )
+    ),
+    singles AS (
+      SELECT event_type, count(*) AS c FROM baskets GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS c12
+      FROM baskets a
+      JOIN baskets b ON a.user_id = b.user_id AND a.day = b.day
+                    AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.ta, p.tb,
+           cast(nb.n AS bigint) AS n_baskets,
+           cast(sa.c AS bigint) AS c_a,
+           cast(sb.c AS bigint) AS c_b,
+           cast(p.c12 AS bigint) AS c_ab,
+           cast(1000000 * p.c12 // sa.c AS bigint) AS conf_a_to_b_fx,
+           cast(1000000 * p.c12 * nb.n // (sa.c * sb.c) AS bigint)
+             AS lift_fx
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.ta
+    JOIN singles sb ON sb.event_type = p.tb
+    CROSS JOIN nb
+    """,
+    doc="association rules (support/confidence/lift) over user-day baskets",
+)
+def event_type_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules — the level-2 Apriori lattice over
+    (user, day) baskets of event types: pair support, confidence a→b,
+    and lift, all in exact integer fixed-point (1e6·c12 div c_a;
+    1e6·c12·N div (c_a·c_b) — cross-multiplied, no float ratios). Lift
+    > 1e6 = the pair co-occurs more than independence predicts; the
+    data-mining family member next to the chi-square test (global
+    association) and the funnel (ordered association).
+
+    Scale shape: baskets are one distinct (map-side combined); the pair
+    join keys on the BASKET (user, day) so fan-out is items-per-basket
+    choose 2 (≤ C(5,2) here — bounded by the type alphabet, the same
+    per-key bound as every co-occurrence join); margins broadcast. At a
+    large item alphabet the standard cut is min-support pruning on the
+    singles BEFORE the pair join (Apriori's monotonicity), the same
+    prune-then-join shape as every candidate generator here."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct().localCheckpoint(eager=True)
+    n = ev.select("user_id", "day").distinct().count()
+    singles = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = ev.select("user_id", "day", F.col("event_type").alias("ta"))
+    b = ev.select(
+        F.col("user_id").alias("u2"),
+        F.col("day").alias("d2"),
+        F.col("event_type").alias("tb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("day") == F.col("d2"))
+            & (F.col("ta") < F.col("tb")),
+        )
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    sa = singles.select(F.col("event_type").alias("ta"), F.col("c").alias("c_a"))
+    sb = singles.select(F.col("event_type").alias("tb"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(sa), "ta")
+        .join(F.broadcast(sb), "tb")
+        .select(
+            "ta",
+            "tb",
+            F.lit(n).cast("bigint").alias("n_baskets"),
+            F.col("c_a").cast("bigint").alias("c_a"),
+            F.col("c_b").cast("bigint").alias("c_b"),
+            F.col("c12").cast("bigint").alias("c_ab"),
+            F.expr("1000000 * c12 div c_a").cast("bigint").alias(
+                "conf_a_to_b_fx"
+            ),
+            F.expr(f"1000000 * c12 * {n} div (c_a * c_b)")
+            .cast("bigint")
+            .alias("lift_fx"),
+        )
+    )
