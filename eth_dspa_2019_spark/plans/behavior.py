@@ -1339,3 +1339,77 @@ def event_type_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_fx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast baseline + error metrics
+
+SN_LAG_H = 24  # seasonal-naive: predict hour h with hour h-24
+
+
+@register(
+    "seasonal_naive_forecast_error",
+    oracle=f"""
+    WITH series AS (
+      SELECT cast(floor(epoch(ts)/3600) AS bigint) AS hour,
+             cast(sum(cast(value AS decimal(38,6))) * 100 AS bigint) AS v
+      FROM events GROUP BY 1
+    ),
+    joined AS (
+      SELECT a.hour, a.v AS actual, b.v AS predicted
+      FROM series a JOIN series b ON b.hour = a.hour - {SN_LAG_H}
+    )
+    SELECT cast(a.hour // 24 AS bigint) AS day,
+           cast(count(*) AS bigint) AS n_hours,
+           cast(sum(abs(a.actual - a.predicted)) // count(*) AS bigint)
+             AS mae_cents,
+           cast(sum(1000000 * abs(a.actual - a.predicted) // a.actual)
+                // count(*) AS bigint) AS mape_fx
+    FROM joined a
+    WHERE a.actual > 0
+    GROUP BY 1
+    """,
+    doc="seasonal-naive (lag-24h) forecast MAE/MAPE per day",
+)
+def seasonal_naive_forecast_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forecast-evaluation surface: the seasonal-naive baseline (predict
+    each hour with the same hour yesterday — the baseline every real
+    forecasting model must beat, and the right yardstick for the lag-24
+    structure `hourly_value_acf` measures) scored with per-day MAE and
+    MAPE. Exact integers end-to-end: cents in, absolute differences,
+    and integer-division means (per-row 1e6-scaled APE floored before
+    the mean — the convention the oracle mirrors textually).
+
+    Scale shape: the hourly series aggregate (events never joined
+    row-to-row — hours do), one self-equi-join on the shifted hour key,
+    one per-day groupBy. O(hours), independent of event count."""
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy(
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("hour")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(38,6)")) * 100)
+        .cast("bigint")
+        .alias("v")
+    )
+    a = series.select("hour", F.col("v").alias("actual"))
+    b = series.select(
+        (F.col("hour") + SN_LAG_H).alias("hb"), F.col("v").alias("predicted")
+    )
+    joined = a.join(b, F.col("hour") == F.col("hb")).filter(
+        F.col("actual") > 0
+    )
+    return joined.groupBy(
+        F.expr("hour div 24").cast("bigint").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.expr("sum(abs(actual - predicted)) div count(*)")
+        .cast("bigint")
+        .alias("mae_cents"),
+        F.expr(
+            "sum(1000000 * abs(actual - predicted) div actual) div count(*)"
+        )
+        .cast("bigint")
+        .alias("mape_fx"),
+    )
