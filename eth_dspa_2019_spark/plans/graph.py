@@ -402,3 +402,116 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         trace, "round bigint, nodes_remaining bigint, edges_remaining bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS, fixed unrolled depth
+
+BFS_SEED_MOD = 50  # seeds: user_id % 50 == 0
+BFS_DEPTH = 4
+
+
+def _o_bfs() -> str:
+    cte = [
+        "bi AS MATERIALIZED (SELECT a AS u, b AS v FROM edges "
+        "UNION ALL SELECT b, a FROM edges)",
+        f"d0 AS MATERIALIZED (SELECT user_id AS node, 0 AS dist "
+        f"FROM users WHERE user_id % {BFS_SEED_MOD} = 0)",
+    ]
+    for k in range(1, BFS_DEPTH + 1):
+        cte.append(f"""
+    d{k} AS MATERIALIZED (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{k - 1}
+        UNION ALL
+        SELECT e.v AS node, d.dist + 1 AS dist
+        FROM bi e JOIN d{k - 1} d ON d.node = e.u
+      ) GROUP BY node
+    )""")
+    return f"""
+    WITH {_o_edges()},
+    {",".join(cte)},
+    hist AS (
+      SELECT dist, count(*) AS n_nodes FROM d{BFS_DEPTH} GROUP BY 1
+      UNION ALL
+      SELECT -1, count(*) FROM users u
+      WHERE NOT EXISTS (SELECT 1 FROM d{BFS_DEPTH} d
+                        WHERE d.node = u.user_id)
+    )
+    SELECT cast(dist AS bigint) AS dist,
+           cast(n_nodes AS bigint) AS n_nodes
+    FROM hist WHERE n_nodes > 0 ORDER BY dist
+    """
+
+
+@register(
+    "graph_bfs_depths",
+    oracle=_o_bfs(),
+    doc=f"multi-source BFS distance histogram (depth <= {BFS_DEPTH})",
+)
+def graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source breadth-first search over the synthesized user graph
+    (module docstring): distances from the deterministic seed set
+    (user_id % {BFS_SEED_MOD} == 0) relaxed for {BFS_DEPTH} unrolled
+    rounds — the traversal primitive next to the connectivity
+    (components), counting (triangles), centrality (PageRank), and
+    density-peeling (k-core) members of the graph family. Output is the
+    distance histogram with a dist=-1 row for nodes unreached within the
+    horizon, so convergence state is explicit, bit-identical in both
+    engines whether or not BFS has frontier-collapsed.
+
+    Scale shape: one round = one keyed join (distances ⋈ edges on the
+    source) + one min-groupBy — the Pregel relaxation step, O(E)/round,
+    lineage cut per round. The same MATERIALIZED-CTE oracle discipline
+    as k-core (plain chained CTEs inline multiplicatively)."""
+    users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct()
+    )
+    n = users.agg(F.max("user_id")).collect()[0][0] + 1
+    raw = users.select(
+        F.col("user_id").alias("u"),
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("user_id") * 7 + 11 * j) % n).alias(f"v{j}")
+                    for j in range(1, TRI_FAN + 1)
+                ]
+            )
+        ).alias("v"),
+    )
+    edges = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    bi = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint(eager=True)
+    dist = users.filter(F.col("user_id") % BFS_SEED_MOD == 0).select(
+        F.col("user_id").alias("node"), F.lit(0).alias("dist")
+    )
+    for _ in range(BFS_DEPTH):
+        expanded = (
+            bi.join(dist.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    unreached = users.join(
+        dist.withColumnRenamed("node", "user_id"), "user_id", "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_nodes")).select(
+        F.lit(-1).cast("bigint").alias("dist"),
+        F.col("n_nodes").cast("bigint"),
+    )
+    hist = dist.groupBy(
+        F.col("dist").cast("bigint").alias("dist")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    return hist.unionByName(unreached).filter(F.col("n_nodes") > 0)
