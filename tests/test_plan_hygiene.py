@@ -28,6 +28,7 @@ SINGLE_PARTITION_OK = {
     "domain_mixture_sample",  # per-domain quota scalars
     "event_funnel",  # four 1-row step counts unioned
     "graph_triangle_count",  # one-row triangle count
+    "graph_bfs_depths",  # one-row unreached-count aggregate unioned
     "q6_forecast_revenue",  # single-row TPC-H aggregate
     "q11_important_stock",  # global scalar threshold
     "q15_top_supplier",  # global max revenue scalar
