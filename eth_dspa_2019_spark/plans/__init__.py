@@ -25,6 +25,7 @@ from . import sketch  # noqa: E402,F401
 from . import behavior  # noqa: E402,F401
 from . import tpch_extra  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
+from . import retrieval  # noqa: E402,F401
 
 
 def clear_plan_caches(spark) -> None:

@@ -1318,7 +1318,9 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_from_postings(tf, dl)
 
 
-def bm25_from_postings(tf: DataFrame, dl: DataFrame) -> DataFrame:
+def bm25_from_postings(
+    tf: DataFrame, dl: DataFrame, topk: int = BM25_TOPK
+) -> DataFrame:
     """BM25 scoring from the inverted-index relations themselves —
     ``tf`` = (doc_id, tok, tf) postings, ``dl`` = (doc_id, dl) document
     lengths. The registered batch query derives them from the documents
@@ -1371,11 +1373,11 @@ def bm25_from_postings(tf: DataFrame, dl: DataFrame) -> DataFrame:
     )
     # the global sort compiles to TakeOrderedAndProject (no full-sort
     # stage); the unkeyed rank window runs AFTER the limit, over exactly
-    # BM25_TOPK rows — bounded by k, never by the corpus
+    # `topk` rows — bounded by k, never by the corpus
     w = Window.orderBy(F.desc("score_fx"), "doc_id")
     return (
         scored.orderBy(F.desc("score_fx"), "doc_id")
-        .limit(BM25_TOPK)
+        .limit(topk)
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
 
