@@ -732,3 +732,94 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def prefix_filter_jaccard_pairs(
+    items: DataFrame,
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """Exact token-set Jaccard ≥ t_num/t_den pairs via PREFIX FILTERING —
+    the AllPairs/PPJoin candidate bound (Bayardo et al. WWW'07, Xiao et
+    al. WWW'08), the third candidate-generation strategy in the family
+    (MinHash bands: probabilistic; hot-capped shingle join: exact but
+    misses all-hot pairs; prefix filter: exact with NO false negatives).
+
+    ``items`` is any distinct (id, tok) set relation — word tokens or
+    n-gram shingles (the registered query uses 3-gram shingles, the
+    standard near-dup item space). Items are globally ordered by
+    ascending document frequency (rarest
+    first, tok as tie-break); a document of set-size ``s`` exposes only
+    its first ``s - ceil(t·s) + 1`` tokens in that order as join keys.
+    Two sets with Jaccard ≥ t MUST share a prefix token (pigeonhole on
+    the overlap bound ``ceil(t/(1+t)·(sa+sb))``), so joining on prefix
+    tokens alone is complete. Candidates then verify EXACT Jaccard over
+    full sets with pure integer arithmetic: ``t_den·inter ≥ t_num·union``.
+
+    Scale shape: prefixes are built from the RAREST tokens, so the
+    per-token join fan-out is smallest exactly where the join runs —
+    the inverse of the hot-shingle problem. One df aggregate, one
+    per-doc rank window (keyed by doc — no global sort), one equi-join
+    on prefix tokens, one verify join bounded to candidates.
+    """
+    tokset = items.select("id", "tok").distinct().persist()
+    dfreq = tokset.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sizes = tokset.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("id").orderBy("df", "tok")
+    ranked = (
+        tokset.join(dfreq, "tok")
+        .withColumn("r", F.row_number().over(w))
+        .join(sizes, "id")
+        # prefix length = sz - ceil(t*sz) + 1, ceil via integer division
+        .filter(
+            F.col("r")
+            <= F.col("sz")
+            - F.expr(f"({t_num} * sz + {t_den - 1}) div {t_den}")
+            + F.lit(1)
+        )
+        .select("id", "tok", "sz")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id"))
+            # symmetric length filter: t <= sa/sb <= 1/t
+            & (F.col("a.sz") * t_num <= F.col("b.sz") * t_den)
+            & (F.col("b.sz") * t_num <= F.col("a.sz") * t_den),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.sz").alias("sza"),
+            F.col("b.sz").alias("szb"),
+        )
+        .distinct()
+    )
+    ta, tb = tokset.alias("ta"), tokset.alias("tb")
+    inter = (
+        cand.join(ta, F.col("ta.id") == F.col("doc_a"))
+        .join(
+            tb,
+            (F.col("tb.id") == F.col("doc_b"))
+            & (F.col("tb.tok") == F.col("ta.tok")),
+        )
+        .groupBy("doc_a", "doc_b", "sza", "szb")
+        .agg(F.count(F.lit(1)).alias("inter_sz"))
+    )
+    return (
+        inter.withColumn(
+            "union_sz", F.col("sza") + F.col("szb") - F.col("inter_sz")
+        )
+        .filter(F.col("inter_sz") * t_den >= F.col("union_sz") * t_num)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter_sz").cast("bigint").alias("inter_sz"),
+            F.col("union_sz").cast("bigint").alias("union_sz"),
+            F.expr("(100 * inter_sz) div (sza + szb - inter_sz)")
+            .cast("int")
+            .alias("jac_pct"),
+        )
+    )

@@ -113,6 +113,67 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PF_T_NUM, PF_T_DEN = 3, 5  # prefix-filter Jaccard threshold 0.6
+
+
+@register(
+    "prefix_filter_jaccard",
+    oracle=f"""
+    WITH {_O_SHINGLES},
+    tokset AS (SELECT id, shingle AS tok FROM sh),
+    dfreq AS (SELECT tok, count(*) AS df FROM tokset GROUP BY 1),
+    ssz AS (SELECT id, count(*) AS sz FROM tokset GROUP BY 1),
+    pfx AS (
+      SELECT id, tok, sz FROM (
+        SELECT t.id, t.tok, s.sz,
+               row_number() OVER (PARTITION BY t.id
+                                  ORDER BY d.df, t.tok) AS r
+        FROM tokset t JOIN dfreq d USING (tok) JOIN ssz s ON s.id = t.id
+      ) WHERE r <= sz - ({PF_T_NUM} * sz + {PF_T_DEN - 1}) // {PF_T_DEN} + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
+                      a.sz AS sza, b.sz AS szb
+      FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.id < b.id
+        AND a.sz * {PF_T_NUM} <= b.sz * {PF_T_DEN}
+        AND b.sz * {PF_T_NUM} <= a.sz * {PF_T_DEN}
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, c.sza, c.szb, count(*) AS inter_sz
+      FROM cand c
+      JOIN tokset ta ON ta.id = c.doc_a
+      JOIN tokset tb ON tb.id = c.doc_b AND tb.tok = ta.tok
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           cast(inter_sz AS bigint) AS inter_sz,
+           cast(sza + szb - inter_sz AS bigint) AS union_sz,
+           cast((100 * inter_sz) // (sza + szb - inter_sz) AS int)
+             AS jac_pct
+    FROM inter
+    WHERE inter_sz * {PF_T_DEN} >= (sza + szb - inter_sz) * {PF_T_NUM}
+    """,
+    doc=(
+        "exact shingle-Jaccard >= 0.6 pairs via AllPairs/PPJoin prefix "
+        "filtering (no false negatives)"
+    ),
+)
+def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join with the prefix-filter candidate bound —
+    the no-false-negative counterpart to MinHash banding: join keys are
+    only each document's rarest ``sz - ceil(t·sz) + 1`` shingles (global
+    ascending-df order), which any Jaccard ≥ t pair must share."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    items = dd.shingles(docs, "doc_id", "text", n=SHINGLE_N).select(
+        "id", F.col("shingle").alias("tok")
+    )
+    return dd.prefix_filter_jaccard_pairs(
+        items, t_num=PF_T_NUM, t_den=PF_T_DEN
+    )
+
+
 def _o_minhash_bands(cand_on: str = "a.id < b.id") -> str:
     """DuckDB mirror of minhash_signatures + banded explode. ``cand_on``
     selects the pair shape: the ``a.id < b.id`` self-join default, or the
