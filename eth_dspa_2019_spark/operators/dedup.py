@@ -738,6 +738,7 @@ def prefix_filter_jaccard_pairs(
     items: DataFrame,
     t_num: int = 3,
     t_den: int = 5,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard ≥ t_num/t_den pairs via PREFIX FILTERING —
     the AllPairs/PPJoin candidate bound (Bayardo et al. WWW'07, Xiao et
@@ -761,8 +762,14 @@ def prefix_filter_jaccard_pairs(
     the inverse of the hot-shingle problem. One df aggregate, one
     per-doc rank window (keyed by doc — no global sort), one equi-join
     on prefix tokens, one verify join bounded to candidates.
+
+    Pass a ``cache_registry`` list to receive the persisted token-set
+    frame so long-lived callers can unpersist it (same discipline as
+    `_range_partitioned` / `incremental_dedup_against`; ADVICE r6).
     """
     tokset = items.select("id", "tok").distinct().persist()
+    if cache_registry is not None:
+        cache_registry.append(tokset)
     dfreq = tokset.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     sizes = tokset.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     w = Window.partitionBy("id").orderBy("df", "tok")

@@ -348,9 +348,7 @@ def _o_corr_bands() -> str:
     return "\n      UNION ALL\n      ".join(selects)
 
 
-@register(
-    "user_correlation_sketch_pruned",
-    oracle=f"""
+_CORR_PRUNED_ORACLE_FIXED = f"""
     WITH series AS (
       SELECT user_id,
              cast(floor(epoch(ts)/3600) AS bigint) AS hour,
@@ -409,11 +407,20 @@ def _o_corr_bands() -> str:
     WHERE varp > 0
     ORDER BY corr_fx DESC, u1, u2
     LIMIT {CORR_TOPK}
-    """,
-    doc="sketch-pruned top grid-correlated user series (LSH screen -> exact)",
-)
+    """
+
+
 def user_correlation_sketch_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale-path correlation search `user_activity_correlation`'s
+    """Fixed-band regression FIXTURE, no longer registered (VERDICT r6
+    #1): the pinned (planes, bands) form of the pruned correlation whose
+    static oracle (`_CORR_PRUNED_ORACLE_FIXED`, kept for regression
+    tests) let the gate check the sketch mechanics — but whose fixed
+    bits-per-band hit a measured 19.7x collision-mass cliff at 10x users
+    (SCALE.md "Measured scaling"). The registered query is now
+    `grid_correlation_pruned_auto`, whose band width follows the data
+    and whose oracle derives the same knob in SQL.
+
+    The scale-path correlation search `user_activity_correlation`'s
     docstring prescribes (VERDICT r5 #7): a random-hyperplane series
     sketch screens user pairs BEFORE any hour-keyed join, and the exact
     correlation is computed only for sketch candidates — the same
@@ -450,28 +457,148 @@ def user_correlation_sketch_pruned(spark: SparkSession, sf_dir: str) -> DataFram
     return _grid_corr_pruned(spark, sf_dir, CORR_PLANES, CORR_BANDS)
 
 
-def grid_correlation_pruned_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`user_correlation_sketch_pruned` with the band width sized from
-    the data — the form a deployment actually runs. The registered query
-    pins (planes, bands) so its DuckDB oracle is a static string; this
-    operator applies the knob rule instead: bits-per-band
-    R = clamp(4..12, log₂(users/8)) so bucket count tracks the user
-    population (collision mass ≈ bands·N²/2^R stays ~N·load), bands stay
-    the recall knob (cost linear in bands·N). The 10× scale run that
-    motivated this (SCALE.md "Measured scaling") clocked the fixed-R
-    registered form at 166 s on 15 000 users — a quadratic cliff — vs
-    ~linear for this auto-sized form; longer bands certify the
-    near-duplicate-series regime (collision probability concentrates at
-    high |corr|), with graceful recall decay for weaker pairs."""
-    import math
+def corr_rpb_for_users(users: int) -> int:
+    """The band-width knob rule, shared verbatim (in semantics) with the
+    DuckDB oracle: bits-per-band R = the smallest R in [4, 12] with
+    8·2^R ≥ users, i.e. clamp(4..12, ⌈log₂(users/8)⌉) — computed in PURE
+    INTEGERS (bit_length, no floating log2) so both engines land on the
+    same R at every population, including exact powers of two."""
+    return min(12, max(4, (max(users, 2) - 1).bit_length() - 3))
 
+
+# knob preamble shared by the oracle: smallest R in [4,12] with 8*2^R >=
+# distinct users (integer comparisons only — the SQL twin of
+# `corr_rpb_for_users`), COALESCEd to the 12 cap when no r qualifies
+_O_CORR_KNOB = """
+    knobs AS (
+      SELECT coalesce(
+               (SELECT min(r) FROM range(4, 13) t(r)
+                WHERE (8::BIGINT << r)
+                      >= (SELECT count(DISTINCT user_id) FROM events)),
+               12) AS rpb
+    )"""
+
+
+def _o_corr_auto_sketch() -> str:
+    """Row-form (one row per user×plane) DuckDB sign sketch whose plane
+    count 6·rpb follows the knob CTE — the dynamic-oracle pattern
+    (VERDICT r6 #6): a static per-plane column list can't depend on
+    data, but a plane INDEX relation filtered by the knob can. Bands
+    fall out as p div rpb with bit weight 2^(p mod rpb), matching the
+    Spark side's [b·rpb, (b+1)·rpb) column layout exactly."""
+    h = o_h64(
+        "'corrsketch#' || cast(pl.p AS varchar) || '#' "
+        "|| cast(c.hour AS varchar)"
+    )
+    return f"""
+    planes AS (
+      SELECT t.p FROM range(0, {CORR_BANDS * 12}) t(p), knobs k
+      WHERE t.p < {CORR_BANDS} * k.rpb
+    ),
+    sig AS (
+      SELECT c.user_id, pl.p,
+             CASE WHEN sum(c.w * (({h} % 2) * 2 - 1)) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM cent c CROSS JOIN planes pl
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT user_id, cast(p // k.rpb AS int) AS band_id,
+             cast(sum(bit * (1::BIGINT << (p % k.rpb))) AS bigint)
+               AS band_key
+      FROM sig, knobs k
+      GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "grid_correlation_pruned_auto",
+    oracle=f"""
+    WITH series AS (
+      SELECT user_id,
+             cast(floor(epoch(ts)/3600) AS bigint) AS hour,
+             cast(sum(cast(value AS decimal(38,6))) * 100 AS bigint) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (SELECT count(DISTINCT hour) AS h FROM series),
+    {_O_CORR_KNOB},
+    stats AS (
+      SELECT user_id, sum(v) AS su, count(*) AS cu,
+             sum(v * v) AS sqv
+      FROM series GROUP BY 1
+    ),
+    cent AS (
+      SELECT s.user_id, s.hour, s.v * t.cu - t.su AS w
+      FROM series s JOIN stats t ON s.user_id = t.user_id
+    ),
+    {_o_corr_auto_sketch()},
+    cand AS (
+      SELECT DISTINCT x.user_id AS u1, y.user_id AS u2
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key
+       AND x.user_id < y.user_id
+    ),
+    pairs AS (
+      SELECT c.u1, c.u2,
+             count(*) AS n_shared,
+             sum(a.v * b.v) AS sxy
+      FROM cand c
+      JOIN series a ON a.user_id = c.u1
+      JOIN series b ON b.user_id = c.u2 AND b.hour = a.hour
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.u1, p.u2, p.n_shared,
+             (cast(g.h AS double) * cast(p.sxy AS double)
+              - cast(t1.su AS double) * cast(t2.su AS double)) AS num,
+             (cast(g.h AS double) * cast(t1.sqv AS double)
+              - cast(t1.su AS double) * cast(t1.su AS double))
+             * (cast(g.h AS double) * cast(t2.sqv AS double)
+                - cast(t2.su AS double) * cast(t2.su AS double)) AS varp
+      FROM pairs p
+      JOIN stats t1 ON t1.user_id = p.u1
+      JOIN stats t2 ON t2.user_id = p.u2
+      CROSS JOIN grid g
+    )
+    SELECT u1, u2, cast(n_shared AS bigint) AS n_hours,
+           cast(floor(1000000.0 * num / sqrt(varp)) AS bigint) AS corr_fx
+    FROM scored
+    WHERE varp > 0
+    ORDER BY corr_fx DESC, u1, u2
+    LIMIT {CORR_TOPK}
+    """,
+    doc="auto-banded sketch-pruned top correlated series (knob from data)",
+)
+def grid_correlation_pruned_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-pruned grid correlation with the band width sized FROM
+    THE DATA — the form a deployment actually runs, now the registered
+    one (VERDICT r6 #1). Bits-per-band R = clamp(4..12, ⌈log₂(users/8)⌉)
+    so bucket count tracks the user population (collision mass ≈
+    bands·N²/2^R stays ~N·load); bands stay the recall knob (cost linear
+    in bands·N). The 10× scale run that motivated this (SCALE.md
+    "Measured scaling") clocked the fixed-R form at 166 s on 15 000
+    users — a quadratic cliff — vs ~linear for this auto-sized form
+    (exponent ≈0.7, pinned by
+    `tests/test_candidate_growth.py::test_auto_corr_sketch_candidates_subquadratic`);
+    longer bands certify the near-duplicate-series regime (collision
+    probability concentrates at high |corr|), with graceful recall decay
+    for weaker pairs.
+
+    The knob is DERIVED IDENTICALLY in the DuckDB oracle (`_O_CORR_KNOB`
+    — the same smallest-R-with-8·2^R≥users rule in pure-integer SQL),
+    and the oracle's sign sketch is row-form (user×plane rows filtered
+    by the knob) rather than a static column list, so the gate checks
+    the query in its DEPLOYED auto-tuned form. Sketch semantics,
+    centering, and the exact-verify tail are identical to the fixture
+    `user_correlation_sketch_pruned` — see its docstring for why grid
+    (not shared-support) Pearson is the sketchable semantics."""
     users = (
         load_table(spark, sf_dir, "events")
         .select("user_id")
         .distinct()
         .count()
     )
-    rpb = min(12, max(4, math.ceil(math.log2(max(users, 16) / 8))))
+    rpb = corr_rpb_for_users(users)
     return _grid_corr_pruned(spark, sf_dir, CORR_BANDS * rpb, CORR_BANDS)
 
 
@@ -1302,6 +1429,15 @@ def event_type_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.to_date("ts").alias("day"), "event_type"
     ).distinct().localCheckpoint(eager=True)
     n = ev.select("user_id", "day").distinct().count()
+    # loud int64 guard for the lift numerator 1e6*c12*n: c12 <= n (a pair
+    # co-occurs at most once per basket), so n bounds it — with ANSI off
+    # Spark wraps silently past ~3M baskets while DuckDB raises (ADVICE r6)
+    if 1_000_000 * n * n >= 2**63:
+        raise ArithmeticError(
+            f"association rules: lift numerator bound 1e6*n^2 with "
+            f"n={n} baskets exceeds int64; cross-divide the lift or "
+            "shrink the fixed-point scale"
+        )
     singles = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
     a = ev.select("user_id", "day", F.col("event_type").alias("ta"))
     b = ev.select(

@@ -1214,28 +1214,59 @@ def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FUZZY_PRE = 24  # chars of prefix compared
 FUZZY_MAX_DIST = 8  # max Levenshtein distance reported
-FUZZY_LEN_BAND = 4  # length-band width for candidate blocking
+FUZZY_Q = 3  # q-gram width of the blocking key
+FUZZY_RARE_K = 3  # each side joins on its K globally-rarest q-grams
+FUZZY_BLOCK_CAP = 32  # max docs per blocking gram; larger blocks overflow
+
+# shared CTE chain: prefix -> distinct q-grams -> df-ranked rare keys ->
+# per-gram key population (kdf) — used by both the pair join and the
+# overflow audit so the two registered queries can never drift apart
+_O_FUZZY_KEYS = f"""
+    p AS (
+      SELECT doc_id, substring(text, 1, {FUZZY_PRE}) AS pre FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    idx AS (
+      SELECT doc_id, pre,
+             unnest(range(1, greatest(length(pre) - {FUZZY_Q - 2}, 2))) AS i
+      FROM p
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, pre, substring(pre, i, {FUZZY_Q}) AS gr
+      FROM idx
+    ),
+    dfr AS (SELECT gr, count(*) AS df FROM grams GROUP BY 1),
+    ranked AS (
+      SELECT g.doc_id, g.pre, g.gr,
+             row_number() OVER (PARTITION BY g.doc_id
+                                ORDER BY d.df, g.gr) AS r
+      FROM grams g JOIN dfr d ON d.gr = g.gr
+    ),
+    keys AS (SELECT doc_id, pre, gr FROM ranked WHERE r <= {FUZZY_RARE_K}),
+    kdf AS (SELECT gr, count(*) AS kdf FROM keys GROUP BY 1)"""
 
 
 @register(
     "fuzzy_prefix_matches",
     oracle=f"""
-    WITH p AS (
-      SELECT doc_id, substring(text, 1, {FUZZY_PRE}) AS pre FROM documents
+    WITH {_O_FUZZY_KEYS},
+    kept AS (
+      SELECT k.doc_id, k.pre, k.gr
+      FROM keys k JOIN kdf ON kdf.gr = k.gr AND kdf.kdf <= {FUZZY_BLOCK_CAP}
     ),
-    k AS (
-      SELECT doc_id, pre,
-             len(pre) // {FUZZY_LEN_BAND} AS lb,
-             string_split(pre, ' ')[1] AS w1
-      FROM p
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pre AS pre_a, b.pre AS pre_b
+      FROM kept a JOIN kept b
+        ON a.gr = b.gr AND a.doc_id < b.doc_id
+       AND abs(length(a.pre) - length(b.pre)) <= {FUZZY_MAX_DIST}
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           cast(levenshtein(a.pre, b.pre) AS bigint) AS edit_dist
-    FROM k a JOIN k b
-      ON a.lb = b.lb AND a.w1 = b.w1 AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.pre, b.pre) <= {FUZZY_MAX_DIST}
+    SELECT doc_a, doc_b,
+           cast(levenshtein(pre_a, pre_b) AS bigint) AS edit_dist
+    FROM cand
+    WHERE levenshtein(pre_a, pre_b) <= {FUZZY_MAX_DIST}
     """,
-    doc="blocked Levenshtein similarity join on document prefixes",
+    doc="rare-gram-blocked (capped) Levenshtein join on document prefixes",
 )
 def fuzzy_prefix_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance similarity join — the fuzzy-matching operator family
@@ -1246,50 +1277,147 @@ def fuzzy_prefix_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical unit-cost Wagner-Fischer distance, so the values agree
     exactly.
 
-    Blocking (the part that decides whether this survives scale): a
-    candidate pair must share a length band AND its first token — an
-    equi-join on the (band, token) blocking key, never an all-pairs
-    product, with the O(n^2) verify confined to within-block pairs
-    (4.2k candidate pairs for 125k possible at sf0.01). Production
-    blocking for long strings is the sorted-token prefix filter (the
-    AllPairs/PPJoin family) or the positional q-gram filter — same
-    plan shape, tighter candidate bound; the length-band filter here is
-    the simplest member of that family and the fixture's prefixes are
-    short enough that the within-block verify dominates anyway."""
-    p = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.substring("text", 1, FUZZY_PRE).alias("pre")
-    )
-    k = p.select(
-        "doc_id",
-        "pre",
-        F.expr(f"length(pre) div {FUZZY_LEN_BAND}").alias("lb"),
-        F.element_at(F.split("pre", " "), 1).alias("w1"),
-    )
-    a = k.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("pre").alias("pre_a"),
-        "lb",
-        "w1",
-    )
-    b = k.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("pre").alias("pre_b"),
-        F.col("lb").alias("lb_b"),
-        F.col("w1").alias("w1_b"),
-    )
+    Blocking (the part that decides whether this survives scale) is the
+    Ed-Join-family rare-gram key (Xiao et al. VLDB'08's df-ordered gram
+    prefix, the edit-distance sibling of the PPJoin prefix filter in
+    `operators/dedup.py`): each document exposes its {FUZZY_RARE_K}
+    globally-RAREST {FUZZY_Q}-grams (document frequency ascending, gram
+    text as tie-break) as join keys, so the equi-join fans out exactly
+    where df is smallest. The previous (length-band, first-token) key
+    measured 87x candidate growth for 10x docs, because natural-text
+    first tokens are Zipfian — one "The..." block approaches quadratic
+    at corpus scale (VERDICT r6 #2); a hot gram, by contrast, is never a
+    key unless it is among a document's K rarest, which by construction
+    stops being true as its df grows. Second line of defense: blocks
+    whose key population exceeds {FUZZY_BLOCK_CAP} documents OVERFLOW —
+    they are dropped from the join entirely (bounding candidate mass by
+    #grams·cap² no matter how degenerate the corpus) and surfaced
+    loudly by the companion audit query `fuzzy_blocking_overflow`, which
+    the gate checks alongside this one. On the small-vocabulary fixture
+    corpus (375 distinct trigrams at 5 000 docs) the cap is what holds
+    growth down (measured alpha 0.5 capped vs 1.98 uncapped at 10x); on
+    natural text rare grams have df≈1 and the cap never bites (overflow
+    = 0 at both gate scales). An exact length bound
+    |len_a − len_b| ≤ {FUZZY_MAX_DIST} (a Levenshtein lower bound) rides
+    the join; the O(len²) Wagner-Fischer verify runs only within blocks.
+    Growth pinned sub-quadratic by
+    `tests/test_candidate_growth.py::test_fuzzy_rare_gram_candidates_subquadratic`.
+
+    Completeness note: at τ={FUZZY_MAX_DIST} on {FUZZY_PRE}-char strings
+    the q-gram count filter admits every pair (q·τ+1 > L−q+1), so NO
+    gram blocker is lossless here — the blocker is part of the query's
+    semantics (the oracle implements the identical key and cap), and its
+    recall concentrates on near-identical prefixes, which is the regime
+    the operator targets. Equal prefixes always collide (identical gram
+    sets) unless their shared block overflows — which the audit makes
+    visible; each edit perturbs at most q of a side's grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = fuzzy_rare_gram_candidates(docs)
     return (
-        a.join(
-            b,
-            (F.col("lb") == F.col("lb_b"))
-            & (F.col("w1") == F.col("w1_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select(
+        cand.select(
             "doc_a",
             "doc_b",
             F.levenshtein("pre_a", "pre_b").cast("bigint").alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+    )
+
+
+def _fuzzy_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, pre, gr, kdf): each document's {FUZZY_RARE_K} rarest
+    {FUZZY_Q}-gram blocking keys with the per-gram key population kdf —
+    the Spark twin of the `_O_FUZZY_KEYS` CTE chain."""
+    from pyspark.sql.window import Window
+
+    p = (
+        docs.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", F.substring("text", 1, FUZZY_PRE).alias("pre"))
+    )
+    grams = (
+        p.select(
+            "doc_id",
+            "pre",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(pre) - {FUZZY_Q - 1}, 1)),"
+                    f" i -> substring(pre, i, {FUZZY_Q}))"
+                )
+            ).alias("gr"),
+        )
+        .distinct()
+    )
+    dfr = grams.groupBy("gr").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "gr")
+    keys = (
+        grams.join(dfr, "gr")
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= FUZZY_RARE_K)
+        .select("doc_id", "pre", "gr")
+    )
+    kdf = keys.groupBy("gr").agg(F.count(F.lit(1)).alias("kdf"))
+    return keys.join(kdf, "gr")
+
+
+def fuzzy_rare_gram_candidates(docs: DataFrame) -> DataFrame:
+    """The rare-gram blocking stage of `fuzzy_prefix_matches`, factored
+    out so the candidate-growth regression can measure its pair mass on
+    corpus slices: (doc_a, doc_b, pre_a, pre_b) pairs sharing at least
+    one of each side's {FUZZY_RARE_K} rarest {FUZZY_Q}-grams whose block
+    is within the {FUZZY_BLOCK_CAP}-doc cap, length difference ≤
+    {FUZZY_MAX_DIST}."""
+    kept = _fuzzy_keys(docs).filter(F.col("kdf") <= FUZZY_BLOCK_CAP)
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), F.col("pre").alias("pre_a"), "gr"
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pre").alias("pre_b"),
+        F.col("gr").alias("gr_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("gr") == F.col("gr_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.abs(F.length("pre_a") - F.length("pre_b"))
+                <= FUZZY_MAX_DIST
+            ),
+        )
+        .select("doc_a", "doc_b", "pre_a", "pre_b")
+        .distinct()
+    )
+
+
+@register(
+    "fuzzy_blocking_overflow",
+    oracle=f"""
+    WITH {_O_FUZZY_KEYS}
+    SELECT cast(count(*) AS bigint) AS n_overflow_grams,
+           cast(coalesce(sum(kdf), 0) AS bigint) AS n_blocked_keys
+    FROM kdf WHERE kdf > {FUZZY_BLOCK_CAP}
+    """,
+    doc="loud audit: fuzzy-join blocks dropped by the overflow cap",
+)
+def fuzzy_blocking_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loud half of `fuzzy_prefix_matches`'s block-size cap (VERDICT
+    r6 #2): how many blocking grams exceeded {FUZZY_BLOCK_CAP} documents
+    and were therefore EXCLUDED from the join, and how many key rows
+    they carried. Zero/zero means the cap is inert and the rare-gram
+    blocking alone is doing the work (the natural-text regime, and the
+    measured state at both gate scales); a non-zero count is the signal
+    that the corpus's gram vocabulary is too small for its size and the
+    operator is trading recall for boundedness — the audit makes that
+    trade visible instead of silent. Shares the `_O_FUZZY_KEYS` CTE
+    chain (and the Spark `_fuzzy_keys` stage) with the pair join, so the
+    two queries cannot drift apart."""
+    docs = load_table(spark, sf_dir, "documents")
+    over = _fuzzy_keys(docs).filter(F.col("kdf") > FUZZY_BLOCK_CAP)
+    return over.agg(
+        F.countDistinct("gr").cast("bigint").alias("n_overflow_grams"),
+        F.coalesce(F.count(F.lit(1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_blocked_keys"),
     )
 
 
@@ -1395,6 +1523,14 @@ def bm25_from_postings(
         F.expr("sum(dl) div count(*)").alias("avgdl"),
     ).collect()[0]
     n, avgdl = st.n, st.avgdl
+    if n == 0:
+        # empty index (streaming search before the first batch, or a
+        # rollback past v0): avgdl collects as NULL and the arithmetic
+        # below would raise TypeError — return the empty result frame
+        # with the contract schema instead (ADVICE r6)
+        return dl.sparkSession.createDataFrame(
+            [], "doc_id long, score_fx bigint, rank int"
+        )
     q = (
         tf.groupBy("tok")
         .agg(F.sum("tf").alias("cnt"), F.count(F.lit(1)).alias("df"))

@@ -882,11 +882,16 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").cast("bigint").alias("wt")
     )
-    wsum = docs.agg(F.sum("wt")).collect()[0][0]
-    if wsum * WS_M >= 2**63:
+    g = docs.agg(F.sum("wt").alias("w"), F.max("wt").alias("m")).collect()[0]
+    wsum, wmax = int(g["w"]), int(g["m"])
+    # guard BOTH sides of the comparison: u*W on the left (u < M), and
+    # K*wt*M on the right — the right side is K x larger, and with ANSI
+    # off Spark wraps it silently while DuckDB errors loudly (ADVICE r6)
+    if wsum * WS_M >= 2**63 or WS_K * wmax * WS_M >= 2**63:
         raise ArithmeticError(
-            f"weighted sample: total weight {wsum} x M={WS_M} exceeds "
-            "int64; shrink the coin resolution M"
+            f"weighted sample: total weight {wsum} (max {wmax}) x "
+            f"K={WS_K} x M={WS_M} exceeds int64; shrink the coin "
+            "resolution M"
         )
     u = h64(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))) % WS_M
     return docs.filter(u * F.lit(wsum) < WS_K * F.col("wt") * WS_M)

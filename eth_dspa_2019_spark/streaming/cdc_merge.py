@@ -36,25 +36,30 @@ _CHANGE_SCHEMA = "op string, key long, cents long, seq long"
 
 def _fold_changes(changes: DataFrame) -> DataFrame:
     """Collapse a batch's change rows to ONE row per key: the last (by
-    seq) 'D'/'I' anchors the outcome; 'U' deltas AFTER that anchor sum on
-    top. Deterministic for any micro-batch split of the same seq order."""
+    seq) 'D'/'I' anchors the outcome; 'U' deltas strictly AFTER that
+    anchor sum on top. Anchor ties at max(seq) are broken
+    deterministically by (op, cents) — a max over the full struct — so
+    two 'D'/'I' rows tying on seq for one key still yield exactly ONE
+    anchor row instead of duplicating the key through the joins
+    (ADVICE r6). Deterministic for any micro-batch split of the same
+    seq order."""
     # window-free formulation: compute the anchor per key via aggregation,
     # then join back — map-side combined, no per-key ordering shuffle
-    anchors = changes.filter(F.col("op").isin("D", "I")).groupBy("key").agg(
-        F.max("seq").alias("aseq")
-    )
-    with_anchor = changes.join(anchors, "key", "left")
     anchor_rows = (
-        with_anchor.filter(
-            F.col("op").isin("D", "I") & (F.col("seq") == F.col("aseq"))
+        changes.filter(F.col("op").isin("D", "I"))
+        .groupBy("key")
+        .agg(F.max(F.struct("seq", "op", "cents")).alias("a"))
+        .select(
+            "key",
+            F.col("a.seq").alias("aseq"),
+            F.col("a.op").alias("aop"),
+            F.col("a.cents").alias("acents"),
         )
-        .select("key", F.col("op").alias("aop"), F.col("cents").alias("acents"))
     )
     deltas = (
-        with_anchor.filter(
-            (F.col("op") == "U")
-            & (F.col("aseq").isNull() | (F.col("seq") > F.col("aseq")))
-        )
+        changes.filter(F.col("op") == "U")
+        .join(anchor_rows.select("key", "aseq"), "key", "left")
+        .filter(F.col("aseq").isNull() | (F.col("seq") > F.col("aseq")))
         .groupBy("key")
         .agg(
             F.sum("cents").alias("dcents"),
@@ -64,7 +69,7 @@ def _fold_changes(changes: DataFrame) -> DataFrame:
     return (
         changes.select("key")
         .distinct()
-        .join(anchor_rows, "key", "left")
+        .join(anchor_rows.drop("aseq"), "key", "left")
         .join(deltas, "key", "left")
         .select(
             "key",

@@ -262,9 +262,25 @@ def test_pruned_correlation_sketch_beats_random_at_sf01(spark):
         .collect()
     )
     tp = {(r.u1, r.u2) for r in truth}
-    pruned = all_queries()["user_correlation_sketch_pruned"].spark(spark, sf)
+    # fixed-band fixture (demoted from the registry in r7 — VERDICT r6
+    # #1 — but kept as the regression pin for the sketch mechanics at a
+    # pinned knob): rpb=4 measured 17/20
+    from eth_dspa_2019_spark.plans.behavior import (
+        user_correlation_sketch_pruned,
+    )
+
+    pruned = user_correlation_sketch_pruned(spark, sf)
     pp = {(r.u1, r.u2) for r in pruned.collect()}
     assert len(tp & pp) >= 12, f"recall {len(tp & pp)}/{len(tp)}"
+    # registered auto form (rpb=8 at 1 500 users): longer bands trade
+    # recall on WEAK pairs for linear collision mass (collision prob
+    # p_agree^8 per band concentrates at high |corr|); measured 11/20 at
+    # sf0.1 vs a ~0.5/20 random baseline (6 bands / 2^8 buckets) — the
+    # floor fails if the sketch regresses to noise, with headroom for
+    # band-hash jitter
+    auto = all_queries()["grid_correlation_pruned_auto"].spark(spark, sf)
+    ap = {(r.u1, r.u2) for r in auto.collect()}
+    assert len(tp & ap) >= 8, f"auto recall {len(tp & ap)}/{len(tp)}"
 
 
 def test_auto_corr_sketch_candidates_subquadratic(spark):
@@ -274,13 +290,17 @@ def test_auto_corr_sketch_candidates_subquadratic(spark):
     registered form measured a 166 s quadratic cliff at 10x in the scale
     run (SCALE.md "Measured scaling"); this pins the knob rule."""
     from eth_dspa_2019_spark.functions.hashing import h64
-    from eth_dspa_2019_spark.plans.behavior import CORR_BANDS, _hourly_series
+    from eth_dspa_2019_spark.plans.behavior import (
+        CORR_BANDS,
+        _hourly_series,
+        corr_rpb_for_users,
+    )
 
     series_full = _hourly_series(spark, _SF01)
     pts = []
     for n in (500, 1500):
         series = series_full.filter(F.col("user_id") < n)
-        rpb = min(12, max(4, math.ceil(math.log2(max(n, 16) / 8))))
+        rpb = corr_rpb_for_users(n)
         planes = CORR_BANDS * rpb
         stats = series.groupBy("user_id").agg(
             F.sum("v").alias("su"), F.count(F.lit(1)).alias("cu")
@@ -341,3 +361,22 @@ def test_auto_corr_sketch_candidates_subquadratic(spark):
         )
         pts.append((n, c))
     assert _alpha(pts) <= 1.5, pts
+
+
+def test_fuzzy_rare_gram_candidates_subquadratic(spark):
+    """VERDICT r6 #2: the fuzzy edit-distance join's old (length-band,
+    first-token) blocking measured 87x pair growth for 10x docs —
+    block-density driven, with Zipfian first tokens making one block
+    quadratic at corpus scale. The rare-gram key (each side joins on its
+    K globally-rarest q-grams) must keep candidate mass sub-quadratic: a
+    hot gram stops being anyone's rarest as its df grows, so block size
+    is self-limiting."""
+    from eth_dspa_2019_spark.plans.llm import fuzzy_rare_gram_candidates
+
+    pts = []
+    for n, d in _doc_slices(spark):
+        c = fuzzy_rare_gram_candidates(
+            d.withColumnRenamed("text", "text")
+        ).count()
+        pts.append((n, c))
+    assert _alpha(pts) <= 1.55, pts

@@ -60,3 +60,21 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert len(df.collect()) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_fixed_band_corr_fixture_matches_static_oracle(spark, sf_dir):
+    """The fixed-band pruned correlation was demoted from the registry in
+    r7 (VERDICT r6 #1: its pinned band width has a measured quadratic
+    cliff at 10x users, so the gate now exercises the auto-banded form) —
+    but it remains the regression pin for the sketch mechanics, so its
+    static oracle keeps running here."""
+    from eth_dspa_2019_spark.plans.behavior import (
+        _CORR_PRUNED_ORACLE_FIXED,
+        user_correlation_sketch_pruned,
+    )
+
+    compare(
+        user_correlation_sketch_pruned(spark, sf_dir),
+        _CORR_PRUNED_ORACLE_FIXED,
+        sf_dir,
+    )

@@ -359,7 +359,7 @@ def test_pruned_correlation_has_no_unsketched_pair_join(spark, sf_dir):
     raw hour-keyed user×user product — the only pair-inequality join in
     the plan is the banded sketch self-join (carries a band key), and
     every hour-equi join also carries a candidate user equality."""
-    plan = _executed_plan(spark, sf_dir, "user_correlation_sketch_pruned")
+    plan = _executed_plan(spark, sf_dir, "grid_correlation_pruned_auto")
     assert "CartesianProduct" not in plan
     assert "band_key" in plan  # the sketch screen is actually in the plan
     for line in plan.splitlines():
