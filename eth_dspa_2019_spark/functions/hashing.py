@@ -43,6 +43,31 @@ def perm_coeffs(num_perm: int) -> list[tuple[int, int]]:
     return out
 
 
+def auto_band_bits(n: int, lo: int = 4, hi: int = 12, load: int = 8) -> int:
+    """The shared banded-LSH sizing knob: bits-per-band R =
+    clamp(lo..hi, ⌈log₂(n/load)⌉) — the smallest R with load·2^R ≥ n, so
+    expected bucket population tracks ``load`` as the key population n
+    grows (collision mass ≈ bands·n²/2^R stays ~n·load). Computed in
+    PURE INTEGERS (bit_length, no floating log2) so the DuckDB oracle's
+    SQL twin — ``coalesce((SELECT min(r) FROM range(lo, hi+1) t(r) WHERE
+    (load::BIGINT << r) >= n), hi)`` — lands on the same R at every n,
+    including exact powers of two. ``load`` must be a power of two (the
+    subtraction below is exact only then)."""
+    if load & (load - 1):
+        raise ValueError(f"load must be a power of two, got {load}")
+    return min(hi, max(lo, (max(n, 2) - 1).bit_length() - load.bit_length() + 1))
+
+
+def o_auto_band_bits(n_sql: str, lo: int = 4, hi: int = 12, load: int = 8) -> str:
+    """DuckDB mirror of :func:`auto_band_bits` — a scalar subquery
+    deriving the same knob from the data with integer comparisons only.
+    ``n_sql`` is a scalar SQL expression for the key-population count."""
+    return (
+        f"coalesce((SELECT min(r) FROM range({lo}, {hi + 1}) t(r) "
+        f"WHERE ({load}::BIGINT << r) >= ({n_sql})), {hi})"
+    )
+
+
 def h64(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")

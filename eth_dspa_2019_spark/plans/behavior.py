@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import h64, o_h64
+from ..functions.hashing import auto_band_bits, h64, o_auto_band_bits, o_h64
 from ..io.readers import load_table
 from .registry import register
 
@@ -460,22 +460,17 @@ def user_correlation_sketch_pruned(spark: SparkSession, sf_dir: str) -> DataFram
 def corr_rpb_for_users(users: int) -> int:
     """The band-width knob rule, shared verbatim (in semantics) with the
     DuckDB oracle: bits-per-band R = the smallest R in [4, 12] with
-    8·2^R ≥ users, i.e. clamp(4..12, ⌈log₂(users/8)⌉) — computed in PURE
-    INTEGERS (bit_length, no floating log2) so both engines land on the
-    same R at every population, including exact powers of two."""
-    return min(12, max(4, (max(users, 2) - 1).bit_length() - 3))
+    8·2^R ≥ users, i.e. clamp(4..12, ⌈log₂(users/8)⌉) — the shared
+    integer-exact sizing rule (`functions/hashing.py::auto_band_bits`)."""
+    return auto_band_bits(users)
 
 
-# knob preamble shared by the oracle: smallest R in [4,12] with 8*2^R >=
-# distinct users (integer comparisons only — the SQL twin of
-# `corr_rpb_for_users`), COALESCEd to the 12 cap when no r qualifies
-_O_CORR_KNOB = """
+# knob preamble shared by the oracle: the SQL twin of
+# `corr_rpb_for_users` (integer comparisons only)
+_O_CORR_KNOB = f"""
     knobs AS (
-      SELECT coalesce(
-               (SELECT min(r) FROM range(4, 13) t(r)
-                WHERE (8::BIGINT << r)
-                      >= (SELECT count(DISTINCT user_id) FROM events)),
-               12) AS rpb
+      SELECT {o_auto_band_bits("SELECT count(DISTINCT user_id) FROM events")}
+               AS rpb
     )"""
 
 

@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MERSENNE31, o_h64, perm_coeffs
+from ..functions.hashing import (
+    MERSENNE31,
+    auto_band_bits,
+    o_auto_band_bits,
+    o_h64,
+    perm_coeffs,
+)
 from ..functions.text import (
     BPE_PATTERN,
     LANG_MARKERS,
@@ -228,7 +234,9 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pairs(spark, sf_dir)
 
 
-def _o_simhash() -> str:
+def _o_simhash_sims() -> str:
+    """CTE chain through ``sims`` (id, 48-bit simhash) — shared by the
+    static-band and auto-band SimHash oracles."""
     votes = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(SIMHASH_BITS)
@@ -237,6 +245,15 @@ def _o_simhash() -> str:
         f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
         for b in range(SIMHASH_BITS)
     )
+    return f"""
+    tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tokstr
+            FROM documents),
+    th AS (SELECT id, {o_h64('tokstr')} AS h FROM tok),
+    votes AS (SELECT id, {votes} FROM th GROUP BY id),
+    sims AS (SELECT id, cast({sim} AS bigint) AS simhash FROM votes)"""
+
+
+def _o_simhash() -> str:
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = " UNION ALL ".join(
@@ -244,12 +261,7 @@ def _o_simhash() -> str:
         f"(simhash >> {i * SIMHASH_BAND_BITS}) & {mask} AS band_key FROM sims"
         for i in range(n_bands)
     )
-    return f"""
-    tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tokstr
-            FROM documents),
-    th AS (SELECT id, {o_h64('tokstr')} AS h FROM tok),
-    votes AS (SELECT id, {votes} FROM th GROUP BY id),
-    sims AS (SELECT id, cast({sim} AS bigint) AS simhash FROM votes),
+    return f"""{_o_simhash_sims()},
     band_rows AS ({bands})
     """
 
@@ -277,6 +289,65 @@ def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=SIMHASH_BITS,
         band_bits=SIMHASH_BAND_BITS,
         max_hamming=SIMHASH_MAX_HAMMING,
+    )
+
+
+SIMHASH_AUTO_MAX_HAMMING = 3  # tighter radius: 48//12 = 4 bands still > 3
+
+
+@register(
+    "simhash_pairs_auto",
+    oracle=f"""
+    WITH {_o_simhash_sims()},
+    knobs AS (
+      SELECT {o_auto_band_bits("SELECT count(*) FROM documents")} AS rpb
+    ),
+    band_rows AS (
+      SELECT s.id, s.simhash, cast(t.i AS int) AS band_id,
+             (s.simhash >> (t.i * k.rpb))
+               & ((1::BIGINT << k.rpb) - 1) AS band_key
+      FROM sims s, range(0, {SIMHASH_BITS // 4}) t(i), knobs k
+      WHERE t.i < {SIMHASH_BITS} // k.rpb
+    )
+    SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM band_rows a
+    JOIN band_rows b ON a.band_id = b.band_id
+                    AND a.band_key = b.band_key AND a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_AUTO_MAX_HAMMING}
+    """,
+    doc="auto-banded SimHash near-dup pairs (band bits from corpus size)",
+)
+def simhash_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(48-bit) near-dup pairs with the band width sized FROM THE
+    CORPUS — the second knob-derived registered query (VERDICT r6 #6):
+    bits-per-band R = clamp(4..12, ⌈log₂(n_docs/8)⌉) via the shared
+    integer-exact sizing rule (`functions/hashing.py::auto_band_bits`),
+    so bucket count per band tracks the corpus exactly as the SCALE.md
+    SimHash sizing table prescribes, instead of a pinned band width the
+    gate can't see drift on. The DuckDB oracle derives the identical
+    knob in SQL (`o_auto_band_bits`) and extracts bands ROW-FORM (a band
+    INDEX relation filtered by the knob) so the band count follows the
+    data too.
+
+    Radius: Hamming ≤ {SIMHASH_AUTO_MAX_HAMMING} (tighter than the
+    fixed-band query's 7) — pigeonhole completeness needs more bands
+    than the radius, and at the R=12 cap 48 bits give 4 bands; 4 > 3
+    holds at EVERY knob value, so recall is structurally complete across
+    the whole auto range. Uncovered high bits (when R ∤ 48) cost nothing:
+    differences there disturb no band. The tighter radius is also the
+    honest corpus-scale setting — at 10⁹ documents, Hamming ≤ 3 of 48
+    is the near-identical regime banded SimHash certifies."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    rpb = auto_band_bits(n_docs)
+    return dd.simhash_pairs(
+        docs,
+        "doc_id",
+        "text",
+        bits=SIMHASH_BITS,
+        band_bits=rpb,
+        max_hamming=SIMHASH_AUTO_MAX_HAMMING,
     )
 
 

@@ -415,6 +415,8 @@ def resolve_activities_stream(
     out_dir: str,
     checkpoint_dir: str,
     state_dir: str | None = None,
+    acts_out_dir: str | None = None,
+    sink_parts: int | None = None,
     _fail_at_batch: int | None = None,
 ) -> "IncrementalResolver":
     """The reference's full resolver topology in streaming form
@@ -434,6 +436,21 @@ def resolve_activities_stream(
     rerun with the same dirs: the output equals the uninterrupted run's).
     ``_fail_at_batch`` is the test seam that injects the crash AFTER the
     state commit of that batch — the worst-case replay window.
+
+    With ``acts_out_dir`` set, each batch's PARSED activities also land in
+    ``{acts_out_dir}/batch-{id}`` with the same overwrite/exactly-once
+    semantics — the bronze hop that tasks consuming the raw activity
+    stream (task 3's per-user features) read as their own stream, so the
+    whole SocialNetwork topology parses each line exactly once
+    (`SN/SocialNetwork.java:25-52` fans the one parsed stream out to all
+    three tasks).
+
+    ``sink_parts`` coalesces each batch's output files (use 1 when a
+    downstream stage consumes the hop with ``maxFilesPerTrigger`` and
+    needs file granularity == batch granularity — multi-part batch dirs
+    interleave a batch's time range across triggers and trip the
+    downstream watermark). A micro-batch is small by construction, so
+    this bounds nothing at scale; leave None for parallel writes.
     """
     from ..schemas import KIND_LIKE, KIND_POST
     from ..sources.activity import parse_activities
@@ -449,6 +466,13 @@ def resolve_activities_stream(
         if rolled is not None:
             parked = resolver.store.load(rolled, "parked", _PARKED_SCHEMA)
         batch_df = batch_df.localCheckpoint(eager=True)
+        if acts_out_dir is not None:
+            acts_out = batch_df
+            if sink_parts is not None:
+                acts_out = acts_out.coalesce(sink_parts)
+            acts_out.write.mode("overwrite").parquet(
+                f"{acts_out_dir}/batch-{batch_id:05d}"
+            )
         newly = resolver.process_batch(batch_df).localCheckpoint(eager=True)
         direct = batch_df.filter(
             F.col("kind").isin(KIND_POST, KIND_LIKE, KIND_COMMENT)
@@ -472,7 +496,10 @@ def resolve_activities_stream(
         parked = reply_rows.join(
             hit.select("id"), "id", "left_anti"
         ).localCheckpoint(eager=True)
-        direct.unionByName(hit).write.mode("overwrite").parquet(
+        resolved_out = direct.unionByName(hit)
+        if sink_parts is not None:
+            resolved_out = resolved_out.coalesce(sink_parts)
+        resolved_out.write.mode("overwrite").parquet(
             f"{out_dir}/batch-{batch_id:05d}"
         )
         resolver.commit(batch_id, extra={"parked": parked})
