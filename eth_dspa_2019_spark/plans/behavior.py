@@ -166,6 +166,16 @@ CORR_TOPK = 20
 # SimHash band_bits knob (SCALE.md dedup sizing table)
 CORR_PLANES = 24
 CORR_BANDS = 6
+# the auto-banded registered form doubles the band count: bands are the
+# RECALL knob (collision prob 1-(1-p^rpb)^bands, cost linear in bands·N)
+# and the auto form's wider buckets (rpb ~ log2 users vs the fixture's
+# pinned 4) trade weak-pair recall for linear collision mass — measured
+# top-20 recall at sf0.1 (rpb=8): 4/20 with 6 bands, 6/20 with 12, vs
+# ~1/20 random; collision probability concentrates at high |corr|, so
+# the auto form certifies near-duplicate series and degrades gracefully
+# on moderate pairs (the fixture form with rpb=4 measures 16/20 at 4x
+# the collision mass per user pair)
+CORR_AUTO_BANDS = 12
 
 
 def _hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,15 +336,30 @@ def user_activity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _o_corr_sig() -> str:
     """DuckDB mirror of the per-user centered-series sign sketch: one
     conditional sum per plane over the mean-centered (scale-free) series
-    w = v·n_u − s_u, same md5-derived ±1 pattern as the Spark side."""
+    w = v·n_u − s_u, plane signs bit-extracted from the shared per-hour
+    md5 words (hw0, hw1 in the cent CTE) exactly like the Spark side."""
     cols = []
     for p in range(CORR_PLANES):
-        h = o_h64(f"'corrsketch#{p}#' || cast(hour AS varchar)")
         cols.append(
-            f"CASE WHEN sum(w * (({h} % 2)*2 - 1)) > 0 "
+            f"CASE WHEN sum(w * (((hw{p // 60} >> {p % 60}) & 1)*2 - 1)) > 0 "
             f"THEN 1 ELSE 0 END AS b{p}"
         )
     return ",\n             ".join(cols)
+
+
+def _o_corr_cent(n_words: int) -> str:
+    """The shared mean-centered-series CTE with the per-hour sign-hash
+    words attached (one md5 per word per hour — the bit-extraction
+    discipline that keeps the sketch's per-row hash cost constant)."""
+    hws = ", ".join(
+        o_h64(f"'corrsketch{w}#' || cast(s.hour AS varchar)") + f" AS hw{w}"
+        for w in range(n_words)
+    )
+    return f"""
+    cent AS (
+      SELECT s.user_id, s.hour, s.v * t.cu - t.su AS w, {hws}
+      FROM series s JOIN stats t ON s.user_id = t.user_id
+    )"""
 
 
 def _o_corr_bands() -> str:
@@ -361,10 +386,7 @@ _CORR_PRUNED_ORACLE_FIXED = f"""
              sum(v * v) AS sqv
       FROM series GROUP BY 1
     ),
-    cent AS (
-      SELECT s.user_id, s.hour, s.v * t.cu - t.su AS w
-      FROM series s JOIN stats t ON s.user_id = t.user_id
-    ),
+    {_o_corr_cent((CORR_PLANES + 59) // 60)},
     sig AS (
       SELECT user_id,
              {_o_corr_sig()}
@@ -478,21 +500,24 @@ def _o_corr_auto_sketch() -> str:
     """Row-form (one row per user×plane) DuckDB sign sketch whose plane
     count 6·rpb follows the knob CTE — the dynamic-oracle pattern
     (VERDICT r6 #6): a static per-plane column list can't depend on
-    data, but a plane INDEX relation filtered by the knob can. Bands
-    fall out as p div rpb with bit weight 2^(p mod rpb), matching the
-    Spark side's [b·rpb, (b+1)·rpb) column layout exactly."""
-    h = o_h64(
-        "'corrsketch#' || cast(pl.p AS varchar) || '#' "
-        "|| cast(c.hour AS varchar)"
+    data, but a plane INDEX relation filtered by the knob can. Plane
+    signs bit-extract from the per-hour md5 words in cent (word
+    p div 60, bit p mod 60) exactly like the Spark side. Bands fall out
+    as p div rpb with bit weight 2^(p mod rpb), matching the Spark
+    side's [b·rpb, (b+1)·rpb) column layout exactly."""
+    sign = (
+        "(((CASE WHEN pl.p < 60 THEN c.hw0"
+        " WHEN pl.p < 120 THEN c.hw1 ELSE c.hw2 END"
+        " >> (pl.p % 60)) & 1) * 2 - 1)"
     )
     return f"""
     planes AS (
-      SELECT t.p FROM range(0, {CORR_BANDS * 12}) t(p), knobs k
-      WHERE t.p < {CORR_BANDS} * k.rpb
+      SELECT t.p FROM range(0, {CORR_AUTO_BANDS * 12}) t(p), knobs k
+      WHERE t.p < {CORR_AUTO_BANDS} * k.rpb
     ),
     sig AS (
       SELECT c.user_id, pl.p,
-             CASE WHEN sum(c.w * (({h} % 2) * 2 - 1)) > 0
+             CASE WHEN sum(c.w * {sign}) > 0
                   THEN 1 ELSE 0 END AS bit
       FROM cent c CROSS JOIN planes pl
       GROUP BY 1, 2
@@ -522,10 +547,7 @@ def _o_corr_auto_sketch() -> str:
              sum(v * v) AS sqv
       FROM series GROUP BY 1
     ),
-    cent AS (
-      SELECT s.user_id, s.hour, s.v * t.cu - t.su AS w
-      FROM series s JOIN stats t ON s.user_id = t.user_id
-    ),
+    {_o_corr_cent(3)},
     {_o_corr_auto_sketch()},
     cand AS (
       SELECT DISTINCT x.user_id AS u1, y.user_id AS u2
@@ -594,7 +616,7 @@ def grid_correlation_pruned_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     rpb = corr_rpb_for_users(users)
-    return _grid_corr_pruned(spark, sf_dir, CORR_BANDS * rpb, CORR_BANDS)
+    return _grid_corr_pruned(spark, sf_dir, CORR_AUTO_BANDS * rpb, CORR_AUTO_BANDS)
 
 
 def _grid_corr_pruned(
@@ -607,24 +629,31 @@ def _grid_corr_pruned(
         F.sum(F.col("v") * F.col("v")).alias("sqv"),
     ).localCheckpoint(eager=True)
     grid_h = series.select("hour").distinct().count()
+    # plane signs by BIT EXTRACTION from ⌈planes/60⌉ md5 words per hour
+    # (h64 = 60 usable bits) instead of one md5 per (plane, hour) — the
+    # md5→hex→conv chain is the sketch's dominant per-row cost (same
+    # one-hash-many-bits discipline as the SimHash votes); sign of plane
+    # p = bit (p mod 60) of word p div 60
+    n_words = (planes + 59) // 60
     cent = series.join(stats, "user_id").select(
         "user_id",
         "hour",
         (F.col("v") * F.col("cu") - F.col("su")).alias("w"),
+        *[
+            h64(
+                F.concat(
+                    F.lit(f"corrsketch{wd}#"), F.col("hour").cast("string")
+                )
+            ).alias(f"hw{wd}")
+            for wd in range(n_words)
+        ],
     )
     sign_aggs = [
         F.sum(
             F.col("w")
             * (
-                (
-                    h64(
-                        F.concat(
-                            F.lit(f"corrsketch#{p}#"),
-                            F.col("hour").cast("string"),
-                        )
-                    )
-                    % 2
-                )
+                F.shiftright(F.col(f"hw{p // 60}"), p % 60)
+                .bitwiseAND(1)
                 * 2
                 - 1
             )

@@ -39,6 +39,7 @@ SINGLE_PARTITION_OK = {
     "zorder_pruning_stats",  # two 1-row layout summaries unioned
     "user_key_skew_profile",  # skew summary scalars
     "bm25_search_topk",  # rank window AFTER limit(k)
+    "fuzzy_blocking_overflow",  # one-row overflow audit aggregate
 }
 
 # broadcast side provably tiny: 1-row scalars, the query set, the sketch
