@@ -983,3 +983,163 @@ def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE, cand_k=PQ_CAND_K
     )
     return df.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact Lloyd iterations (k-means refinement, gate-checked)
+
+KM_Q = 4096  # per-coordinate quantization: xf = floor(x * 2^12)
+KM_S = 64  # centroid sub-resolution: centroids live at scale 2^12 * 2^6
+KM_STRIDE = 25  # seed centroids: every 25th vec_id (the stride quantizer)
+
+
+def _o_kmeans() -> str:
+    """DuckDB mirror of the 2-round integer Lloyd refinement. Floor-vs-
+    truncate division divergence (DuckDB ``//`` floors, Spark ``div``
+    truncates toward zero) is neutralized by shifting each centroid sum
+    non-negative before dividing: cel = (S*(s + n*Q)) // n − S*Q with
+    s ≥ −n·Q, so the numerator is ≥ 0 and the two semantics agree."""
+    dist = "sum((a.xf * {S} - c.cel) * (a.xf * {S} - c.cel))".format(S=KM_S)
+    upd = (
+        f"cast(({KM_S} * (sum(e.xf) + count(*) * {KM_Q})) // count(*)"
+        f" - {KM_S * KM_Q} AS bigint)"
+    )
+    return f"""
+    WITH e0 AS (
+      SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, embedding
+      FROM embeddings
+    ),
+    el AS (
+      SELECT vec_id, i,
+             cast(floor(cast(embedding[i] AS double) * {KM_Q}) AS bigint)
+               AS xf
+      FROM e0
+    ),
+    cent0 AS (
+      SELECT vec_id AS cid, i, xf * {KM_S} AS cel FROM el
+      WHERE vec_id % {KM_STRIDE} = 0
+    ),
+    d1 AS (
+      SELECT a.vec_id, c.cid, {dist} AS d
+      FROM el a JOIN cent0 c ON c.i = a.i
+      GROUP BY 1, 2
+    ),
+    assign1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    upd1 AS (
+      SELECT a.cid, e.i, {upd} AS cel
+      FROM assign1 a JOIN el e ON e.vec_id = a.vec_id
+      GROUP BY 1, 2
+    ),
+    cent1 AS (
+      SELECT p.cid, p.i, coalesce(u.cel, p.cel) AS cel
+      FROM cent0 p LEFT JOIN upd1 u ON u.cid = p.cid AND u.i = p.i
+    ),
+    d2 AS (
+      SELECT a.vec_id, c.cid, {dist} AS d
+      FROM el a JOIN cent1 c ON c.i = a.i
+      GROUP BY 1, 2
+    ),
+    assign2 AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT vec_id, cid, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    )
+    SELECT cid, count(*) AS n_members,
+           cast(sum(d) AS bigint) AS inertia_fx
+    FROM assign2 GROUP BY 1 ORDER BY cid
+    """
+
+
+@register(
+    "kmeans_lloyd_sizes",
+    oracle=_o_kmeans(),
+    doc="2 integer-exact Lloyd rounds: cluster sizes + inertia",
+)
+def kmeans_lloyd_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means refinement as a GATE-CHECKED query — the iterative
+    distributed-ML primitive (assign → update, unrolled 2 rounds)
+    expressed so both engines land on bit-identical state: coordinates
+    quantize to integers (xf = floor(x·2¹²)), centroids live at a finer
+    fixed-point scale (2¹²·2⁶) and update by INTEGER division of the
+    member sum (shifted non-negative first, so DuckDB's floor-division
+    ``//`` and Spark's truncating ``div`` agree), assignment is an
+    integer-distance argmin with (d, cid) tie-break. The float-mean
+    production form is `operators/similarity.py::kmeans_refine`
+    (recall-tested); this query pins the ITERATION MECHANICS — two
+    chained assign/update rounds — against an oracle, the way the graph
+    fixpoints pin theirs with unrolled-round CTEs.
+
+    Scale shape: per round, ONE equi-join on the dimension index
+    (el ⋈ centroids: N·dim·K rows, partially aggregated map-side to
+    N·K distances) and one (cid, i)-keyed update aggregation — the
+    standard data-parallel Lloyd decomposition; K·dim (the centroid
+    relation) broadcasts. Lineage is cut per round in the production
+    operator (localCheckpoint); 2 unrolled rounds here keep the oracle a
+    pure CTE chain. Empty clusters keep their previous centroid
+    (coalesce), matching `kmeans_refine`."""
+    el = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("i0", "x"))
+        .select(
+            "vec_id",
+            (F.col("i0") + 1).alias("i"),
+            F.floor(F.col("x").cast("double") * KM_Q)
+            .cast("bigint")
+            .alias("xf"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cent0 = el.filter(F.col("vec_id") % KM_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), "i", (F.col("xf") * KM_S).alias("cel")
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        diff = F.col("xf") * KM_S - F.col("cel")
+        d = (
+            el.join(F.broadcast(cent), "i")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(diff * diff).alias("d"))
+        )
+        return d.groupBy("vec_id").agg(
+            F.min(F.struct("d", "cid")).alias("a")
+        ).select(
+            "vec_id", F.col("a.cid").alias("cid"), F.col("a.d").alias("d")
+        )
+
+    def update(cent: DataFrame, asg: DataFrame) -> DataFrame:
+        upd = (
+            asg.select("vec_id", "cid")
+            .join(el, "vec_id")
+            .groupBy("cid", "i")
+            .agg(F.sum("xf").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cid",
+                "i",
+                (
+                    F.expr(f"({KM_S} * (s + n * {KM_Q})) div n")
+                    - KM_S * KM_Q
+                ).alias("ucel"),
+            )
+        )
+        return cent.join(upd, ["cid", "i"], "left").select(
+            "cid", "i", F.coalesce("ucel", "cel").alias("cel")
+        )
+
+    cent1 = update(cent0, assign(cent0)).localCheckpoint(eager=True)
+    a2 = assign(cent1)
+    return (
+        a2.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("d").cast("bigint").alias("inertia_fx"),
+        )
+        .orderBy("cid")
+    )
