@@ -110,3 +110,63 @@ def test_crash_restart_exactly_once(spark, sf_dir, tmp_path):
         assert "injected crash" in str(ex)
     hh = heavy_hitters_stream(spark, glob_, schema, ck, k=16, state_dir=sd)
     assert sorted(tuple(r) for r in hh.counters.collect()) == ref_rows
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.data(),
+    keys=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=120
+    ),
+)
+def test_property_bounds_hold_for_any_stream_and_split(spark, data, keys):
+    """Model-based property: for ANY key stream and ANY micro-batch
+    split, every SpaceSaving invariant holds against the exact Python
+    model — true <= cnt, cnt - err <= true, coverage of keys with
+    true > N/k, and state never exceeds k rows."""
+    import collections
+
+    k = 8
+    n_batches = data.draw(st.integers(min_value=1, max_value=4))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(keys)),
+                min_size=n_batches - 1,
+                max_size=n_batches - 1,
+            )
+        )
+    )
+    bounds = [0] + cuts + [len(keys)]
+    true = collections.Counter(keys)
+    n_total = len(keys)
+
+    hh = StreamingHeavyHitters(spark, k=k)
+    for i, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+        chunk = keys[lo:hi]
+        hh.begin_batch(i)
+        out = hh.process_batch(
+            spark.createDataFrame(
+                [(x,) for x in chunk] or [(None,)], "key long"
+            ).filter(F.col("key").isNotNull())
+        )
+        assert out.count() <= k
+        hh.commit(i)
+
+    kept = {r.key: (r.cnt, r.err) for r in hh.counters.collect()}
+    assert len(kept) <= k
+    for key, (cnt, err) in kept.items():
+        t = true.get(key, 0)
+        assert t <= cnt, (key, t, cnt, keys)
+        assert cnt - err <= t, (key, cnt, err, t, keys)
+    for key, t in true.items():
+        if t > n_total / k:
+            assert key in kept, (key, t, n_total, k, keys)
