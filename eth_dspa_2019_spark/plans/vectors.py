@@ -990,7 +990,18 @@ def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KM_Q = 4096  # per-coordinate quantization: xf = floor(x * 2^12)
 KM_S = 64  # centroid sub-resolution: centroids live at scale 2^12 * 2^6
-KM_STRIDE = 25  # seed centroids: every 25th vec_id (the stride quantizer)
+
+
+def km_stride_for(n_vecs: int) -> int:
+    """The k-means seed knob, derived from the data (a fixed stride
+    would make K ∝ N and the assign join quadratic — the constant-knob
+    trap): K = the smallest power of two with K² ≥ N (≈ ⌈√N⌉ within
+    √2), stride = max(1, N div K), so assignment cost is N·K·dim ≈
+    N^1.5·dim and the growth-test IVF sizing (K ~ √N) applies. Pure
+    integers — the DuckDB twin in `_o_kmeans` lands on the same stride
+    at every N."""
+    t = ((max(n_vecs, 1) - 1).bit_length() + 1) // 2
+    return max(1, n_vecs // (1 << t))
 
 
 def _o_kmeans() -> str:
@@ -998,7 +1009,11 @@ def _o_kmeans() -> str:
     truncate division divergence (DuckDB ``//`` floors, Spark ``div``
     truncates toward zero) is neutralized by shifting each centroid sum
     non-negative before dividing: cel = (S*(s + n*Q)) // n − S*Q with
-    s ≥ −n·Q, so the numerator is ≥ 0 and the two semantics agree."""
+    s ≥ −n·Q, so the numerator is ≥ 0 and the two semantics agree. The
+    seed stride derives from the data (knobs CTE): the smallest
+    power-of-two K with K² ≥ N via the coalesce-min-range pattern, then
+    stride = max(1, N // K) — all integer comparisons, matching
+    :func:`km_stride_for` exactly (N ≥ 1 keeps // == div)."""
     dist = "sum((a.xf * {S} - c.cel) * (a.xf * {S} - c.cel))".format(S=KM_S)
     upd = (
         f"cast(({KM_S} * (sum(e.xf) + count(*) * {KM_Q})) // count(*)"
@@ -1015,9 +1030,15 @@ def _o_kmeans() -> str:
                AS xf
       FROM e0
     ),
+    knobs AS (
+      SELECT greatest(1, c.n // (1::BIGINT << coalesce(
+               (SELECT min(t) FROM range(0, 22) r(t), (SELECT count(DISTINCT vec_id) AS n FROM el) c2
+                WHERE (1::BIGINT << (2 * t)) >= c2.n), 21))) AS stride
+      FROM (SELECT count(DISTINCT vec_id) AS n FROM el) c
+    ),
     cent0 AS (
-      SELECT vec_id AS cid, i, xf * {KM_S} AS cel FROM el
-      WHERE vec_id % {KM_STRIDE} = 0
+      SELECT vec_id AS cid, i, xf * {KM_S} AS cel FROM el, knobs
+      WHERE vec_id % knobs.stride = 0
     ),
     d1 AS (
       SELECT a.vec_id, c.cid, {dist} AS d
@@ -1075,7 +1096,11 @@ def kmeans_lloyd_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     production form is `operators/similarity.py::kmeans_refine`
     (recall-tested); this query pins the ITERATION MECHANICS — two
     chained assign/update rounds — against an oracle, the way the graph
-    fixpoints pin theirs with unrolled-round CTEs.
+    fixpoints pin theirs with unrolled-round CTEs. The seed stride is
+    KNOB-DERIVED (K ≈ ⌈√N⌉ as a power of two, `km_stride_for`, same
+    integer rule in the oracle's knobs CTE) so the assign join stays
+    N^1.5·dim — a third dynamic-oracle query alongside the correlation
+    and SimHash autos.
 
     Scale shape: per round, ONE equi-join on the dimension index
     (el ⋈ centroids: N·dim·K rows, partially aggregated map-side to
@@ -1085,9 +1110,10 @@ def kmeans_lloyd_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator (localCheckpoint); 2 unrolled rounds here keep the oracle a
     pure CTE chain. Empty clusters keep their previous centroid
     (coalesce), matching `kmeans_refine`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    stride = km_stride_for(emb.select("vec_id").distinct().count())
     el = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("i0", "x"))
+        emb.select("vec_id", F.posexplode("embedding").alias("i0", "x"))
         .select(
             "vec_id",
             (F.col("i0") + 1).alias("i"),
@@ -1097,7 +1123,7 @@ def kmeans_lloyd_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    cent0 = el.filter(F.col("vec_id") % KM_STRIDE == 0).select(
+    cent0 = el.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cid"), "i", (F.col("xf") * KM_S).alias("cel")
     )
 

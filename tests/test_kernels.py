@@ -97,3 +97,31 @@ def test_sq8_quantized_cosine_tracks_exact(vecs):
             continue
         exact = float(x @ y / (nx * ny))
         assert abs(q_sim - exact) <= 4.0 * dim / SQ8_MAX**2 + 6.0 / SQ8_MAX
+
+
+def test_auto_band_bits_matches_sql_twin():
+    """The shared banded-LSH sizing knob must land on the same R in both
+    engines at every population — including exact powers of two, where a
+    floating log2 would be one ULP from flipping ceil. The Python side is
+    pure bit_length; this pins the DuckDB scalar twin to it."""
+    import duckdb
+
+    from eth_dspa_2019_spark.functions.hashing import (
+        auto_band_bits,
+        o_auto_band_bits,
+    )
+
+    con = duckdb.connect()
+    probes = [1, 2, 15, 16, 17, 100, 127, 128, 129, 500, 1024, 1025,
+              4096, 15000, 32768, 32769, 10**6, 10**9]
+    for n in probes:
+        sql = con.execute(
+            f"SELECT {o_auto_band_bits(str(n))}"
+        ).fetchone()[0]
+        assert sql == auto_band_bits(n), (n, sql, auto_band_bits(n))
+    # non-default clamp + load
+    for n in probes:
+        sql = con.execute(
+            f"SELECT {o_auto_band_bits(str(n), lo=6, hi=17, load=1024)}"
+        ).fetchone()[0]
+        assert sql == auto_band_bits(n, lo=6, hi=17, load=1024), n
