@@ -1,6 +1,10 @@
 """Local mirror of the driver's correctness gate, runnable end-to-end:
 
-    python scripts/verify_contract.py [sf_dir]
+    python scripts/verify_contract.py [sf_dir] [name-substring ...]
+
+Optional name-substring args restrict the sweep to matching queries
+(case-insensitive) for fast iteration on one family; exit status and
+the unexpected-failure report work the same.
 
 Creates a VANILLA SparkSession (no engine configs — the driver won't have
 them), runs `__spark_entry__.entry`, then every `queries()` entry against
@@ -41,6 +45,13 @@ def main() -> int:
             f"read_parquet('{sf}/{t}.parquet')"
         )
     qs, os_ = e.queries(), e.oracle_sql()
+    pats = [a.lower() for a in sys.argv[2:]]
+    if pats:
+        qs = {
+            n: q
+            for n, q in qs.items()
+            if any(p in n.lower() for p in pats)
+        }
     fails = []
     for name in sorted(qs):
         try:
