@@ -883,6 +883,10 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_chars").cast("bigint").alias("wt")
     )
     g = docs.agg(F.sum("wt").alias("w"), F.max("wt").alias("m")).collect()[0]
+    if g["w"] is None:
+        # empty corpus: the sums collect as NULL and the guard below
+        # would raise TypeError — an empty sample is the right answer
+        return docs.filter(F.lit(False))
     wsum, wmax = int(g["w"]), int(g["m"])
     # guard BOTH sides of the comparison: u*W on the left (u < M), and
     # K*wt*M on the right — the right side is K x larger, and with ANSI
