@@ -189,54 +189,83 @@ def _module_files(mod_name: str) -> set[str]:
     return files
 
 
+def _defining_file(mod_name: str) -> str | None:
+    """Repo-relative source file of ``mod_name`` itself (no imports)."""
+    import importlib
+    import sys
+    from pathlib import Path
+
+    root = _repo_root()
+    try:
+        mod = sys.modules.get(mod_name) or importlib.import_module(mod_name)
+        f = getattr(mod, "__file__", None)
+        if f and Path(f).is_relative_to(root):
+            return str(Path(f).relative_to(root))
+    except Exception:
+        pass
+    return None
+
+
 def _stale_greens(
     last_green: dict[str, int],
     specs: dict[str, "QuerySpec"],
     module_files=_module_files,
     commit_ts=_git_commit_ts,
-) -> set[str]:
+    defining_file=_defining_file,
+) -> dict[str, int]:
     """Green queries whose implementing files changed after the gate file
-    of their last green round was committed. Injection points
-    (``module_files``/``commit_ts``) exist for the unit test."""
+    of their last green round was committed: name → staleness TIER —
+    1 when the query's DEFINING plan module changed (the edit is most
+    likely to its own code), 2 when only a transitively-imported module
+    changed (a shared helper touched ~everything — real, but a weaker
+    signal; without the split, one edit to functions/hashing.py marks
+    a hundred greens stale and the directly-edited queries drown in the
+    tie, starving out of the 50-slot gate). Injection points
+    (``module_files``/``commit_ts``/``defining_file``) exist for the
+    unit test."""
     gate_ts: dict[int, float] = {}
     for name, rnd in last_green.items():
         if rnd not in gate_ts:
             ts = commit_ts(f"CORRECTNESS_r{rnd:02d}.json")
             gate_ts[rnd] = ts if ts is not None else float("-inf")
     file_ts: dict[str, float] = {}
-    stale: set[str] = set()
+    stale: dict[str, int] = {}
     for name, rnd in last_green.items():
         spec = specs.get(name)
         if spec is None:
             continue
+        dfile = defining_file(spec.spark.__module__)
         for f in module_files(spec.spark.__module__):
             if f not in file_ts:
                 ts = commit_ts(f)
                 file_ts[f] = ts if ts is not None else float("inf")
             if file_ts[f] > gate_ts[rnd]:
-                stale.add(name)
-                break
+                tier = 1 if f == dfile else 2
+                stale[name] = min(stale.get(name, 2), tier)
+                if tier == 1:
+                    break
     return stale
 
 
 def _ordered_names(
     registry_names: list[str],
     last_green: dict[str, int],
-    stale: set[str],
+    stale: dict[str, int] | set[str],
 ) -> list[str]:
-    """Gate order: never-green first, then changed-module greens (stalest
-    round first), then untouched greens (stalest round first); ties break
-    on registration position. Pure — unit-tested directly."""
+    """Gate order: never-green first, then greens whose DEFINING module
+    changed (tier 1, stalest round first), then greens stale only via a
+    changed transitive import (tier 2), then untouched greens — each
+    sub-group stalest round first, ties on registration position. Pure —
+    unit-tested directly. Accepts a plain set for tier-less staleness
+    (everything tier 1)."""
     reg_pos = {n: i for i, n in enumerate(registry_names)}
+    tiers = (
+        stale if isinstance(stale, dict) else {n: 1 for n in stale}
+    )
 
     def key(n: str):
         green = last_green.get(n, 0)
-        if green == 0:
-            group = 0
-        elif n in stale:
-            group = 1
-        else:
-            group = 2
+        group = 0 if green == 0 else tiers.get(n, 3)
         return (group, green, reg_pos[n])
 
     return sorted(registry_names, key=key)

@@ -18,6 +18,20 @@ def test_ordering_groups_and_staleness():
     assert got == ["a", "c", "d", "e", "b"]
 
 
+def test_ordering_defining_change_outranks_dep_only_staleness():
+    """An edit to a shared helper marks many greens tier-2 stale; queries
+    whose own plan module changed (tier 1) must outrank them all even
+    when their green round is more recent — otherwise a hashing.py touch
+    starves the directly-edited queries out of the 50-slot gate."""
+    names = ["a", "b", "c", "d"]
+    last_green = {"a": 2, "b": 6, "c": 1, "d": 6}
+    # b's DEFINING module changed (tier 1, green r6); a and c are stale
+    # only via a transitive import (tier 2); d untouched.
+    stale = {"b": 1, "a": 2, "c": 2}
+    got = R._ordered_names(names, last_green, stale)
+    assert got == ["b", "c", "a", "d"]
+
+
 def test_stale_detection_uses_module_and_gate_times():
     specs = {
         n: R.QuerySpec(n, fn, None)
@@ -41,8 +55,18 @@ def test_stale_detection_uses_module_and_gate_times():
         specs,
         module_files=lambda m: files[m],
         commit_ts=lambda p: times[p],
+        defining_file=lambda m: f"f_{m.split('_')[1]}.py",
     )
-    assert stale == {"edited"}
+    assert stale == {"edited": 1}
+    # the same edit seen only as a transitive import -> tier 2
+    stale2 = R._stale_greens(
+        last_green,
+        specs,
+        module_files=lambda m: files[m],
+        commit_ts=lambda p: times[p],
+        defining_file=lambda m: "somewhere_else.py",
+    )
+    assert stale2 == {"edited": 2}
 
 
 def test_uncommitted_edit_counts_as_changed_now():
@@ -55,8 +79,9 @@ def test_uncommitted_edit_counts_as_changed_now():
         commit_ts=lambda p: (
             float("inf") if p == "f.py" else 100.0  # dirty working tree
         ),
+        defining_file=lambda m: "f.py",
     )
-    assert stale == {"q"}
+    assert stale == {"q": 1}
 
 
 def test_module_files_follow_plan_to_operator_imports():
