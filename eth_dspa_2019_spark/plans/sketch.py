@@ -433,3 +433,132 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     vmin, vrange, n = st.vmin, st.vmax - st.vmin + 1, st.n
     hist = quantile_sketch_histogram(vals, vmin, vrange)
     return quantiles_from_histogram(hist, n, vmin, vrange)
+
+
+@register(
+    "event_type_quantile_sketch",
+    oracle=f"""
+    WITH vals AS (
+      SELECT event_type AS g,
+             cast(cast(value AS decimal(38,6)) * 100 AS bigint) AS v
+      FROM events
+    ),
+    st AS (
+      SELECT g, min(v) AS vmin, max(v) - min(v) + 1 AS r, count(*) AS n
+      FROM vals GROUP BY 1
+    ),
+    hist AS (
+      SELECT v.g,
+             least({QS_BINS - 1}, greatest(0,
+               (v.v - st.vmin) * {QS_BINS} // st.r)) AS bin,
+             count(*) AS cnt
+      FROM vals v JOIN st ON st.g = v.g
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT h.g, h.bin, h.cnt, sum(l.cnt) AS cum
+      FROM hist h JOIN hist l ON l.g = h.g AND l.bin <= h.bin
+      GROUP BY 1, 2, 3
+    ),
+    p AS (SELECT unnest([{", ".join(str(p) for p in QS_PCTS)}]) AS pct)
+    SELECT st.g AS event_type,
+           cast(p.pct AS bigint) AS pct,
+           cast(st.n AS bigint) AS n,
+           cast(c.bin AS bigint) AS bin,
+           cast(st.vmin + c.bin * st.r // {QS_BINS}
+                + (p.pct * (st.n - 1) // 100 - (c.cum - c.cnt))
+                  * (st.r // {QS_BINS}) // c.cnt
+             AS bigint) AS est_cents,
+           cast(c.cnt AS bigint) AS bin_cnt
+    FROM p CROSS JOIN st
+    JOIN cum c
+      ON c.g = st.g
+     AND c.cum > p.pct * (st.n - 1) // 100
+     AND c.cum - c.cnt <= p.pct * (st.n - 1) // 100
+    """,
+    doc="per-event-type grouped histogram quantile sketch (p50/p90/p99)",
+)
+def event_type_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED quantile sketch — the per-key form of
+    `value_quantile_sketch`: one {QS_BINS}-bin histogram PER event type,
+    each over its own observed [min, max] domain, quantiles estimated by
+    the same integer bin-edge + within-bin-step rule. This is the shape
+    a per-tenant / per-feature latency-percentile dashboard needs, and
+    the one that matters at scale: the grouped histogram is ONE
+    map-side-combined groupBy onto |groups|·{QS_BINS} keys — no per-group
+    sort, no percentile_approx opaque buffer — and per-group histograms
+    merge by adding counts, so the streaming fold is the same
+    associative union as the global sketch's.
+
+    Scale shape: one pass for per-group (min, range, n) scalars
+    (broadcast back — |groups| rows), one histogram groupBy, then all
+    cumulative/selection work on the SKETCH relation (≤ |groups|·bins
+    rows): the triangular cumulative join is per-group, and the
+    percentile selection is a broadcast cross join against 3 literal
+    ranks. Everything integer division — bit-identical across engines."""
+    vals = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        (F.col("value").cast("decimal(38,6)") * 100)
+        .cast("bigint")
+        .alias("v"),
+    )
+    st = vals.groupBy("g").agg(
+        F.min("v").alias("vmin"),
+        (F.max("v") - F.min("v") + 1).alias("r"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    hist = (
+        vals.join(F.broadcast(st), "g")
+        .select(
+            "g",
+            F.least(
+                F.lit(QS_BINS - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.expr(f"(v - vmin) * {QS_BINS} div r"),
+                ),
+            )
+            .cast("bigint")
+            .alias("bin"),
+        )
+        .groupBy("g", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lo = hist.select(
+        F.col("g").alias("lg"),
+        F.col("bin").alias("lbin"),
+        F.col("cnt").alias("lcnt"),
+    )
+    cum = (
+        hist.join(
+            F.broadcast(lo),
+            (F.col("lg") == F.col("g")) & (F.col("lbin") <= F.col("bin")),
+        )
+        .groupBy("g", "bin", "cnt")
+        .agg(F.sum("lcnt").alias("cum"))
+    )
+    pcts_df = hist.sparkSession.createDataFrame(
+        [(p,) for p in QS_PCTS], "pct int"
+    )
+    sel = (
+        pcts_df.crossJoin(F.broadcast(st))
+        .withColumn("t", F.expr("pct * (n - 1) div 100"))
+        .join(cum, "g")
+        .filter(
+            (F.col("cum") > F.col("t"))
+            & (F.col("cum") - F.col("cnt") <= F.col("t"))
+        )
+    )
+    est = (
+        F.col("vmin")
+        + F.expr(f"bin * r div {QS_BINS}")
+        + F.expr(f"(t - (cum - cnt)) * (r div {QS_BINS}) div cnt")
+    )
+    return sel.select(
+        F.col("g").alias("event_type"),
+        F.col("pct").cast("bigint").alias("pct"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("bin").cast("bigint").alias("bin"),
+        est.cast("bigint").alias("est_cents"),
+        F.col("cnt").cast("bigint").alias("bin_cnt"),
+    )

@@ -57,6 +57,7 @@ BNLJ_OK = {
     "task2_static_similarity",  # broadcast candidate user set
     "user_key_skew_profile",  # 1-row totals cross join
     "value_quantile_sketch",  # triangular join of the <=256-row sketch
+    "event_type_quantile_sketch",  # 3 pct ranks x |groups|-row stats
     "zorder_pruning_stats",  # probes x <=64 broadcast group spans
     "vector_pipeline_e2e",  # composes cosine_topk (broadcast queries)
 }
