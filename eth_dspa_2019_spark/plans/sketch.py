@@ -435,6 +435,35 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantiles_from_histogram(hist, n, vmin, vrange)
 
 
+
+
+def grouped_quantile_histogram(vals: DataFrame, st: DataFrame) -> DataFrame:
+    """(g, bin, cnt) per-group histogram over each group's FIXED domain
+    ``st`` = (g, vmin, r, ...) — the grouped mergeable sketch state:
+    histograms over the same per-group domains merge by adding counts
+    (associative, streaming-safe: `streaming/sketch.py::
+    grouped_quantile_histogram_stream` folds micro-batches through this
+    exact builder). Values clamp into their group's domain so a merge
+    never silently drops out-of-range rows."""
+    return (
+        vals.join(F.broadcast(st.select("g", "vmin", "r")), "g")
+        .select(
+            "g",
+            F.least(
+                F.lit(QS_BINS - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.expr(f"(v - vmin) * {QS_BINS} div r"),
+                ),
+            )
+            .cast("bigint")
+            .alias("bin"),
+        )
+        .groupBy("g", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 @register(
     "event_type_quantile_sketch",
     oracle=f"""
@@ -507,23 +536,7 @@ def event_type_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("v") - F.min("v") + 1).alias("r"),
         F.count(F.lit(1)).alias("n"),
     )
-    hist = (
-        vals.join(F.broadcast(st), "g")
-        .select(
-            "g",
-            F.least(
-                F.lit(QS_BINS - 1),
-                F.greatest(
-                    F.lit(0),
-                    F.expr(f"(v - vmin) * {QS_BINS} div r"),
-                ),
-            )
-            .cast("bigint")
-            .alias("bin"),
-        )
-        .groupBy("g", "bin")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    hist = grouped_quantile_histogram(vals, st)
     lo = hist.select(
         F.col("g").alias("lg"),
         F.col("bin").alias("lbin"),

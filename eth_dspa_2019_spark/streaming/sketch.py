@@ -90,3 +90,17 @@ def quantile_histogram_stream(
     from ..plans.sketch import quantile_sketch_histogram
 
     return quantile_sketch_histogram(vals, vmin, vrange)
+
+
+def grouped_quantile_histogram_stream(vals: DataFrame, domains: DataFrame) -> DataFrame:
+    """Streaming GROUPED histogram-quantile state: the (g, bin, cnt)
+    table of `plans/sketch.py::grouped_quantile_histogram` over FIXED
+    per-group domains ``domains`` = (g, vmin, r) — the per-key form of
+    `quantile_histogram_stream` (per-tenant latency percentiles online).
+    Counter increments are associative per (g, bin), so micro-batch
+    folds equal the batch histogram exactly; state is bounded at
+    |groups| x QS_BINS rows forever. Quantile extraction stays
+    batch-side post-processing at read time."""
+    from ..plans.sketch import grouped_quantile_histogram
+
+    return grouped_quantile_histogram(vals, domains)

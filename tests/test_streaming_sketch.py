@@ -200,3 +200,45 @@ def test_streaming_quantile_histogram_equals_batch(spark, tmp_path):
         map(tuple, quantiles_from_histogram(want, n, 0, 500).collect())
     )
     assert qs == qb and len(qs) == 3
+
+
+def test_streaming_grouped_quantile_histogram_equals_batch(spark, tmp_path):
+    """The grouped sketch's per-(g, bin) counters are associative, so the
+    streamed fold over any file split equals the batch histogram over
+    fixed per-group domains."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from eth_dspa_2019_spark.plans.sketch import grouped_quantile_histogram
+    from eth_dspa_2019_spark.streaming.sketch import (
+        grouped_quantile_histogram_stream,
+    )
+    from eth_dspa_2019_spark.streaming.windows import run_to_memory
+
+    rows = [
+        (("a" if i % 3 else "b"), (i * 37) % 400) for i in range(600)
+    ]
+    batch = spark.createDataFrame(rows, "g string, v long")
+    domains = spark.createDataFrame(
+        [("a", 0, 500), ("b", 0, 500)], "g string, vmin long, r long"
+    )
+    src = tmp_path / "vals"
+    for j in range(3):
+        batch.filter(F.col("v") % 3 == j).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"part{j}"))
+    stream = (
+        spark.readStream.schema("g string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part*")
+    )
+    got = run_to_memory(
+        grouped_quantile_histogram_stream(stream, domains),
+        str(tmp_path / "ck"),
+        "complete",
+    )
+    want = grouped_quantile_histogram(batch, domains)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
