@@ -39,8 +39,24 @@ def main() -> None:
 
     from eth_dspa_2019_spark.plans import clear_plan_caches
 
+    # dev loop: SPARK_GRAFT_BENCH_ONLY="fuzzy,kmeans" times only queries
+    # whose names contain one of the comma-separated substrings; the
+    # driver sets nothing and gets the full run
+    only = [
+        p.strip().lower()
+        for p in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if p.strip()
+    ]
+    specs = sorted(all_queries().items())
+    if only:
+        specs = [
+            (n, s)
+            for n, s in specs
+            if any(p in n.lower() for p in only)
+        ]
+
     timings: dict[str, float] = {}
-    for name, spec in sorted(all_queries().items()):
+    for name, spec in specs:
         # Cold-cache discipline: each query pays for its own materializations
         # (parse/resolve caches, LSH pair checkpoints) — numbers measure the
         # plan, not block-manager eviction across 68 accumulated queries.
