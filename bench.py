@@ -1,7 +1,12 @@
 """Benchmark harness: runs the registered headline queries at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (verdict r7 #1): the LAST stdout line is ONE compact JSON
+summary object (metric, value, core13_seconds, social_*, n_queries, sf —
+no per-query dict) guaranteed to fit in the driver's 2000-char tail
+capture. The full per-query timing dict is written to
+$SPARK_GRAFT_BENCH_FULL (default BENCH_FULL.json next to this file) and
+also printed on an EARLIER stdout line for humans.
 """
 
 from __future__ import annotations
@@ -54,6 +59,13 @@ def main() -> None:
             for n, s in specs
             if any(p in n.lower() for p in only)
         ]
+        # ADVICE r7: make a filtered run impossible to mistake for a full
+        # one — loud stderr warning + a "filtered" tag in the output JSON.
+        print(
+            f"WARNING: SPARK_GRAFT_BENCH_ONLY={only!r} active — timing "
+            f"only {len(specs)} queries; this is a PARTIAL bench run",
+            file=sys.stderr,
+        )
 
     timings: dict[str, float] = {}
     for name, spec in specs:
@@ -115,24 +127,35 @@ def main() -> None:
         "session_windows_30m_gap running_user_totals windowed_value_stats"
     ).split()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "core13_seconds": round(
-                    sum(timings.get(q, 0.0) for q in core13), 4
-                ),
-                "social_cold_seconds": social_cold,
-                "social_shared_seconds": social_shared,
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    summary = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "core13_seconds": round(
+            sum(timings.get(q, 0.0) for q in core13), 4
+        ),
+        "social_cold_seconds": social_cold,
+        "social_shared_seconds": social_shared,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if only:
+        summary["filtered"] = only
+    # Full per-query detail: committed file + an early stdout line. The
+    # driver tail-captures stdout, so the dict must NOT be on the last line
+    # (it overflowed the 2000-char tail from round 3 on → "parsed": null).
+    full = dict(summary, queries=timings)
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_FULL.json"),
     )
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    print(json.dumps(full))
     spark.stop()
+    # LAST line = compact summary only; must stay well under 2000 chars.
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

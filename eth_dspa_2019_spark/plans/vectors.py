@@ -1111,7 +1111,6 @@ def kmeans_lloyd_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure CTE chain. Empty clusters keep their previous centroid
     (coalesce), matching `kmeans_refine`."""
     emb = load_table(spark, sf_dir, "embeddings")
-    stride = km_stride_for(emb.select("vec_id").distinct().count())
     el = (
         emb.select("vec_id", F.posexplode("embedding").alias("i0", "x"))
         .select(
@@ -1123,6 +1122,22 @@ def kmeans_lloyd_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    # ADVICE r7: the stride knob must count the SAME population the
+    # oracle's knobs CTE counts — distinct vec_id AFTER the explode (a
+    # NULL/empty embedding row exists pre-explode only). Same pass also
+    # guards the floor-vs-truncate neutralization precondition: the
+    # centroid-update shift keeps numerators non-negative only while
+    # every coordinate satisfies xf >= -KM_Q (x >= -1); below that the
+    # two division semantics silently diverge, so fail loudly instead.
+    st = el.agg(
+        F.countDistinct("vec_id").alias("n"), F.min("xf").alias("mn")
+    ).collect()[0]
+    if st["mn"] is not None and int(st["mn"]) < -KM_Q:
+        raise ArithmeticError(
+            f"kmeans_lloyd_sizes: coordinate {st['mn']}/{KM_Q} < -1.0 "
+            "breaks the floor-vs-truncate division neutralization"
+        )
+    stride = km_stride_for(int(st["n"]))
     cent0 = el.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cid"), "i", (F.col("xf") * KM_S).alias("cel")
     )

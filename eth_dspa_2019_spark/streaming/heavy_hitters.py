@@ -78,6 +78,12 @@ class StreamingHeavyHitters:
         """Fold one micro-batch; returns the updated k-row summary."""
         bc = (
             batch.select(F.col(self.key_col).cast("long").alias("key"))
+            # ADVICE r7: a NULL key (null input or failed cast) survives
+            # the groupBy but never matches across the full outer join —
+            # each such batch would inject a fresh null-key counter at
+            # c+m, burning a summary slot and weakening the N/k coverage
+            # bound. SpaceSaving is defined over a key domain; drop nulls.
+            .filter(F.col("key").isNotNull())
             .groupBy("key")
             .agg(F.count(F.lit(1)).alias("c"))
         )
