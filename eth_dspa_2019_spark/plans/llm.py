@@ -1034,6 +1034,195 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Vocabulary induction: K unrolled BPE merge ROUNDS (verdict r7 #3)
+
+BPE_ROUNDS = 3
+
+
+def _o_bpe_round(r: int) -> str:
+    """One DuckDB merge round (CTE block): pair counts over the symbol
+    sequences -> argmax pair -> greedy left-to-right merge. Materialized
+    (the round-6 lesson: chained iterative CTEs referencing the previous
+    round multiply inlined otherwise)."""
+    return f"""
+    p{r} AS MATERIALIZED (
+      SELECT word, wn, pos, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      FROM c{r - 1}
+    ),
+    b{r} AS MATERIALIZED (
+      SELECT sym AS x, nxt AS y, cast(sum(wn) AS bigint) AS cnt
+      FROM p{r} WHERE nxt IS NOT NULL
+      GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1
+    ),
+    o{r} AS (
+      SELECT p.word, p.pos,
+             p.pos - row_number() OVER (PARTITION BY p.word ORDER BY p.pos)
+               AS grp
+      FROM p{r} p JOIN b{r} b ON p.sym = b.x AND p.nxt = b.y
+    ),
+    k{r} AS MATERIALIZED (
+      SELECT word, pos FROM (
+        SELECT word, pos,
+               pos - min(pos) OVER (PARTITION BY word, grp) AS off
+        FROM o{r}
+      ) WHERE off % 2 = 0
+    ),
+    c{r} AS MATERIALIZED (
+      SELECT p.word, p.wn,
+             row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS pos,
+             CASE WHEN m.pos IS NOT NULL THEN p.sym || p.nxt
+                  ELSE p.sym END AS sym
+      FROM p{r} p
+      LEFT JOIN k{r} m ON m.word = p.word AND m.pos = p.pos
+      LEFT JOIN k{r} d ON d.word = p.word AND d.pos = p.pos - 1
+      WHERE d.pos IS NULL
+    )"""
+
+
+def _o_bpe_merge_rounds() -> str:
+    rounds = "".join("," + _o_bpe_round(r) for r in range(1, BPE_ROUNDS + 1))
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS merge_round, x, y, x || y AS merged, cnt FROM b{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH wv AS MATERIALIZED (
+      SELECT w AS word, count(*) AS wn FROM (
+        SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+      ) GROUP BY 1
+    ),
+    c0 AS MATERIALIZED (
+      SELECT word, wn,
+             unnest(generate_series(1, length(word))) AS pos,
+             unnest(list_transform(generate_series(1, length(word)),
+                                   i -> substring(word, i, 1))) AS sym
+      FROM wv
+    ){rounds}
+    SELECT * FROM ({finals}) ORDER BY merge_round
+    """
+
+
+@register(
+    "bpe_merge_rounds",
+    oracle=_o_bpe_merge_rounds(),
+    doc=f"{BPE_ROUNDS} unrolled BPE merge iterations: per-round best pair",
+)
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE tokenizer-induction LOOP (Sennrich et al. 2016), unrolled
+    {BPE_ROUNDS} gate-checked iterations — `bpe_pair_counts` is the first
+    round's count step; this is the full count -> adopt-best-merge ->
+    re-segment -> recount chain, the `kmeans_lloyd_sizes` discipline
+    applied to vocabulary induction. Per round: adjacent-symbol pair
+    frequencies weighted by word multiplicity, argmax pair ((cnt DESC, x,
+    y) tie-break), then a GREEDY LEFT-TO-RIGHT merge done relationally —
+    occurrences of the winning pair grouped into runs of consecutive
+    positions (overlaps only occur when x == y), keeping even offsets
+    within each run, exactly the single-pass scan a sequential BPE
+    trainer does on e.g. "aaaa" -> "aa aa".
+
+    Scale shape: the production trick — train on the DISTINCT-WORD
+    vocabulary with multiplicities (Zipf: |V| is millions where the
+    corpus is trillions of tokens), so each round is windows/joins keyed
+    by `word` over an O(|V| * avg_len) relation, never a corpus pass.
+    Pair counting partial-aggregates map-side to ~alphabet^2 keys; the
+    1-row argmax broadcasts back; lineage is cut per round
+    (localCheckpoint) as in the other unrolled fixpoints. Candidate/size
+    bound: the symbol relation SHRINKS monotonically (each merge removes
+    one row per kept occurrence), so K rounds cost <= K * round-1.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    wv = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    chars = wv.select(
+        "word",
+        "wn",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1))"
+            )
+        ).alias("p0", "sym"),
+    ).select(
+        "word", "wn", (F.col("p0") + 1).alias("pos"), "sym"
+    ).localCheckpoint(eager=True)
+
+    seq = Window.partitionBy("word").orderBy("pos")
+    bests: list[DataFrame] = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        p = chars.withColumn("nxt", F.lead("sym").over(seq)).localCheckpoint(
+            eager=True
+        )
+        best = (
+            p.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("wn").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "sym", "nxt")
+            .limit(1)
+            .select(
+                F.lit(rnd).alias("merge_round"),
+                F.col("sym").alias("x"),
+                F.col("nxt").alias("y"),
+                "cnt",
+            )
+            .localCheckpoint(eager=True)
+        )
+        bests.append(best)
+        occ = p.join(
+            F.broadcast(best),
+            (p["sym"] == best["x"]) & (p["nxt"] == best["y"]),
+        ).select(p["word"], p["pos"])
+        runs = occ.withColumn("grp", F.col("pos") - F.row_number().over(seq))
+        keep = (
+            runs.withColumn(
+                "off",
+                F.col("pos")
+                - F.min("pos").over(Window.partitionBy("word", "grp")),
+            )
+            .filter(F.col("off") % 2 == 0)
+            .select("word", "pos")
+        )
+        chars = (
+            p.join(
+                keep.withColumn("m", F.lit(1)), ["word", "pos"], "left"
+            )
+            .join(
+                keep.select(
+                    "word",
+                    (F.col("pos") + 1).alias("pos"),
+                    F.lit(1).alias("dropped"),
+                ),
+                ["word", "pos"],
+                "left",
+            )
+            .filter(F.col("dropped").isNull())
+            .select(
+                "word",
+                "wn",
+                F.row_number().over(seq).alias("pos"),
+                F.when(
+                    F.col("m").isNotNull(), F.concat("sym", "nxt")
+                ).otherwise(F.col("sym")).alias("sym"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        "merge_round", "x", "y", F.concat("x", "y").alias("merged"), "cnt"
+    ).orderBy("merge_round")
+
+
+# ---------------------------------------------------------------------------
 # Unigram LM surprisal scoring (CCNet-style perplexity filter, exact-integer)
 
 

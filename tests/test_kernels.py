@@ -125,3 +125,115 @@ def test_auto_band_bits_matches_sql_twin():
             f"SELECT {o_auto_band_bits(str(n), lo=6, hi=17, load=1024)}"
         ).fetchone()[0]
         assert sql == auto_band_bits(n, lo=6, hi=17, load=1024), n
+
+
+# ---------------------------------------------------------------------------
+# BPE merge rounds: the registered query vs a sequential reference trainer
+
+
+def _bpe_reference(word_counts, rounds):
+    """Plain sequential BPE trainer (Sennrich et al. 2016): per round,
+    count adjacent pairs over the word-count dict, adopt the (cnt DESC,
+    x, y)-best pair, greedy left-to-right re-segment. The third opinion
+    that pins what Spark AND DuckDB both claim to compute."""
+    segs = {w: list(w) for w in word_counts}
+    out = []
+    for _ in range(rounds):
+        counts = {}
+        for w, syms in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_counts[w]
+        if not counts:
+            break
+        (x, y), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((x, y, cnt))
+        for w, syms in segs.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    merged.append(x + y)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            segs[w] = merged
+    return out
+
+
+def test_bpe_merge_rounds_matches_sequential_trainer(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from eth_dspa_2019_spark.io.readers import load_table
+    from eth_dspa_2019_spark.plans.llm import BPE_ROUNDS, bpe_merge_rounds
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    wc = {
+        r["word"]: r["wn"]
+        for r in docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .collect()
+    }
+    expected = _bpe_reference(wc, BPE_ROUNDS)
+    got = [
+        (r["x"], r["y"], r["cnt"])
+        for r in bpe_merge_rounds(spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_merge_rounds_repeated_symbol_runs(spark):
+    """The greedy-run edge: 'aaaa' must merge to [aa, aa] (even offsets),
+    'aaa' to [aa, a] — exercised with a synthetic corpus where the
+    winning pair is (a, a) and runs overlap."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    import eth_dspa_2019_spark.plans.llm as llm
+
+    rows = [("aaaa",), ("aaa",), ("baaab",)]
+    # drive the same round mechanics directly: round 1 on this corpus
+    wv = (
+        spark.createDataFrame(rows, "word string")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    chars = wv.select(
+        "word",
+        "wn",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1))"
+            )
+        ).alias("p0", "sym"),
+    ).select("word", "wn", (F.col("p0") + 1).alias("pos"), "sym")
+    seq = Window.partitionBy("word").orderBy("pos")
+    p = chars.withColumn("nxt", F.lead("sym").over(seq))
+    best = (
+        p.filter(F.col("nxt").isNotNull())
+        .groupBy("sym", "nxt")
+        .agg(F.sum("wn").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "sym", "nxt")
+        .limit(1)
+        .collect()[0]
+    )
+    assert (best["sym"], best["nxt"]) == ("a", "a")
+    occ = p.filter((F.col("sym") == "a") & (F.col("nxt") == "a")).select(
+        "word", "pos"
+    )
+    runs = occ.withColumn("grp", F.col("pos") - F.row_number().over(seq))
+    keep = (
+        runs.withColumn(
+            "off",
+            F.col("pos") - F.min("pos").over(Window.partitionBy("word", "grp")),
+        )
+        .filter(F.col("off") % 2 == 0)
+        .select("word", "pos")
+    )
+    kept = {
+        (r["word"], r["pos"]) for r in keep.collect()
+    }
+    assert kept == {("aaaa", 1), ("aaaa", 3), ("aaa", 1), ("baaab", 2)}
