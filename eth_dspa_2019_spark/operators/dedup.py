@@ -514,32 +514,44 @@ def simhash(
     (≤62 keeps the BIGINT positive).
 
     All ``bits`` bit-votes are computed as conditional aggregates in ONE
-    groupBy over the exploded token occurrences (±1 per occurrence — the
-    same integer sums as count-weighted votes over distinct (doc, token)
-    rows, without the extra full shuffle that dedup step cost). A doc's
-    exploded tokens sit in the doc's own map partition, so Spark's partial
-    aggregation collapses them to one ``bits``-column row per doc before
-    the exchange: the shuffle carries ~one row per doc, never per token.
+    groupBy over per-(doc, token) occurrence counts: vote_b =
+    Σ_{(id,tok)} cnt · (±1) — the same integers as ±1 per occurrence.
+    The (id, tok) pre-aggregation collapses map-side (a doc's exploded
+    tokens sit in its own partition), and the md5-derived token hash is
+    computed ONCE PER DISTINCT TOKEN on a broadcast vocabulary relation
+    instead of once per occurrence — on Zipf text the corpus has orders
+    of magnitude more occurrences than vocabulary entries, and
+    md5+conv(16,10) is the expensive expression in this plan (profiled
+    r8: the per-occurrence form spent ~2 s of the 4 s query here at
+    sf0.1). The vote aggregation then runs over |doc|·|doc-vocab| rows,
+    not token occurrences.
     """
-    tok = (
+    tokc = (
         df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
         .select("id", F.explode("toks").alias("tok"))
-        .select("id", h64("tok").alias("h"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    vocab = tokc.select("tok").distinct().select(
+        "tok", h64("tok").alias("h")
+    )
+    tok = tokc.join(F.broadcast(vocab), "tok").select("id", "cnt", "h")
     # SQL-string expressions: one py4j call per aggregate instead of ~8
     # Column-builder round-trips — with `bits` of them, driver-side plan
-    # construction dominated the whole query otherwise (~2 s at 84 exprs)
+    # construction dominated the whole query otherwise (~2 s at 84 exprs).
+    # Branch-free bit arithmetic (sum of cnt·bit_b, vote>0 ⇔ 2·s_b > n)
+    # keeps the generated aggregate class small — the CASE form's codegen
+    # compile was a measurable share of the cold query.
     vote_aggs = [
-        F.expr(
-            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 "
-            f"THEN 1 ELSE -1 END)"
-        ).alias(f"v{b}")
+        F.expr(f"sum(cnt * (shiftright(h, {b}) & 1))").alias(f"s{b}")
         for b in range(bits)
     ]
-    votes = tok.groupBy("id").agg(*vote_aggs)
+    votes = tok.groupBy("id").agg(
+        F.expr("sum(cnt)").alias("n"), *vote_aggs
+    )
     sim = F.expr(
         " + ".join(
-            f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+            f"(CASE WHEN 2 * s{b} > n THEN CAST({1 << b} AS BIGINT) "
             f"ELSE CAST(0 AS BIGINT) END)"
             for b in range(bits)
         )
@@ -568,17 +580,21 @@ def simhash_wide(
     lift the 62-bit BIGINT ceiling without arrays (arrays would defeat the
     single-aggregation vote below).
 
-    All words' votes still run in ONE groupBy over the exploded tokens
-    (Σ word_bits conditional sums); partial aggregation collapses each doc
-    map-side exactly as :func:`simhash`.
+    All words' votes still run in ONE groupBy (Σ word_bits conditional
+    sums), count-weighted over per-(doc, token) rows with all salted
+    hashes computed once per DISTINCT token on a broadcast vocabulary —
+    see :func:`simhash` for why (occurrences ≫ vocabulary on Zipf text).
     """
     if len(word_bits) != len(salts):
         raise ValueError("word_bits and salts must align")
-    tok = df.select(
-        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
-    ).select("id", F.explode("toks").alias("tok"))
-    tokh = tok.select(
-        "id",
+    tokc = (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+        .select("id", F.explode("toks").alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = tokc.select("tok").distinct().select(
+        "tok",
         *[
             (h64(F.concat(F.col("tok"), F.lit(s))) if s else h64("tok")).alias(
                 f"h{w}"
@@ -586,21 +602,21 @@ def simhash_wide(
             for w, s in enumerate(salts)
         ],
     )
+    tokh = tokc.join(F.broadcast(vocab), "tok").drop("tok")
     # SQL-string expressions — see :func:`simhash` for why (py4j plan-build
     # cost scales with expression count; Σ word_bits is 84 by default)
     vote_aggs = [
-        F.expr(
-            f"sum(CASE WHEN (shiftright(h{w}, {b}) & 1) = 1 "
-            f"THEN 1 ELSE -1 END)"
-        ).alias(f"v{w}_{b}")
+        F.expr(f"sum(cnt * (shiftright(h{w}, {b}) & 1))").alias(f"s{w}_{b}")
         for w, bits in enumerate(word_bits)
         for b in range(bits)
     ]
-    votes = tokh.groupBy("id").agg(*vote_aggs)
+    votes = tokh.groupBy("id").agg(
+        F.expr("sum(cnt)").alias("n"), *vote_aggs
+    )
     sims = [
         F.expr(
             " + ".join(
-                f"(CASE WHEN v{w}_{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+                f"(CASE WHEN 2 * s{w}_{b} > n THEN CAST({1 << b} AS BIGINT) "
                 f"ELSE CAST(0 AS BIGINT) END)"
                 for b in range(bits)
             )
@@ -637,7 +653,10 @@ def simhash_pairs_wide(
             f"{n_bands} bands cannot guarantee recall for "
             f"max_hamming={max_hamming}; need bands > max_hamming"
         )
-    sims = simhash_wide(df, id_col, text_col, word_bits, salts)
+    # materialize once — three consumers, see :func:`simhash_pairs`
+    sims = simhash_wide(df, id_col, text_col, word_bits, salts).localCheckpoint(
+        eager=True
+    )
     mask = (1 << band_bits) - 1
     band_structs, band_id = [], 0
     for w, bits in enumerate(word_bits):
@@ -652,29 +671,71 @@ def simhash_pairs_wide(
             )
             band_id += 1
     sim_cols = [f"sim_{w}" for w in range(len(word_bits))]
-    band_rows = sims.select(
-        "id", *sim_cols, F.explode(F.array(*band_structs)).alias("band")
-    ).select("id", *sim_cols, "band.band_id", "band.band_key")
+    # Distinct-sketch candidate join + doc-pair expansion — see
+    # :func:`simhash_pairs` for the rationale (dup-heavy corpora collapse
+    # to few distinct fingerprints; candidates go Σ n_b² → Σ d_b²).
+    ds = sims.select(*sim_cols).distinct()
+    band_rows = ds.select(
+        *sim_cols, F.explode(F.array(*band_structs)).alias("band")
+    ).select(*sim_cols, "band.band_id", "band.band_key")
     a, b = band_rows.alias("a"), band_rows.alias("b")
     hamming = None
     for c in sim_cols:
         term = F.bit_count(F.col(f"a.{c}").bitwiseXOR(F.col(f"b.{c}")))
         hamming = term if hamming is None else hamming + term
-    return (
+    a_key = F.struct(*[F.col(f"a.{c}") for c in sim_cols])
+    b_key = F.struct(*[F.col(f"b.{c}") for c in sim_cols])
+    sketch_pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (a_key < b_key),
         )
         .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
+            *[F.col(f"a.{c}").alias(f"sa_{w}") for w, c in enumerate(sim_cols)],
+            *[F.col(f"b.{c}").alias(f"sb_{w}") for w, c in enumerate(sim_cols)],
             hamming.alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: candidates that fail the Hamming test
+        # (the overwhelming majority on a real corpus) die map-side
+        # instead of being shuffled into the dedup exchange
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
+    from functools import reduce
+
+    x, y = sims.alias("x"), sims.alias("y")
+    on_a = reduce(
+        lambda p, q: p & q,
+        [F.col(f"x.{c}") == F.col(f"sa_{w}") for w, c in enumerate(sim_cols)],
+    )
+    on_b = reduce(
+        lambda p, q: p & q,
+        [F.col(f"y.{c}") == F.col(f"sb_{w}") for w, c in enumerate(sim_cols)],
+    )
+    cross = (
+        sketch_pairs.join(x, on_a)
+        .join(y, on_b)
+        .select(
+            F.least("x.id", "y.id").alias("doc_a"),
+            F.greatest("x.id", "y.id").alias("doc_b"),
+            "hamming",
+        )
+    )
+    within_on = reduce(
+        lambda p, q: p & q,
+        [F.col(f"x.{c}") == F.col(f"y.{c}") for c in sim_cols]
+        + [F.col("x.id") < F.col("y.id")],
+    )
+    within = x.join(y, within_on).select(
+        F.col("x.id").alias("doc_a"),
+        F.col("y.id").alias("doc_b"),
+        F.lit(0).cast(
+            dict(cross.dtypes)["hamming"]
+        ).alias("hamming"),
+    )
+    return cross.unionByName(within)
 
 
 def simhash_pairs(
@@ -691,8 +752,23 @@ def simhash_pairs(
     Pigeonhole: distance ≤ bands-1 guarantees a matching band, so complete
     recall requires ``bits // band_bits > max_hamming`` — enforced here
     (defaults 48/6 → 8 bands, covers Hamming ≤ 7 ≥ max_hamming=6).
+
+    Near-dup corpora collapse to FAR fewer distinct fingerprints than
+    docs (exact and near-exact duplicates share a sketch), so the banded
+    self-join runs over DISTINCT sketches and doc pairs are expanded
+    afterwards: candidate count drops from Σ_bucket n_b² (doc counts) to
+    Σ_bucket d_b² (distinct-sketch counts) — measured 11.7M → ~90k
+    candidate rows at sf0.1 on the dup-heavy testdata corpus. Within-
+    group (identical-sketch) pairs are emitted directly at Hamming 0;
+    cross-group pairs expand each surviving sketch pair through two
+    joins back to the (id, sketch) relation, output-bound work. The
+    degenerate all-sketches-distinct corpus reduces to the original
+    per-doc join plus one tiny distinct.
     """
-    sims = simhash(df, id_col, text_col, bits)
+    # the sketch feeds three consumers (distinct sketches + both sides of
+    # the doc-pair expansion) — materialize once instead of recomputing
+    # the tokenize/vote aggregation per consumer
+    sims = simhash(df, id_col, text_col, bits).localCheckpoint(eager=True)
     n_bands = bits // band_bits
     if n_bands <= max_hamming:
         raise ValueError(
@@ -711,27 +787,54 @@ def simhash_pairs(
             for i in range(n_bands)
         ]
     )
-    band_rows = sims.select(
-        "id", "simhash", F.explode(band_structs).alias("band")
-    ).select("id", "simhash", "band.band_id", "band.band_key")
+    ds = sims.select("simhash").distinct()
+    band_rows = ds.select(
+        "simhash", F.explode(band_structs).alias("band")
+    ).select("simhash", "band.band_id", "band.band_key")
     a, b = band_rows.alias("a"), band_rows.alias("b")
-    return (
+    sketch_pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: candidates failing the Hamming test
+        # (the overwhelming majority on a real corpus) die map-side
+        # instead of being shuffled into the dedup exchange
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
+    x, y = sims.alias("x"), sims.alias("y")
+    cross = (
+        sketch_pairs.join(x, F.col("x.simhash") == F.col("sa"))
+        .join(y, F.col("y.simhash") == F.col("sb"))
+        .select(
+            F.least("x.id", "y.id").alias("doc_a"),
+            F.greatest("x.id", "y.id").alias("doc_b"),
+            "hamming",
+        )
+    )
+    within = (
+        x.join(
+            y,
+            (F.col("x.simhash") == F.col("y.simhash"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("doc_a"),
+            F.col("y.id").alias("doc_b"),
+            F.lit(0).cast(dict(cross.dtypes)["hamming"]).alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def prefix_filter_jaccard_pairs(
