@@ -25,7 +25,18 @@ from pyspark.sql import functions as F
 from ..functions.hashing import h64, o_h64
 from ..functions.text import quality_score, token_count, tokens
 from ..io.readers import load_table
-from .llm import _lsh_pairs, _O_SHINGLES, _o_minhash_bands, _o_jaccard_select
+from .llm import (
+    _lsh_pairs,
+    _O_SHINGLES,
+    _o_minhash_bands,
+    _o_jaccard_select,
+    classifier_score_spark,
+    o_classifier_score,
+)
+
+# the e2e pipeline's token array as Spark SQL text (same single-space
+# split as functions.text.tokens) for the classifier-score expression
+_E2E_TOKS = "split(t, ' ')"
 from ..operators import dedup as dd
 from .registry import register
 
@@ -579,12 +590,14 @@ def _o_e2e() -> str:
       SELECT doc_id, lang,
              cast(len(ta) AS bigint) AS n_tokens,
              {quality} AS quality_score,
+             cast({o_classifier_score('ta')} AS bigint) AS clf_score,
              {o_h64('t')} AS h
       FROM toks
     ),
     quald AS (SELECT * FROM qual0
               WHERE n_tokens >= {E2E_MIN_TOKENS}
-                AND quality_score >= {E2E_MIN_QUALITY}),
+                AND quality_score >= {E2E_MIN_QUALITY}
+                AND clf_score >= 0),
     canon AS (SELECT h, min(doc_id) AS doc_id FROM quald GROUP BY h),
     kept AS (SELECT q.* FROM quald q
              JOIN canon c ON q.h = c.h AND q.doc_id = c.doc_id),
@@ -599,10 +612,10 @@ def _o_e2e() -> str:
     train AS (SELECT * FROM kept
               WHERE doc_id % {BENCH_MOD} != 0
                 AND doc_id NOT IN (SELECT doc_id FROM contam)),
-    samp AS (SELECT doc_id, lang, n_tokens, quality_score, h,
+    samp AS (SELECT doc_id, lang, n_tokens, quality_score, clf_score, h,
                     {o_h64("'s#' || doc_id")} % 100 AS bucket
              FROM train)
-    SELECT doc_id, lang, n_tokens, quality_score, bucket,
+    SELECT doc_id, lang, n_tokens, quality_score, clf_score, bucket,
            h AS text_hash
     FROM samp WHERE bucket < {rate}
     """
@@ -634,11 +647,19 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.size(tk).cast("bigint").alias("n_tokens"),
             quality_score(tk).alias("quality_score"),
+            # the model gate (hashed-feature linear classifier, see
+            # plans/llm.py::doc_classifier_quality) runs in the same
+            # codegen projection as the heuristic score — zero extra cost
+            # shape, one more CASE over the scan
+            F.expr(
+                f"cast({classifier_score_spark(_E2E_TOKS)} AS bigint)"
+            ).alias("clf_score"),
             h64(F.col("t")).alias("h"),
         )
         .filter(
             (F.col("n_tokens") >= E2E_MIN_TOKENS)
             & (F.col("quality_score") >= E2E_MIN_QUALITY)
+            & (F.col("clf_score") >= 0)
         )
     )
     canon = qual.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
@@ -668,6 +689,7 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_tokens",
             "quality_score",
+            "clf_score",
             bucket.alias("bucket"),
             F.col("h").alias("text_hash"),
             rate.alias("r"),

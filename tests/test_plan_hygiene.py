@@ -81,3 +81,17 @@ def test_every_registered_plan_is_anti_pattern_free(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             bad.append(f"{name}: BroadcastNestedLoopJoin")
     assert not bad, "plan hygiene violations:\n" + "\n".join(bad)
+
+
+def test_doc_classifier_quality_is_map_only(spark, sf_dir):
+    """The hashed-feature classifier claims ZERO Exchange (pure map over
+    the scan) — assert it, not just document it."""
+    from eth_dspa_2019_spark.plans.llm import doc_classifier_quality
+
+    plan = (
+        doc_classifier_quality(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
