@@ -247,7 +247,10 @@ def corpus_dedup_artifacts(
     """The standing-state side of incremental dedup, computed once per
     corpus (or per kept delta): ``(keys, band_rows, shingles)`` —
 
-    - ``keys``: distinct 64-char-prefix hashes, ``(key_hash)``;
+    - ``keys``: per-doc 64-char-prefix hashes, ``(id, key_hash)`` — the
+      doc id is provenance for RETRACTION (deletion propagation must be
+      able to remove exactly one document's contribution, so every
+      standing artifact carries its source id);
     - ``band_rows``: MinHash LSH join keys, ``(id, band_id, band_key)``;
     - ``shingles``: the n-gram relation ``(id, shingle)`` the exact
       Jaccard verify reads.
@@ -256,7 +259,8 @@ def corpus_dedup_artifacts(
     band_key); the streaming form (`streaming/corpus_dedup.py`) persists
     them as versioned append-only deltas."""
     keys = corpus.select(
-        h64(F.substring(F.col(text_col), 1, prefix)).alias("key_hash")
+        F.col(id_col).alias("id"),
+        h64(F.substring(F.col(text_col), 1, prefix)).alias("key_hash"),
     ).distinct()
     sh_c = shingles(corpus, id_col, text_col, n)
     bc = _band_rows(minhash_signatures(sh_c, num_perm), num_perm, bands)

@@ -180,10 +180,10 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_minhash_bands(cand_on: str = "a.id < b.id") -> str:
-    """DuckDB mirror of minhash_signatures + banded explode. ``cand_on``
-    selects the pair shape: the ``a.id < b.id`` self-join default, or the
-    new-vs-corpus predicate of the incremental variant."""
+def _o_minhash_band_rows() -> str:
+    """DuckDB mirror of minhash_signatures + banded explode (the
+    ``band_rows`` relation alone — composed by :func:`_o_minhash_bands`
+    for pair queries and by the deletion audit for artifact counts)."""
     rows = NUM_PERM // BANDS
     mins = ", ".join(
         f"min(({a} * hb + {b}) % {MERSENNE31}) AS m{p}"
@@ -201,7 +201,16 @@ def _o_minhash_bands(cand_on: str = "a.id < b.id") -> str:
       FROM (SELECT id, {o_h64('shingle')} % {MERSENNE31} AS hb FROM sh)
       GROUP BY id
     ),
-    band_rows AS ({band_selects}),
+    band_rows AS ({band_selects})
+    """
+
+
+def _o_minhash_bands(cand_on: str = "a.id < b.id") -> str:
+    """``band_rows`` + LSH candidate pairs. ``cand_on`` selects the pair
+    shape: the ``a.id < b.id`` self-join default, or the new-vs-corpus
+    predicate of the incremental variant."""
+    return f"""
+    {_o_minhash_band_rows()},
     cand AS (
       SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
       FROM band_rows a
@@ -2037,3 +2046,95 @@ def doc_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("score") >= 0, F.lit(1)).otherwise(F.lit(0)),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deletion propagation / right-to-be-forgotten (verdict r7 #5)
+
+DELETE_MOD = 17  # audit delete set: doc_id % 17 == 3 (~6% of the corpus)
+DELETE_REM = 3
+
+
+def _o_deletion_audit() -> str:
+    keep = f"doc_id % {DELETE_MOD} != {DELETE_REM}"
+    keep_id = f"id % {DELETE_MOD} != {DELETE_REM}"
+    rels = [
+        ("dedup_bands", "band_rows", keep_id),
+        ("dedup_keys", "keyrel", keep_id),
+        ("dedup_shingles", "sh", keep_id),
+        ("doc_lengths", "dl", keep),
+        ("documents", "documents", keep),
+        ("postings_tf", "tf", keep),
+    ]
+    audits = " UNION ALL ".join(
+        f"""SELECT '{name}' AS relation,
+               cast(count(*) AS bigint) AS rows_before,
+               cast(count(*) FILTER (WHERE {pred}) AS bigint) AS rows_after,
+               cast(count(*) FILTER (WHERE NOT ({pred})) AS bigint)
+                 AS rows_purged
+        FROM {rel}"""
+        for name, rel, pred in rels
+    )
+    return f"""
+    WITH {_O_SHINGLES},
+    {_o_minhash_band_rows()},
+    tfq AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tfq GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tfq GROUP BY 1),
+    keyrel AS (SELECT DISTINCT doc_id AS id,
+                      {o_h64(f"substring(text, 1, {DEDUP_PREFIX})")}
+                        AS key_hash
+               FROM documents)
+    SELECT * FROM ({audits}) ORDER BY relation
+    """
+
+
+@register(
+    "deletion_propagation",
+    oracle=_o_deletion_audit(),
+    doc="right-to-be-forgotten purge audit across corpus + derived state",
+)
+def deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation (GDPR-class): a doc-id delete
+    set (here {DELETE_MOD}k+{DELETE_REM}, ~6% of the corpus) is pushed
+    through the corpus AND every derived standing relation — BM25
+    postings + document lengths, and all three dedup artifacts (prefix
+    keys, MinHash band rows, shingles; `operators/dedup.py::
+    corpus_dedup_artifacts`, which carry per-doc provenance exactly so
+    retraction is possible). Output: the compliance audit, one row per
+    relation with before/after/purged counts (`operators/forget.py`).
+    The streaming twins retract the same state incrementally with
+    tombstone deltas (`streaming/postings.py::delete_docs`,
+    `streaming/corpus_dedup.py::delete_batch`), golden-tested against
+    rebuild-from-purged-corpus.
+
+    Scale shape: the delete set broadcasts (doc-id-sized); each relation
+    is purged by one map-side anti-join probe over its scan and audited
+    by one aggregate pass — six 1-row funnels unioned
+    (SINGLE_PARTITION_OK-listed), no new shuffle anywhere.
+    """
+    from ..operators.forget import purge_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    deletes = docs.filter(
+        F.col("doc_id") % DELETE_MOD == DELETE_REM
+    ).select("doc_id")
+    tok = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    keys, bands, sh = dd.corpus_dedup_artifacts(
+        docs, "doc_id", "text", n=SHINGLE_N, num_perm=NUM_PERM,
+        bands=BANDS, prefix=DEDUP_PREFIX,
+    )
+    relations = {
+        "documents": (docs, "doc_id"),
+        "postings_tf": (tf, "doc_id"),
+        "doc_lengths": (dl, "doc_id"),
+        "dedup_keys": (keys, "id"),
+        "dedup_bands": (bands, "id"),
+        "dedup_shingles": (sh, "id"),
+    }
+    return purge_audit(relations, deletes).orderBy("relation")

@@ -39,9 +39,10 @@ from ..operators.dedup import (
 )
 from .durable import COMPACT_EVERY, DurableTables
 
-_KEYS_SCHEMA = "key_hash long"
+_KEYS_SCHEMA = "id long, key_hash long"
 _BANDS_SCHEMA = "id long, band_id int, band_key string"
 _SHINGLES_SCHEMA = "id long, shingle string"
+_DELETED_SCHEMA = "doc_id long"
 
 
 class StreamingCorpusDedup:
@@ -80,6 +81,10 @@ class StreamingCorpusDedup:
                 "keys": _KEYS_SCHEMA,
                 "bands": _BANDS_SCHEMA,
                 "shingles": _SHINGLES_SCHEMA,
+                # right-to-be-forgotten tombstone log: append-only doc-id
+                # deletes; standing artifacts are read through an
+                # anti-join on it and physically purged at compaction
+                "deleted": _DELETED_SCHEMA,
             },
         )
         self._since_compact = 0
@@ -91,6 +96,7 @@ class StreamingCorpusDedup:
     def _seed(self) -> None:
         """(Re)build the standing state from the seed corpus — runs when
         no committed snapshot exists (first start, or rollback past v0)."""
+        self.deleted = self.spark.createDataFrame([], _DELETED_SCHEMA)
         if self._corpus_src is None:
             self.keys = self.spark.createDataFrame([], _KEYS_SCHEMA)
             self.bands = self.spark.createDataFrame([], _BANDS_SCHEMA)
@@ -111,6 +117,7 @@ class StreamingCorpusDedup:
         self.keys = tables["keys"]
         self.bands = tables["bands"]
         self.shingles = tables["shingles"]
+        self.deleted = tables["deleted"]
         self._empty_deltas()
 
     def _empty_deltas(self) -> None:
@@ -118,6 +125,7 @@ class StreamingCorpusDedup:
             "keys": self.keys.limit(0),
             "bands": self.bands.limit(0),
             "shingles": self.shingles.limit(0),
+            "deleted": self.deleted.limit(0),
         }
 
     # -- durability hooks -------------------------------------------------
@@ -139,9 +147,13 @@ class StreamingCorpusDedup:
             fulls={},
             deltas=self._delta,
             compacted={
-                "keys": self.keys,
-                "bands": self.bands,
-                "shingles": self.shingles,
+                # compactions persist the PURGED artifacts (tombstones
+                # applied) — physical deletion rides the existing
+                # compaction cadence, the log-structured delete shape
+                "keys": self._active(self.keys, "id"),
+                "bands": self._active(self.bands, "id"),
+                "shingles": self._active(self.shingles, "id"),
+                "deleted": self.deleted,
             },
         )
 
@@ -192,6 +204,45 @@ class StreamingCorpusDedup:
             )
         )
 
+    def _active(self, df: DataFrame, idc: str) -> DataFrame:
+        """A standing artifact with tombstones applied — every read goes
+        through this view, so deletion is visible immediately while the
+        physical purge waits for compaction. The tombstone side
+        broadcasts (doc-id-sized); on an empty log this is a no-op
+        map-side probe."""
+        return df.join(
+            F.broadcast(self.deleted),
+            df[idc] == self.deleted["doc_id"],
+            "left_anti",
+        )
+
+    def delete_batch(self, ids: DataFrame) -> None:
+        """Right-to-be-forgotten fold: retract the given doc ids from the
+        standing dedup state. O(delete-set) commit — only the tombstone
+        delta persists; a later copy of a forgotten document scores as
+        NEW (the whole point of the retraction). Call between
+        ``begin_batch`` and ``commit`` like ``process_batch``."""
+        d = (
+            ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        self._empty_deltas()
+        self._delta["deleted"] = d
+        self.deleted = self.deleted.unionByName(d)
+        self._since_compact += 1
+        if self._since_compact >= COMPACT_EVERY:
+            self.keys = self._active(self.keys, "id").localCheckpoint(
+                eager=True
+            )
+            self.bands = self._active(self.bands, "id").localCheckpoint(
+                eager=True
+            )
+            self.shingles = self._active(self.shingles, "id").localCheckpoint(
+                eager=True
+            )
+            self._since_compact = 0
+
     # -- the fold ---------------------------------------------------------
     def process_batch(self, new_docs: DataFrame) -> DataFrame:
         """Score one micro-batch against the standing state; returns
@@ -201,7 +252,10 @@ class StreamingCorpusDedup:
         new_docs = new_docs.localCheckpoint(eager=True)
         caches: list[DataFrame] = []
         scored = incremental_dedup_against(
-            self.keys, self.bands, self.shingles, new_docs,
+            self._active(self.keys, "id"),
+            self._active(self.bands, "id"),
+            self._active(self.shingles, "id"),
+            new_docs,
             p["id_col"], p["text_col"], n=p["n"], num_perm=p["num_perm"],
             bands=p["bands"], threshold=p["threshold"], prefix=p["prefix"],
             cache_registry=caches,
@@ -231,6 +285,7 @@ class StreamingCorpusDedup:
             "keys": dk.localCheckpoint(eager=True),
             "bands": db.localCheckpoint(eager=True),
             "shingles": dsh.localCheckpoint(eager=True),
+            "deleted": self.deleted.limit(0),
         }
         self.keys = self.keys.unionByName(self._delta["keys"])
         self.bands = self.bands.unionByName(self._delta["bands"])

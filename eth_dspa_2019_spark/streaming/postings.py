@@ -28,6 +28,7 @@ from .durable import COMPACT_EVERY, DurableTables
 
 _TF_SCHEMA = "doc_id long, tok string, tf long"
 _DL_SCHEMA = "doc_id long, dl long"
+_DEL_SCHEMA = "doc_id long"
 
 
 class StreamingPostingsIndex:
@@ -40,7 +41,10 @@ class StreamingPostingsIndex:
             spark,
             state_dir,
             fulls={},
-            deltas={"tf": _TF_SCHEMA, "dl": _DL_SCHEMA},
+            # "del" is the right-to-be-forgotten tombstone log:
+            # append-only doc-id deletes; search reads the postings
+            # through an anti-join on it and compaction purges physically
+            deltas={"tf": _TF_SCHEMA, "dl": _DL_SCHEMA, "del": _DEL_SCHEMA},
         )
         self._since_compact = 0
         if self.state.committed_batch is not None:
@@ -51,12 +55,21 @@ class StreamingPostingsIndex:
     def _seed(self) -> None:
         self.tf = self.spark.createDataFrame([], _TF_SCHEMA)
         self.dl = self.spark.createDataFrame([], _DL_SCHEMA)
-        self._delta = {"tf": self.tf.limit(0), "dl": self.dl.limit(0)}
+        self.deleted = self.spark.createDataFrame([], _DEL_SCHEMA)
+        self._empty_deltas()
 
     def _adopt(self, tables: dict[str, DataFrame]) -> None:
         self.tf = tables["tf"]
         self.dl = tables["dl"]
-        self._delta = {"tf": self.tf.limit(0), "dl": self.dl.limit(0)}
+        self.deleted = tables["del"]
+        self._empty_deltas()
+
+    def _empty_deltas(self) -> None:
+        self._delta = {
+            "tf": self.tf.limit(0),
+            "dl": self.dl.limit(0),
+            "del": self.deleted.limit(0),
+        }
 
     def begin_batch(self, batch_id: int) -> None:
         tables = self.state.begin_batch(batch_id)
@@ -72,7 +85,15 @@ class StreamingPostingsIndex:
             batch_id,
             fulls={},
             deltas=self._delta,
-            compacted={"tf": self.tf, "dl": self.dl},
+            # compactions persist the PURGED postings (tombstones
+            # applied) — physical deletion rides the compaction cadence,
+            # exactly a log-structured index segment merge dropping
+            # deleted docs
+            compacted={
+                "tf": self._live(self.tf),
+                "dl": self._live(self.dl),
+                "del": self.deleted,
+            },
         )
 
     def process_batch(self, docs: DataFrame) -> None:
@@ -91,7 +112,7 @@ class StreamingPostingsIndex:
             .agg(F.count(F.lit(1)).alias("dl"))
             .localCheckpoint(eager=True)
         )
-        self._delta = {"tf": d_tf, "dl": d_dl}
+        self._delta = {"tf": d_tf, "dl": d_dl, "del": self.deleted.limit(0)}
         self.tf = self.tf.unionByName(d_tf)
         self.dl = self.dl.unionByName(d_dl)
         self._since_compact += 1
@@ -100,12 +121,40 @@ class StreamingPostingsIndex:
             self.dl = self.dl.localCheckpoint(eager=True)
             self._since_compact = 0
 
+    def _live(self, df: DataFrame) -> DataFrame:
+        """A postings relation with tombstones applied — deletion is
+        visible to search immediately; the anti-join side broadcasts
+        (doc-id-sized) and is a no-op probe while the log is empty."""
+        return df.join(F.broadcast(self.deleted), "doc_id", "left_anti")
+
+    def delete_docs(self, ids: DataFrame) -> None:
+        """Right-to-be-forgotten fold: retract the given doc ids from the
+        standing index. O(delete-set) commit (only the tombstone delta
+        persists); document frequencies, lengths, and the average-length
+        margin all shift because `search()` re-derives them from the
+        live postings. Call between ``begin_batch`` and ``commit``."""
+        d = (
+            ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        self._empty_deltas()
+        self._delta["del"] = d
+        self.deleted = self.deleted.unionByName(d)
+        self._since_compact += 1
+        if self._since_compact >= COMPACT_EVERY:
+            self.tf = self._live(self.tf).localCheckpoint(eager=True)
+            self.dl = self._live(self.dl).localCheckpoint(eager=True)
+            self._since_compact = 0
+
     def search(self) -> DataFrame:
         """BM25 top-k over the standing index — the registered query's
-        scorer verbatim (`plans/llm.py::bm25_from_postings`)."""
+        scorer verbatim (`plans/llm.py::bm25_from_postings`), applied to
+        the LIVE postings (tombstones filtered), so deleted documents
+        neither appear in results nor contribute df/avgdl mass."""
         from ..plans.llm import bm25_from_postings
 
-        return bm25_from_postings(self.tf, self.dl)
+        return bm25_from_postings(self._live(self.tf), self._live(self.dl))
 
 
 def postings_index_stream(

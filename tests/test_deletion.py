@@ -1,0 +1,167 @@
+"""Deletion propagation (right-to-be-forgotten), batch + streaming:
+
+- the registered `deletion_propagation` audit is gate-checked vs DuckDB
+  (tests/test_correctness.py picks it up from the registry);
+- the streaming postings index retracts deleted docs: delete-then-search
+  == rebuild-the-index-from-the-purged-corpus (df/avgdl margins shift),
+  across a crash-restart with tombstone deltas;
+- the streaming corpus dedup retracts artifacts: a copy of a FORGOTTEN
+  document scores as new, and post-delete scoring == a detector seeded
+  from the purged corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eth_dspa_2019_spark.io.readers import load_table
+from eth_dspa_2019_spark.streaming.corpus_dedup import StreamingCorpusDedup
+from eth_dspa_2019_spark.streaming.postings import StreamingPostingsIndex
+
+_PARAMS = dict(n=3, num_perm=16, bands=8, threshold=0.2, prefix=64)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _chunks(docs, n):
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    cuts = [lo + (hi - lo) * i // n for i in range(n)] + [hi + 1]
+    return [
+        docs.filter((F.col("doc_id") >= a) & (F.col("doc_id") < b))
+        .localCheckpoint(eager=True)
+        for a, b in zip(cuts[:-1], cuts[1:])
+    ]
+
+
+def test_postings_delete_equals_rebuild_from_purged_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = _chunks(docs, 3)
+    deletes = docs.filter(F.col("doc_id") % 17 == 3).select("doc_id")
+
+    idx = StreamingPostingsIndex(spark)
+    for b, c in enumerate(chunks[:2]):
+        idx.begin_batch(b)
+        idx.process_batch(c)
+        idx.commit(b)
+    idx.begin_batch(2)
+    idx.delete_docs(deletes)
+    idx.commit(2)
+    idx.begin_batch(3)
+    idx.process_batch(chunks[2])
+    idx.commit(3)
+
+    # reference: one-shot index over the purged corpus (batch-3 docs that
+    # are in the delete set must ALSO be gone — tombstones outlive the
+    # delete batch)
+    ref = StreamingPostingsIndex(spark)
+    ref.begin_batch(0)
+    ref.process_batch(
+        docs.join(deletes, "doc_id", "left_anti")
+    )
+    ref.commit(0)
+    assert _rows(idx.search()) == _rows(ref.search())
+    # and the live postings carry no deleted doc
+    assert (
+        idx._live(idx.tf).join(deletes, "doc_id", "inner").count() == 0
+    )
+
+
+def test_postings_delete_crash_restart(spark, sf_dir, tmp_path):
+    """Crash after the delete batch's state commit; a fresh process must
+    adopt the tombstones (rollback-on-replay path included)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = _chunks(docs, 3)
+    deletes = docs.filter(F.col("doc_id") % 17 == 3).select("doc_id")
+    st = str(tmp_path / "state")
+
+    idx = StreamingPostingsIndex(spark, st)
+    for b, c in enumerate(chunks[:2]):
+        idx.begin_batch(b)
+        idx.process_batch(c)
+        idx.commit(b)
+    idx.begin_batch(2)
+    idx.delete_docs(deletes)
+    idx.commit(2)
+    # process dies here; the engine replays batch 2 on restart
+    idx2 = StreamingPostingsIndex(spark, st)
+    idx2.begin_batch(2)  # replay → rollback to v1, re-delete
+    idx2.delete_docs(deletes)
+    idx2.commit(2)
+    idx2.begin_batch(3)
+    idx2.process_batch(chunks[2])
+    idx2.commit(3)
+
+    ref = StreamingPostingsIndex(spark)
+    ref.begin_batch(0)
+    ref.process_batch(docs.join(deletes, "doc_id", "left_anti"))
+    ref.commit(0)
+    assert _rows(idx2.search()) == _rows(ref.search())
+
+
+def test_dedup_forgotten_doc_scores_as_new(spark, sf_dir):
+    """After deleting a standing doc, an exact copy of its text arriving
+    later must be KEPT — the corpus has genuinely forgotten it."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 2 == 0).localCheckpoint(eager=True)
+    # the victim must be the ONLY seed doc with its prefix key — the
+    # testdata corpus is dup-heavy, and deleting one of several docs
+    # sharing a key correctly leaves the twins' key standing
+    key = F.md5(F.substring("text", 1, 64)).alias("k")
+    uniq = (
+        seed.select("doc_id", key)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("c") == 1)
+        .orderBy("doc_id")
+        .limit(1)
+    )
+    victim = seed.join(uniq.select("doc_id"), "doc_id").localCheckpoint(
+        eager=True
+    )
+    vid = victim.collect()[0]["doc_id"]
+    probe = victim.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    ).localCheckpoint(eager=True)
+
+    det = StreamingCorpusDedup(spark, seed, **_PARAMS)
+    det.begin_batch(0)
+    before = det.process_batch(probe)
+    det.commit(0)
+    assert _rows(before.select("doc_id", "is_exact_dup")) == [
+        (vid + 1_000_000, True)
+    ]
+
+    det.begin_batch(1)
+    det.delete_batch(spark.createDataFrame([(vid,)], "doc_id long"))
+    det.commit(1)
+    det.begin_batch(2)
+    after = det.process_batch(probe)
+    det.commit(2)
+    got = after.collect()[0]
+    assert got["is_exact_dup"] is False and got["keep"] is True
+
+
+def test_dedup_delete_equals_rebuild_from_purged_corpus(spark, sf_dir):
+    """Post-delete scoring == a fresh detector seeded with corpus minus
+    the delete set (state retraction is exactly corpus purge)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 2 == 0).localCheckpoint(eager=True)
+    newb = docs.filter(F.col("doc_id") % 2 == 1).localCheckpoint(eager=True)
+    deletes = seed.filter(F.col("doc_id") % 17 == 3).select("doc_id")
+
+    det = StreamingCorpusDedup(spark, seed, grow=False, **_PARAMS)
+    det.begin_batch(0)
+    det.delete_batch(deletes)
+    det.commit(0)
+    det.begin_batch(1)
+    got = det.process_batch(newb)
+    det.commit(1)
+
+    purged = seed.join(deletes, "doc_id", "left_anti")
+    ref = StreamingCorpusDedup(spark, purged, grow=False, **_PARAMS)
+    ref.begin_batch(0)
+    want = ref.process_batch(newb)
+    ref.commit(0)
+    assert _rows(got) == _rows(want)

@@ -40,6 +40,7 @@ SINGLE_PARTITION_OK = {
     "user_key_skew_profile",  # skew summary scalars
     "bm25_search_topk",  # rank window AFTER limit(k)
     "fuzzy_blocking_overflow",  # one-row overflow audit aggregate
+    "deletion_propagation",  # six 1-row per-relation audit aggregates
 }
 
 # broadcast side provably tiny: 1-row scalars, the query set, the sketch
