@@ -1089,14 +1089,12 @@ def _o_bpe_round(r: int) -> str:
     )"""
 
 
-def _o_bpe_merge_rounds() -> str:
+def _o_bpe_chain() -> str:
+    """The shared WITH-body: vocabulary, char seeding, and all
+    {BPE_ROUNDS} merge rounds (final symbols in ``c{BPE_ROUNDS}``,
+    per-round winners in ``b1..b{BPE_ROUNDS}``)."""
     rounds = "".join("," + _o_bpe_round(r) for r in range(1, BPE_ROUNDS + 1))
-    finals = " UNION ALL ".join(
-        f"SELECT {r} AS merge_round, x, y, x || y AS merged, cnt FROM b{r}"
-        for r in range(1, BPE_ROUNDS + 1)
-    )
-    return f"""
-    WITH wv AS MATERIALIZED (
+    return f"""wv AS MATERIALIZED (
       SELECT w AS word, count(*) AS wn FROM (
         SELECT unnest(string_split(text, ' ')) AS w
         FROM documents WHERE text IS NOT NULL
@@ -1108,7 +1106,16 @@ def _o_bpe_merge_rounds() -> str:
              unnest(list_transform(generate_series(1, length(word)),
                                    i -> substring(word, i, 1))) AS sym
       FROM wv
-    ){rounds}
+    ){rounds}"""
+
+
+def _o_bpe_merge_rounds() -> str:
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS merge_round, x, y, x || y AS merged, cnt FROM b{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH {_o_bpe_chain()}
     SELECT * FROM ({finals}) ORDER BY merge_round
     """
 
@@ -1141,11 +1148,25 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound: the symbol relation SHRINKS monotonically (each merge removes
     one row per kept occurrence), so K rounds cost <= K * round-1.
     """
-    from pyspark.sql.window import Window
-
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
+    bests, _ = _bpe_chain(docs)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        "merge_round", "x", "y", F.concat("x", "y").alias("merged"), "cnt"
+    ).orderBy("merge_round")
+
+
+def _bpe_chain(docs: DataFrame) -> tuple[list[DataFrame], DataFrame]:
+    """The Spark merge chain shared by `bpe_merge_rounds` (induction) and
+    `bpe_encode_lengths` (application): returns the per-round 1-row
+    winner frames and the FINAL per-word symbol relation
+    ``(word, wn, pos, sym)`` after {BPE_ROUNDS} merges."""
+    from pyspark.sql.window import Window
+
     wv = (
         docs.select(F.explode(tokens("text")).alias("word"))
         .groupBy("word")
@@ -1223,12 +1244,57 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    return out.select(
-        "merge_round", "x", "y", F.concat("x", "y").alias("merged"), "cnt"
-    ).orderBy("merge_round")
+    return bests, chars
+
+
+@register(
+    "bpe_encode_lengths",
+    oracle=f"""
+    WITH {_o_bpe_chain()},
+    wseg AS (SELECT word, count(*) AS n_segs
+             FROM c{BPE_ROUNDS} GROUP BY 1),
+    dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+           cast(count(*) AS bigint) AS n_words,
+           cast(sum(length(word)) AS bigint) AS n_chars,
+           cast(sum(n_segs) AS bigint) AS n_bpe_tokens
+    FROM dw JOIN wseg USING (word)
+    GROUP BY 1
+    """,
+    doc="corpus encoded with the learned BPE merges: per-doc token counts",
+)
+def bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of the BPE story next to
+    `bpe_merge_rounds` (induction): encode every document with the
+    learned {BPE_ROUNDS}-merge vocabulary and report per-doc
+    ``(n_words, n_chars, n_bpe_tokens)`` — the sequence-length numbers a
+    context-length / packing budget actually needs under the REAL
+    tokenizer rather than the whitespace proxy
+    (`context_length_histogram`).
+
+    Scale shape: encoding joins the corpus's word stream to the
+    per-word segment counts — a broadcast join on the DISTINCT-WORD
+    vocabulary (the segmenter output is |V| rows), then one per-doc
+    aggregation that partial-aggregates map-side. The corpus is never
+    re-segmented character by character; that work happened once on the
+    vocabulary, exactly how production tokenizers cache word→pieces.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    _, chars = _bpe_chain(docs)
+    wseg = chars.groupBy("word").agg(F.count(F.lit(1)).alias("n_segs"))
+    dw = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    return (
+        dw.join(F.broadcast(wseg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_segs").alias("n_bpe_tokens"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
