@@ -34,9 +34,14 @@ from .llm import (
     o_classifier_score,
 )
 
-# the e2e pipeline's token array as Spark SQL text (same single-space
-# split as functions.text.tokens) for the classifier-score expression
-_E2E_TOKS = "split(t, ' ')"
+# the e2e pipeline's token array COLUMN for the classifier-score
+# expression. It must be a materialized column, not inline
+# "split(t, ' ')" text: the score references the array from inside
+# per-element lambdas, and an inlined split re-evaluates once per
+# element — O(len²) per doc (measured 47 s vs 5 s for the whole e2e
+# at sf0.1). Catalyst's CollapseProject correctly refuses to inline a
+# non-cheap multi-referenced alias, so the column form splits once.
+_E2E_TOKS = "ta"
 from ..operators import dedup as dd
 from .registry import register
 
@@ -641,21 +646,28 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     red = docs.select("doc_id", "lang", _redact(_aug_col()).alias("t"))
     tk = tokens("t")
+    # One projection computes every quality signal (heuristic score,
+    # hashed-feature classifier, content hash), materialized NARROW (no
+    # text columns) before the gate filters — the silver metadata table
+    # a real pipeline persists. The barrier is load-bearing: filtering
+    # directly on `clf_score` makes predicate pushdown clone the large
+    # classifier expression into a Filter below the Project, and the
+    # doubled tree kicks the stage out of whole-stage codegen into
+    # interpreted evaluation (measured 25 s vs 3 s for this stage at
+    # sf0.1). At 100 TB this is one extra narrow corpus-pass write.
     qual = (
-        red.select(
+        red.withColumn("ta", tk)
+        .select(
             "doc_id",
             "lang",
-            F.size(tk).cast("bigint").alias("n_tokens"),
-            quality_score(tk).alias("quality_score"),
-            # the model gate (hashed-feature linear classifier, see
-            # plans/llm.py::doc_classifier_quality) runs in the same
-            # codegen projection as the heuristic score — zero extra cost
-            # shape, one more CASE over the scan
+            F.size("ta").cast("bigint").alias("n_tokens"),
+            quality_score(F.col("ta")).alias("quality_score"),
             F.expr(
                 f"cast({classifier_score_spark(_E2E_TOKS)} AS bigint)"
             ).alias("clf_score"),
             h64(F.col("t")).alias("h"),
         )
+        .localCheckpoint(eager=True)
         .filter(
             (F.col("n_tokens") >= E2E_MIN_TOKENS)
             & (F.col("quality_score") >= E2E_MIN_QUALITY)
