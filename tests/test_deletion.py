@@ -165,3 +165,32 @@ def test_dedup_delete_equals_rebuild_from_purged_corpus(spark, sf_dir):
     want = ref.process_batch(newb)
     ref.commit(0)
     assert _rows(got) == _rows(want)
+
+
+def test_purge_relations_matches_audit(spark, sf_dir):
+    """purge_relations output counts == the audit's rows_after, and no
+    purged relation retains a deleted id."""
+    from eth_dspa_2019_spark.operators.forget import (
+        purge_audit,
+        purge_relations,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    deletes = docs.filter(F.col("doc_id") % 17 == 3).select("doc_id")
+    tok = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    rels = {"documents": (docs, "doc_id"), "doc_lengths": (dl, "doc_id")}
+    audit = {
+        r["relation"]: r for r in purge_audit(rels, deletes).collect()
+    }
+    purged = purge_relations(rels, deletes)
+    for name, (df, idc) in rels.items():
+        p = purged[name]
+        assert p.count() == audit[name]["rows_after"]
+        assert df.count() == audit[name]["rows_before"]
+        assert (
+            p.join(deletes, p[idc] == deletes["doc_id"], "inner").count()
+            == 0
+        )
