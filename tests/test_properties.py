@@ -295,3 +295,39 @@ def test_durable_tables_model_based(spark, tmp_path_factory, data):
     final = {r["batch"]: r["x"] for r in mk().load_latest()["log"].collect()}
     assert final == model
     assert len(glob.glob(f"{sdir}/v*")) <= COMPACT_EVERY + 2
+
+
+# ---------------------------------------------------------------------------
+# Deletion propagation laws (operators/forget.py)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(st.integers(0, 30), min_size=0, max_size=40),
+    d1=st.sets(st.integers(0, 30), max_size=10),
+    d2=st.sets(st.integers(0, 30), max_size=10),
+)
+def test_purge_is_idempotent_and_composes_as_set_union(spark, ids, d1, d2):
+    """purge(purge(R, D), D) == purge(R, D), and sequential purges with
+    D1 then D2 equal one purge with D1 ∪ D2 — retraction is a set
+    subtraction, whatever the batching."""
+    from eth_dspa_2019_spark.operators.forget import purge_relation
+
+    rel = spark.createDataFrame([(i,) for i in ids], "k long")
+
+    def frame(s):
+        return spark.createDataFrame([(i,) for i in sorted(s)], "doc_id long")
+
+    def rows(df):
+        return sorted(r["k"] for r in df.collect())
+
+    once = purge_relation(rel, frame(d1), "k")
+    assert rows(purge_relation(once, frame(d1), "k")) == rows(once)
+    seq = purge_relation(once, frame(d2), "k")
+    both = purge_relation(rel, frame(d1 | d2), "k")
+    assert rows(seq) == rows(both)
+    assert rows(once) == sorted(i for i in ids if i not in d1)
