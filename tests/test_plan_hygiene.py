@@ -96,3 +96,21 @@ def test_doc_classifier_quality_is_map_only(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_curation_e2e_classifier_not_duplicated_into_filter(spark, sf_dir):
+    """Regression pin for the r8 pushdown blowup: the classifier score
+    must be computed once behind the materialization barrier — if the
+    hashed-feature expression (recognizable by its weight salt) leaks
+    back into the executed plan, predicate pushdown is re-cloning it
+    into a Filter and the stage falls out of whole-stage codegen
+    (measured 47 s vs 6 s at sf0.1)."""
+    from eth_dspa_2019_spark.plans.pipeline import curation_pipeline_e2e
+
+    plan = (
+        curation_pipeline_e2e(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "qw#" not in plan, "classifier expression escaped the barrier"
