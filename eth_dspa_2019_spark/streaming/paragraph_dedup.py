@@ -29,7 +29,8 @@ from ..functions.hashing import h64
 from ..plans.llm import PARA_KEY, PARA_W
 from .durable import COMPACT_EVERY, DurableTables
 
-_PARAS_SCHEMA = "ph long"
+_PARAS_SCHEMA = "doc_id long, ph long"  # keeper doc id = retraction provenance
+_DELETED_SCHEMA = "doc_id long"
 
 
 def _batch_paragraphs(new_docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -72,7 +73,13 @@ class StreamingParagraphDedup:
         self.id_col = id_col
         self.text_col = text_col
         self.state = DurableTables(
-            spark, state_dir, fulls={}, deltas={"paras": _PARAS_SCHEMA}
+            spark,
+            state_dir,
+            fulls={},
+            # "deleted" is the right-to-be-forgotten tombstone log; the
+            # standing paragraph set is read through an anti-join on it
+            # (by KEEPER doc id) and physically purged at compaction
+            deltas={"paras": _PARAS_SCHEMA, "deleted": _DELETED_SCHEMA},
         )
         self._since_compact = 0
         if self.state.committed_batch is not None:
@@ -82,11 +89,55 @@ class StreamingParagraphDedup:
 
     def _seed(self) -> None:
         self.paras = self.spark.createDataFrame([], _PARAS_SCHEMA)
-        self._delta = self.paras.limit(0)
+        self.deleted = self.spark.createDataFrame([], _DELETED_SCHEMA)
+        self._empty_deltas()
 
     def _adopt(self, tables: dict[str, DataFrame]) -> None:
         self.paras = tables["paras"]
-        self._delta = self.paras.limit(0)
+        self.deleted = tables["deleted"]
+        self._empty_deltas()
+
+    def _empty_deltas(self) -> None:
+        self._delta = {
+            "paras": self.paras.limit(0),
+            "deleted": self.deleted.limit(0),
+        }
+
+    def _active(self) -> DataFrame:
+        """The standing paragraph set with tombstones applied (keeper-id
+        anti-join, broadcast delete side) — a forgotten document's
+        paragraphs stop screening immediately."""
+        return self.paras.join(
+            F.broadcast(self.deleted), "doc_id", "left_anti"
+        )
+
+    def delete_batch(self, ids: DataFrame) -> None:
+        """Right-to-be-forgotten fold: retract every paragraph hash this
+        doc id KEPT (owned as first occurrence). O(delete-set) commit;
+        physical purge rides the compaction cadence. Call between
+        ``begin_batch`` and ``commit`` like ``process_batch``.
+
+        Semantics vs rebuild-from-purged-history: copies of the
+        forgotten paragraphs that arrived earlier and were DROPPED are
+        not resurrected as keepers — their content was never stored
+        (that is the point of a hash-only state). So post-delete the
+        screen equals the rebuild exactly when the forgotten doc's kept
+        paragraphs had no other historical occurrence (the common
+        case), and is strictly WEAKER (keeps more) otherwise — always
+        safe in the forget direction: nothing of the deleted document
+        remains in state."""
+        d = (
+            ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        self._empty_deltas()
+        self._delta["deleted"] = d
+        self.deleted = self.deleted.unionByName(d)
+        self._since_compact += 1
+        if self._since_compact >= COMPACT_EVERY:
+            self.paras = self._active().localCheckpoint(eager=True)
+            self._since_compact = 0
 
     # -- durability hooks -------------------------------------------------
     def begin_batch(self, batch_id: int) -> None:
@@ -102,8 +153,11 @@ class StreamingParagraphDedup:
         self.state.commit(
             batch_id,
             fulls={},
-            deltas={"paras": self._delta},
-            compacted={"paras": self.paras},
+            deltas=self._delta,
+            compacted={
+                "paras": self._active(),  # compactions persist purged
+                "deleted": self.deleted,
+            },
         )
 
     # -- the fold ---------------------------------------------------------
@@ -119,7 +173,7 @@ class StreamingParagraphDedup:
             F.col("okey") == F.col("wkey")
         )
         kept = first_in_batch.join(
-            self.paras, "ph", "left_anti"
+            self._active().select("ph"), "ph", "left_anti"
         ).localCheckpoint(eager=True)
         # every batch doc appears in the output, even fully-deduped ones
         agg = kept.groupBy("doc_id").agg(
@@ -149,10 +203,11 @@ class StreamingParagraphDedup:
             )
             .localCheckpoint(eager=True)
         )
-        self._delta = (
-            kept.select("ph").distinct().localCheckpoint(eager=True)
+        self._empty_deltas()
+        self._delta["paras"] = (
+            kept.select("doc_id", "ph").distinct().localCheckpoint(eager=True)
         )
-        self.paras = self.paras.unionByName(self._delta)
+        self.paras = self.paras.unionByName(self._delta["paras"])
         self._since_compact += 1
         if self._since_compact >= COMPACT_EVERY:
             self.paras = self.paras.localCheckpoint(eager=True)

@@ -194,3 +194,80 @@ def test_purge_relations_matches_audit(spark, sf_dir):
             p.join(deletes, p[idc] == deletes["doc_id"], "inner").count()
             == 0
         )
+
+
+def test_paragraph_dedup_forgets_keeper_paragraphs(spark, sf_dir):
+    """Deleting a keeper doc retracts the paragraph hashes it owned: a
+    later doc repeating those paragraphs keeps them again, and scoring
+    equals a fresh detector that never saw the forgotten doc."""
+    from eth_dspa_2019_spark.streaming.paragraph_dedup import (
+        StreamingParagraphDedup,
+    )
+
+    from eth_dspa_2019_spark.streaming.paragraph_dedup import (
+        _batch_paragraphs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    first = docs.orderBy("doc_id").limit(20).localCheckpoint(eager=True)
+    # pick a victim whose every paragraph hash is unique within the seed:
+    # retraction-by-keeper equals rebuild-without-victim exactly then
+    # (with cross-doc duplicates, a rebuild would re-elect keepers among
+    # docs whose content the stream legitimately never stored)
+    ps = _batch_paragraphs(first, "doc_id", "text")
+    shared = (
+        ps.groupBy("ph")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("ph")
+    )
+    vid = (
+        ps.join(shared, "ph", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nu"))
+        .join(
+            ps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("np")),
+            "doc_id",
+        )
+        .filter(F.col("nu") == F.col("np"))
+        .agg(F.min("doc_id"))
+        .collect()[0][0]
+    )
+    assert vid is not None, "no all-unique-paragraph doc in the seed"
+    probe = first.filter(F.col("doc_id") == vid).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    ).localCheckpoint(eager=True)
+
+    det = StreamingParagraphDedup(spark)
+    det.begin_batch(0)
+    det.process_batch(first)
+    det.commit(0)
+    det.begin_batch(1)
+    before = det.process_batch(probe).collect()[0]
+    det.commit(1)
+    # every probe paragraph is a dup of the standing keeper's
+    assert before["n_dropped"] == before["n_paras"]
+
+    det.begin_batch(2)
+    det.delete_batch(spark.createDataFrame([(vid,)], "doc_id long"))
+    det.commit(2)
+    det.begin_batch(3)
+    after = det.process_batch(probe).collect()[0]
+    det.commit(3)
+
+    # reference: a detector whose history never contained the victim —
+    # but DID see the probe once (batch 1 kept nothing, so only the
+    # victim-less first batch matters)
+    ref = StreamingParagraphDedup(spark)
+    ref.begin_batch(0)
+    ref.process_batch(first.filter(F.col("doc_id") != vid))
+    ref.commit(0)
+    ref.begin_batch(1)
+    want = ref.process_batch(probe).collect()[0]
+    ref.commit(1)
+    assert (after["n_dropped"], after["clean_text"]) == (
+        want["n_dropped"],
+        want["clean_text"],
+    )
+    # the forgotten doc's unique paragraphs survive in the probe
+    assert after["n_dropped"] < after["n_paras"]
