@@ -1160,11 +1160,18 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("merge_round")
 
 
-def _bpe_chain(docs: DataFrame) -> tuple[list[DataFrame], DataFrame]:
-    """The Spark merge chain shared by `bpe_merge_rounds` (induction) and
-    `bpe_encode_lengths` (application): returns the per-round 1-row
-    winner frames and the FINAL per-word symbol relation
-    ``(word, wn, pos, sym)`` after {BPE_ROUNDS} merges."""
+def _bpe_chain(
+    docs: DataFrame, rounds: int = BPE_ROUNDS
+) -> tuple[list[DataFrame], DataFrame]:
+    """The Spark merge chain shared by `bpe_merge_rounds` (induction),
+    `bpe_encode_lengths` (application), and the production trainer
+    :func:`bpe_train`: returns the per-round 1-row winner frames and the
+    FINAL per-word symbol relation ``(word, wn, pos, sym)``. The
+    gate-checked queries pin ``rounds={BPE_ROUNDS}`` (the oracle is an
+    unrolled CTE chain); production vocabularies run the SAME loop to
+    any K — per round one vocabulary-sized window pass, one tiny
+    pair-count aggregation, and a broadcast argmax, lineage cut by
+    localCheckpoint so K=30k merges don't accumulate plan depth."""
     from pyspark.sql.window import Window
 
     wv = (
@@ -1187,7 +1194,7 @@ def _bpe_chain(docs: DataFrame) -> tuple[list[DataFrame], DataFrame]:
 
     seq = Window.partitionBy("word").orderBy("pos")
     bests: list[DataFrame] = []
-    for rnd in range(1, BPE_ROUNDS + 1):
+    for rnd in range(1, rounds + 1):
         p = chars.withColumn("nxt", F.lead("sym").over(seq)).localCheckpoint(
             eager=True
         )
@@ -1205,6 +1212,8 @@ def _bpe_chain(docs: DataFrame) -> tuple[list[DataFrame], DataFrame]:
             )
             .localCheckpoint(eager=True)
         )
+        if best.isEmpty():
+            break  # vocabulary exhausted (every word is one symbol)
         bests.append(best)
         occ = p.join(
             F.broadcast(best),
@@ -1245,6 +1254,27 @@ def _bpe_chain(docs: DataFrame) -> tuple[list[DataFrame], DataFrame]:
             .localCheckpoint(eager=True)
         )
     return bests, chars
+
+
+def bpe_train(
+    docs: DataFrame, rounds: int
+) -> tuple[DataFrame, DataFrame]:
+    """Production BPE trainer: run the gate-checked merge loop to any K.
+    Returns ``(merges, word_pieces)`` — the ordered merge table
+    (merge_round, x, y, cnt) and the word → final-symbol relation
+    (word, wn, pos, sym). Stops early when the vocabulary is exhausted.
+    Verified against a sequential reference trainer for K beyond the
+    registered depth in tests/test_kernels.py."""
+    bests, chars = _bpe_chain(docs, rounds)
+    if not bests:
+        empty = docs.sparkSession.createDataFrame(
+            [], "merge_round int, x string, y string, cnt long"
+        )
+        return empty, chars
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out, chars
 
 
 @register(

@@ -237,3 +237,39 @@ def test_bpe_merge_rounds_repeated_symbol_runs(spark):
         (r["word"], r["pos"]) for r in keep.collect()
     }
     assert kept == {("aaaa", 1), ("aaaa", 3), ("aaa", 1), ("baaab", 2)}
+
+
+def test_bpe_train_deep_rounds_match_sequential_trainer(spark, sf_dir):
+    """The production trainer at K=8 (beyond the registered unrolled
+    depth) still tracks the sequential reference, including early-stop
+    safety on vocabulary exhaustion."""
+    from pyspark.sql import functions as F
+
+    from eth_dspa_2019_spark.io.readers import load_table
+    from eth_dspa_2019_spark.plans.llm import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    wc = {
+        r["word"]: r["wn"]
+        for r in docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .collect()
+    }
+    expected = _bpe_reference(wc, 8)
+    merges, pieces = bpe_train(docs, 8)
+    got = [
+        (r["x"], r["y"], r["cnt"])
+        for r in merges.orderBy("merge_round").collect()
+    ]
+    assert got == expected
+    # pieces re-assemble every word exactly
+    bad = pieces.groupBy("word").agg(
+        F.concat_ws("", F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+            lambda s: s["sym"],
+        )).alias("joined")
+    ).filter(F.col("joined") != F.col("word")).count()
+    assert bad == 0
