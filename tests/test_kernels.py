@@ -273,3 +273,25 @@ def test_bpe_train_deep_rounds_match_sequential_trainer(spark, sf_dir):
         )).alias("joined")
     ).filter(F.col("joined") != F.col("word")).count()
     assert bad == 0
+
+
+def test_nb_quality_classifier_beats_majority_baseline(spark, sf_dir):
+    """The learned filter must actually discriminate: accuracy against
+    its training label strictly above the predict-all-majority baseline
+    (guards the integer-log resolution and the calibration from
+    regressing into a degenerate always-pass model)."""
+    from pyspark.sql import functions as F
+
+    from eth_dspa_2019_spark.plans.llm import doc_nb_quality
+
+    sc = doc_nb_quality(spark, sf_dir)
+    agg = sc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("label_good") == F.col("nb_pass")).cast("int")
+        ).alias("correct"),
+        F.sum("label_good").alias("pos"),
+    ).collect()[0]
+    acc = agg["correct"] / agg["n"]
+    base = max(agg["pos"], agg["n"] - agg["pos"]) / agg["n"]
+    assert acc > base + 0.05, (acc, base)

@@ -41,6 +41,7 @@ SINGLE_PARTITION_OK = {
     "bm25_search_topk",  # rank window AFTER limit(k)
     "fuzzy_blocking_overflow",  # one-row overflow audit aggregate
     "deletion_propagation",  # six 1-row per-relation audit aggregates
+    "doc_nb_quality",  # two 1-row training funnels (totals + calibration)
 }
 
 # broadcast side provably tiny: 1-row scalars, the query set, the sketch
@@ -61,6 +62,7 @@ BNLJ_OK = {
     "event_type_quantile_sketch",  # 3 pct ranks x |groups|-row stats
     "zorder_pruning_stats",  # probes x <=64 broadcast group spans
     "vector_pipeline_e2e",  # composes cosine_topk (broadcast queries)
+    "doc_nb_quality",  # 1-row totals + 1-row calibration cross joins
 }
 
 
