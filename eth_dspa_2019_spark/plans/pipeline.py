@@ -975,3 +975,152 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") < KANON_K)
         .select("lang", "source", F.col("n_docs").cast("bigint").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity-bucketed mixture sampling
+
+PX_BIN_FX = 1_000  # surprisal bin width: 0.001 bit in the 1e6 fixed point
+PX_RATES = (100, 50, 20)  # keep %-rates per bucket (head / middle / tail)
+
+
+def _o_px_mixture() -> str:
+    rates = " ".join(
+        f"WHEN {i} THEN {r}" for i, r in enumerate(PX_RATES)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT count(*) AS total FROM tok),
+    px AS (
+      SELECT t.doc_id,
+             cast(floor(1000000.0 * sum(length(bin(total // cnt)))
+                        / count(*)) AS bigint) AS mean_bits_fx
+      FROM tok t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
+      GROUP BY 1
+    ),
+    binned AS (SELECT doc_id, mean_bits_fx // {PX_BIN_FX} AS bin FROM px),
+    hist AS (SELECT bin, count(*) AS c FROM binned GROUP BY 1),
+    cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM hist),
+    n AS (SELECT count(*) AS nd FROM binned),
+    thr AS (SELECT
+              (SELECT min(bin) FROM cum CROSS JOIN n
+               WHERE cum * 3 >= nd) AS t1,
+              (SELECT min(bin) FROM cum CROSS JOIN n
+               WHERE cum * 3 >= 2 * nd) AS t2),
+    bucketed AS (
+      SELECT doc_id,
+             CASE WHEN bin <= t1 THEN 0
+                  WHEN bin <= t2 THEN 1 ELSE 2 END AS bucket
+      FROM binned CROSS JOIN thr
+    ),
+    kept AS (
+      SELECT bucket,
+             CASE WHEN {o_h64("'px#' || doc_id")} % 100
+                  < CASE bucket {rates} END
+             THEN 1 ELSE 0 END AS keep
+      FROM bucketed
+    )
+    SELECT cast(bucket AS int) AS bucket,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(keep) AS bigint) AS n_kept
+    FROM kept GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "perplexity_mixture_sample",
+    oracle=_o_px_mixture(),
+    doc="CCNet head/middle/tail perplexity buckets + per-bucket sampling",
+)
+def perplexity_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet mixture step (Wenzek et al. 2020): bucket documents into
+    head/middle/tail by language-model surprisal terciles, then keep each
+    bucket at its own rate ({PX_RATES[0]}/{PX_RATES[1]}/{PX_RATES[2]}%) —
+    the standard way a curation pipeline biases toward fluent text
+    without discarding the tail outright. Surprisal is the integer-exact
+    unigram form of `doc_unigram_surprisal`; terciles come from a
+    0.001-bit-binned HISTOGRAM of the per-doc scores (bin = fx div
+    {PX_BIN_FX}), so no global sort of the corpus ever happens; the keep
+    coin is the deterministic h64 hash. Output: per-bucket doc and kept
+    counts — the mixture report.
+
+    Scale shape: surprisal is one token-stream aggregation against a
+    broadcastable vocabulary margin; the histogram is a map-side-combined
+    groupBy onto ≤ a few hundred bin keys, and the only window runs over
+    THAT bounded relation (whitelisted single-partition shape — the
+    sketch-not-sort trick the quantile family uses); thresholds broadcast
+    back and bucketing/sampling is map-only.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).localCheckpoint(eager=True)
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tok.agg(F.count(F.lit(1)).alias("total"))
+    px = (
+        tok.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.floor(
+                1000000.0
+                * F.sum(F.length(F.bin(F.expr("total div cnt"))))
+                / F.count(F.lit(1))
+            ).cast("bigint").alias("mean_bits_fx")
+        )
+    )
+    binned = px.select(
+        "doc_id", F.expr(f"mean_bits_fx div {PX_BIN_FX}").alias("bin")
+    ).localCheckpoint(eager=True)
+    from pyspark.sql.window import Window
+
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    n = binned.agg(F.count(F.lit(1)).alias("nd"))
+    t1 = (
+        cum.crossJoin(F.broadcast(n))
+        .filter(F.col("cum") * 3 >= F.col("nd"))
+        .agg(F.min("bin").alias("t1"))
+    )
+    t2 = (
+        cum.crossJoin(F.broadcast(n))
+        .filter(F.col("cum") * 3 >= 2 * F.col("nd"))
+        .agg(F.min("bin").alias("t2"))
+    )
+    bucket = (
+        F.when(F.col("bin") <= F.col("t1"), 0)
+        .when(F.col("bin") <= F.col("t2"), 1)
+        .otherwise(2)
+    )
+    rate = F.when(F.col("bucket") == 0, PX_RATES[0]).when(
+        F.col("bucket") == 1, PX_RATES[1]
+    ).otherwise(PX_RATES[2])
+    coin = h64(F.concat(F.lit("px#"), F.col("doc_id").cast("string"))) % 100
+    return (
+        binned.crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select("doc_id", bucket.alias("bucket"))
+        .withColumn("keep", F.when(coin < rate, 1).otherwise(0))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("n_kept"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+        )
+        .orderBy("bucket")
+    )

@@ -42,6 +42,7 @@ SINGLE_PARTITION_OK = {
     "fuzzy_blocking_overflow",  # one-row overflow audit aggregate
     "deletion_propagation",  # six 1-row per-relation audit aggregates
     "doc_nb_quality",  # two 1-row training funnels (totals + calibration)
+    "perplexity_mixture_sample",  # cum-window over the <=few-hundred-bin histogram + 1-row thresholds
 }
 
 # broadcast side provably tiny: 1-row scalars, the query set, the sketch
@@ -63,6 +64,7 @@ BNLJ_OK = {
     "zorder_pruning_stats",  # probes x <=64 broadcast group spans
     "vector_pipeline_e2e",  # composes cosine_topk (broadcast queries)
     "doc_nb_quality",  # 1-row totals + 1-row calibration cross joins
+    "perplexity_mixture_sample",  # 1-row corpus-total + tercile-threshold cross joins
 }
 
 
