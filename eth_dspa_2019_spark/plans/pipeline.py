@@ -1060,19 +1060,42 @@ def perplexity_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = docs.select(
         "doc_id", F.explode(tokens("text")).alias("tok")
-    ).localCheckpoint(eager=True)
-    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = tok.agg(F.count(F.lit(1)).alias("total"))
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    return perplexity_mixture_from_postings(tf, dl)
+
+
+def perplexity_mixture_from_postings(
+    tf: DataFrame, dl: DataFrame
+) -> DataFrame:
+    """The mixture report from POSTINGS-SHAPED sufficient statistics
+    (doc_id, tok, tf) + (doc_id, dl) — the same relations
+    `streaming/postings.py` maintains durably, so the standing index
+    doubles as the incrementally-maintained state for corpus-global
+    perplexity mixing: tf margins give the vocabulary counts, Σ tf·bits
+    gives each doc's surprisal (identical integers to the per-occurrence
+    batch fold), and the downstream histogram/tercile/sampling chain is
+    shared verbatim with the registered query. Golden-tested over the
+    streaming index, including after right-to-be-forgotten deletes
+    (tests/test_streaming_postings.py)."""
+    tf = tf.localCheckpoint(eager=True)
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    tot = tf.agg(F.sum("tf").alias("total"))
     px = (
-        tok.join(F.broadcast(vocab), "tok")
+        tf.join(F.broadcast(vocab), "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.floor(
-                1000000.0
-                * F.sum(F.length(F.bin(F.expr("total div cnt"))))
-                / F.count(F.lit(1))
-            ).cast("bigint").alias("mean_bits_fx")
+            F.sum(
+                F.col("tf") * F.length(F.bin(F.expr("total div cnt")))
+            ).alias("sumbits")
+        )
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.floor(1000000.0 * F.col("sumbits") / F.col("dl"))
+            .cast("bigint").alias("mean_bits_fx"),
         )
     )
     binned = px.select(
