@@ -271,3 +271,50 @@ def test_paragraph_dedup_forgets_keeper_paragraphs(spark, sf_dir):
     )
     # the forgotten doc's unique paragraphs survive in the probe
     assert after["n_dropped"] < after["n_paras"]
+
+
+def test_delete_edge_cases_empty_and_all(spark, sf_dir):
+    """Empty delete set is a no-op; deleting the whole standing corpus
+    makes every arriving doc score as new."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 2 == 0).localCheckpoint(eager=True)
+    newb = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .limit(50)
+        .localCheckpoint(eager=True)
+    )
+    empty = spark.createDataFrame([], "doc_id long")
+
+    det = StreamingCorpusDedup(spark, seed, grow=False, **_PARAMS)
+    det.begin_batch(0)
+    base = det.process_batch(newb)
+    det.commit(0)
+    det.begin_batch(1)
+    det.delete_batch(empty)
+    det.commit(1)
+    det.begin_batch(2)
+    after_noop = det.process_batch(newb)
+    det.commit(2)
+    assert _rows(base) == _rows(after_noop)
+
+    det.begin_batch(3)
+    det.delete_batch(seed.select("doc_id"))
+    det.commit(3)
+    det.begin_batch(4)
+    after_all = det.process_batch(newb)
+    det.commit(4)
+    assert after_all.filter(~F.col("keep")).count() == 0
+
+    idx = StreamingPostingsIndex(spark)
+    idx.begin_batch(0)
+    idx.process_batch(seed)
+    idx.commit(0)
+    n0 = idx.search().count()
+    idx.begin_batch(1)
+    idx.delete_docs(empty)
+    idx.commit(1)
+    assert idx.search().count() == n0
+    idx.begin_batch(2)
+    idx.delete_docs(seed.select("doc_id"))
+    idx.commit(2)
+    assert idx.search().count() == 0
