@@ -118,3 +118,29 @@ def test_curation_e2e_classifier_not_duplicated_into_filter(spark, sf_dir):
         .toString()
     )
     assert "qw#" not in plan, "classifier expression escaped the barrier"
+
+
+def test_no_expensive_expressions_cloned_into_filters(spark, sf_dir):
+    """The round-8 bug class, swept registry-wide: predicate pushdown can
+    clone a large aliased expression (md5 chains, higher-order lambdas)
+    into a Filter below its Project; the doubled tree then falls out of
+    whole-stage codegen (measured 8x on the curation e2e). Any Filter
+    node evaluating two or more md5 calls or lambda functions signals
+    that duplication — fix with a narrow materialization barrier before
+    the gate (see plans/pipeline.py::curation_pipeline_e2e)."""
+    bad: list[str] = []
+    for name, spec in sorted(all_queries().items()):
+        plan = (
+            spec.spark(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for line in plan.splitlines():
+            ls = line.strip().lstrip("+-: ")
+            if ls.startswith("Filter") and (
+                ls.count("md5(") >= 2 or ls.count("lambdafunction") >= 2
+            ):
+                bad.append(f"{name}: {ls[:120]}")
+                break
+    assert not bad, "expensive Filter clones:\n" + "\n".join(bad)
