@@ -49,7 +49,7 @@ from pyspark.sql.window import Window
 from ..operators.anomaly import FEATURES, HOUR_MS, Q
 from ..operators.prefix import global_running_sums
 from ..schemas import KIND_COMMENT, KIND_POST, KIND_REPLY
-from .durable import COMPACT_EVERY, DurableTables
+from .durable import COMPACT_EVERY, DurableTables, flat_checkpoint
 
 _USERS_SCHEMA = "person_id long, s0 long, s1 long"
 _SUMS_SCHEMA = "feature string, s long, c long"
@@ -193,7 +193,7 @@ class StreamingAnomalyDetector:
         )
         newly = scored.filter(abnormal).select(
             "ts_ms", F.col("person_id").alias("user_id")
-        ).localCheckpoint(eager=True)
+        ).transform(flat_checkpoint)
         # O(batch) eager work: the delta checkpoints, the full set stays a
         # lazy union compacted every COMPACT_EVERY batches (the in-memory
         # mirror of the store's delta+compaction layout)
@@ -201,7 +201,7 @@ class StreamingAnomalyDetector:
         self._delta = newly
         self._since_compact += 1
         if self._since_compact >= COMPACT_EVERY:
-            self.flagged = self.flagged.localCheckpoint(eager=True)
+            self.flagged = self.flagged.transform(flat_checkpoint)
             self._since_compact = 0
 
         # advance global sums (exact integer arithmetic) — one scalar agg
@@ -233,7 +233,7 @@ class StreamingAnomalyDetector:
             F.coalesce("b0", "s0").alias("s0"),
             F.coalesce("b1", F.when(F.col("b0").isNotNull(), F.col("s0")), F.col("s1")).alias("s1"),
         )
-        self.user_state = merged.localCheckpoint(eager=True)
+        self.user_state = merged.transform(flat_checkpoint)
         return newly
 
     def anomalies(self) -> DataFrame:
@@ -264,7 +264,7 @@ def anomaly_stream(
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         det.begin_batch(batch_id)
-        newly = det.process_batch(batch_df.localCheckpoint(eager=True))
+        newly = det.process_batch(batch_df.transform(flat_checkpoint))
         newly.write.mode("overwrite").parquet(
             f"{out_dir}/batch-{batch_id:05d}"
         )

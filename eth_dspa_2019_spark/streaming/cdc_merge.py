@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .durable import DurableTables
+from .durable import DurableTables, flat_checkpoint
 
 _SNAP_SCHEMA = "key long, cents long"
 _CHANGE_SCHEMA = "op string, key long, cents long, seq long"

@@ -37,7 +37,7 @@ from ..operators.dedup import (
     incremental_dedup_against,
     minhash_lsh_pairs,
 )
-from .durable import COMPACT_EVERY, DurableTables
+from .durable import COMPACT_EVERY, DurableTables, flat_checkpoint
 
 _KEYS_SCHEMA = "id long, key_hash long"
 _BANDS_SCHEMA = "id long, band_id int, band_key string"
@@ -108,9 +108,9 @@ class StreamingCorpusDedup:
                 n=p["n"], num_perm=p["num_perm"], bands=p["bands"],
                 prefix=p["prefix"],
             )
-            self.keys = k.localCheckpoint(eager=True)
-            self.bands = b.localCheckpoint(eager=True)
-            self.shingles = sh.localCheckpoint(eager=True)
+            self.keys = k.transform(flat_checkpoint)
+            self.bands = b.transform(flat_checkpoint)
+            self.shingles = sh.transform(flat_checkpoint)
         self._empty_deltas()
 
     def _adopt(self, tables: dict[str, DataFrame]) -> None:
@@ -225,7 +225,7 @@ class StreamingCorpusDedup:
         d = (
             ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(flat_checkpoint)
         )
         self._empty_deltas()
         self._delta["deleted"] = d
@@ -249,7 +249,7 @@ class StreamingCorpusDedup:
         (doc_id, is_exact_dup, is_near_dup, keep) for the batch. With
         ``grow``, the kept docs' artifacts join the state."""
         p = self.params
-        new_docs = new_docs.localCheckpoint(eager=True)
+        new_docs = new_docs.transform(flat_checkpoint)
         caches: list[DataFrame] = []
         scored = incremental_dedup_against(
             self._active(self.keys, "id"),
@@ -262,7 +262,7 @@ class StreamingCorpusDedup:
         )
         if self.self_dedup:
             scored = self._fold_within_batch(new_docs, scored)
-        scored = scored.localCheckpoint(eager=True)
+        scored = scored.transform(flat_checkpoint)
         for c in caches:
             c.unpersist()
         if not self.grow:
@@ -282,9 +282,9 @@ class StreamingCorpusDedup:
         # standing tables stay lazy unions compacted every COMPACT_EVERY
         # batches (the in-memory mirror of the store's layout)
         self._delta = {
-            "keys": dk.localCheckpoint(eager=True),
-            "bands": db.localCheckpoint(eager=True),
-            "shingles": dsh.localCheckpoint(eager=True),
+            "keys": dk.transform(flat_checkpoint),
+            "bands": db.transform(flat_checkpoint),
+            "shingles": dsh.transform(flat_checkpoint),
             "deleted": self.deleted.limit(0),
         }
         self.keys = self.keys.unionByName(self._delta["keys"])
@@ -292,9 +292,9 @@ class StreamingCorpusDedup:
         self.shingles = self.shingles.unionByName(self._delta["shingles"])
         self._since_compact += 1
         if self._since_compact >= COMPACT_EVERY:
-            self.keys = self.keys.localCheckpoint(eager=True)
-            self.bands = self.bands.localCheckpoint(eager=True)
-            self.shingles = self.shingles.localCheckpoint(eager=True)
+            self.keys = self.keys.transform(flat_checkpoint)
+            self.bands = self.bands.transform(flat_checkpoint)
+            self.shingles = self.shingles.transform(flat_checkpoint)
             self._since_compact = 0
         return scored
 

@@ -29,7 +29,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .resolution import COMPACT_EVERY, _StateStore
+from .resolution import COMPACT_EVERY, _StateStore, flat_checkpoint
+
+__all__ = ["COMPACT_EVERY", "DurableTables", "flat_checkpoint"]
 
 
 class DurableTables:

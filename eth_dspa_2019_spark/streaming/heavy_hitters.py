@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .durable import DurableTables
+from .durable import DurableTables, flat_checkpoint
 
 _COUNTERS_SCHEMA = "key long, cnt long, err long"
 
@@ -109,7 +109,7 @@ class StreamingHeavyHitters:
         self.counters = (
             merged.orderBy(F.col("cnt").desc(), "key")
             .limit(self.k)
-            .localCheckpoint(eager=True)
+            .transform(flat_checkpoint)
         )
         return self.counters
 

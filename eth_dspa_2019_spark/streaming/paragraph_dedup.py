@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import h64
 from ..plans.llm import PARA_KEY, PARA_W
-from .durable import COMPACT_EVERY, DurableTables
+from .durable import COMPACT_EVERY, DurableTables, flat_checkpoint
 
 _PARAS_SCHEMA = "doc_id long, ph long"  # keeper doc id = retraction provenance
 _DELETED_SCHEMA = "doc_id long"
@@ -129,14 +129,14 @@ class StreamingParagraphDedup:
         d = (
             ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(flat_checkpoint)
         )
         self._empty_deltas()
         self._delta["deleted"] = d
         self.deleted = self.deleted.unionByName(d)
         self._since_compact += 1
         if self._since_compact >= COMPACT_EVERY:
-            self.paras = self._active().localCheckpoint(eager=True)
+            self.paras = self._active().transform(flat_checkpoint)
             self._since_compact = 0
 
     # -- durability hooks -------------------------------------------------
@@ -167,14 +167,14 @@ class StreamingParagraphDedup:
         this batch's kept paragraphs."""
         paras = _batch_paragraphs(
             new_docs, self.id_col, self.text_col
-        ).localCheckpoint(eager=True)
+        ).transform(flat_checkpoint)
         win = paras.groupBy("ph").agg(F.min("okey").alias("wkey"))
         first_in_batch = paras.join(win, "ph").filter(
             F.col("okey") == F.col("wkey")
         )
         kept = first_in_batch.join(
             self._active().select("ph"), "ph", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).transform(flat_checkpoint)
         # every batch doc appears in the output, even fully-deduped ones
         agg = kept.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("nk"),
@@ -201,16 +201,16 @@ class StreamingParagraphDedup:
                     "clean_text"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .transform(flat_checkpoint)
         )
         self._empty_deltas()
         self._delta["paras"] = (
-            kept.select("doc_id", "ph").distinct().localCheckpoint(eager=True)
+            kept.select("doc_id", "ph").distinct().transform(flat_checkpoint)
         )
         self.paras = self.paras.unionByName(self._delta["paras"])
         self._since_compact += 1
         if self._since_compact >= COMPACT_EVERY:
-            self.paras = self.paras.localCheckpoint(eager=True)
+            self.paras = self.paras.transform(flat_checkpoint)
             self._since_compact = 0
         return out
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .durable import COMPACT_EVERY, DurableTables
+from .durable import COMPACT_EVERY, DurableTables, flat_checkpoint
 
 _TF_SCHEMA = "doc_id long, tok string, tf long"
 _DL_SCHEMA = "doc_id long, dl long"
@@ -105,20 +105,20 @@ class StreamingPostingsIndex:
         d_tf = (
             tok.groupBy("doc_id", "tok")
             .agg(F.count(F.lit(1)).alias("tf"))
-            .localCheckpoint(eager=True)
+            .transform(flat_checkpoint)
         )
         d_dl = (
             tok.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("dl"))
-            .localCheckpoint(eager=True)
+            .transform(flat_checkpoint)
         )
         self._delta = {"tf": d_tf, "dl": d_dl, "del": self.deleted.limit(0)}
         self.tf = self.tf.unionByName(d_tf)
         self.dl = self.dl.unionByName(d_dl)
         self._since_compact += 1
         if self._since_compact >= COMPACT_EVERY:
-            self.tf = self.tf.localCheckpoint(eager=True)
-            self.dl = self.dl.localCheckpoint(eager=True)
+            self.tf = self.tf.transform(flat_checkpoint)
+            self.dl = self.dl.transform(flat_checkpoint)
             self._since_compact = 0
 
     def _live(self, df: DataFrame) -> DataFrame:
@@ -136,15 +136,15 @@ class StreamingPostingsIndex:
         d = (
             ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(flat_checkpoint)
         )
         self._empty_deltas()
         self._delta["del"] = d
         self.deleted = self.deleted.unionByName(d)
         self._since_compact += 1
         if self._since_compact >= COMPACT_EVERY:
-            self.tf = self._live(self.tf).localCheckpoint(eager=True)
-            self.dl = self._live(self.dl).localCheckpoint(eager=True)
+            self.tf = self._live(self.tf).transform(flat_checkpoint)
+            self.dl = self._live(self.dl).transform(flat_checkpoint)
             self._since_compact = 0
 
     def search(self) -> DataFrame:

@@ -34,7 +34,7 @@ from ..operators.recommend import (
     dynamic_similarity,
     recommendations,
 )
-from .durable import COMPACT_EVERY, DurableTables
+from .durable import COMPACT_EVERY, DurableTables, flat_checkpoint
 
 _RECS_SCHEMA = (
     "window_end long, eigen_id long, rank int, rec_user_id long, "
@@ -54,8 +54,8 @@ class StreamingRecommender:
         state_dir: str | None = None,
     ):
         self.spark = spark
-        self.static = static.localCheckpoint(eager=True)
-        self.friends = friends.localCheckpoint(eager=True)
+        self.static = static.transform(flat_checkpoint)
+        self.friends = friends.transform(flat_checkpoint)
         self.state = DurableTables(
             spark, state_dir, fulls={}, deltas={"recs": _RECS_SCHEMA}
         )
@@ -87,7 +87,7 @@ class StreamingRecommender:
     def process_batch(self, counts: DataFrame) -> DataFrame:
         """counts: (window_end, post_id, person_id, c) rows of windows the
         watermark just closed. Returns this batch's recommendations."""
-        counts = counts.localCheckpoint(eager=True)
+        counts = counts.transform(flat_checkpoint)
         if not counts.head(1):
             self._delta = self.recs.limit(0)
             return self._delta
@@ -103,7 +103,7 @@ class StreamingRecommender:
         self._delta = newly
         self._since_compact += 1
         if self._since_compact >= COMPACT_EVERY:
-            self.recs = self.recs.localCheckpoint(eager=True)
+            self.recs = self.recs.transform(flat_checkpoint)
             self._since_compact = 0
         return newly
 

@@ -64,6 +64,34 @@ _MAX_HOPS = 16
 COMPACT_EVERY = 8
 
 
+def flat_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint that also DROPS the origin plan's estimated
+    statistics. Spark's ``localCheckpoint`` cuts lineage but PRESERVES
+    the checkpointed plan's stats, and join estimation multiplies child
+    sizeInBytes — so a streaming component whose per-batch delta plan
+    joins the standing state k times compounds the standing stats ×k
+    every batch. The sizeInBytes BigInteger's bit-length then grows
+    geometrically, and after ~a dozen batches Catalyst's
+    SizeInBytesOnlyStatsPlanVisitor spends MINUTES multiplying
+    million-bit integers on the driver (reproduced in the round-8
+    56-batch corpus-dedup soak: 8 s/batch through batch 10, 155 s at
+    batch 13, wedged at 14). Rebuilding the frame from the SAME
+    materialized internal RDD (zero recompute, no Python round-trip)
+    resets the leaf to the bounded default estimate, so per-batch stats
+    stay a few thousand bits forever. The reset also disables
+    auto-broadcast for these frames — standing state isn't
+    broadcastable at scale anyway, and the components hint
+    ``F.broadcast`` explicitly where they mean it."""
+    ck = df.localCheckpoint(eager=True)
+    jdf = ck._jdf
+    spark = df.sparkSession
+    stripped = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(stripped, spark)
+
+
+
 class _StateStore:
     """Versioned parquet snapshots under ``root`` with commit markers.
 
@@ -359,7 +387,7 @@ class IncrementalResolver:
                     .alias("ptr"),
                     F.coalesce(F.col("m.mdone"), F.lit(False)).alias("done"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(flat_checkpoint)
             )
             # hit/work are lazy filters over the CHECKPOINTED chased frame —
             # probing them is a block-manager scan, not a recompute
@@ -391,14 +419,14 @@ class IncrementalResolver:
         self.resolved = self.resolved.unionByName(delta)
         self._since_compact += 1
         if self._since_compact >= COMPACT_EVERY:
-            self.resolved = self.resolved.localCheckpoint(eager=True)
+            self.resolved = self.resolved.transform(flat_checkpoint)
             self._since_compact = 0
         # pending carries the ADVANCED pointer — cross-batch path
         # compression: a chain of depth d resolves in O(log d) total hops
         # no matter how it splits across batches
         self.pending = work.select(
             "id", F.col("ptr").alias("parent_id")
-        ).localCheckpoint(eager=True)
+        ).transform(flat_checkpoint)
         self._delta = delta
         return self._delta
 
@@ -465,7 +493,7 @@ def resolve_activities_stream(
         rolled = resolver.begin_batch(batch_id)
         if rolled is not None:
             parked = resolver.store.load(rolled, "parked", _PARKED_SCHEMA)
-        batch_df = batch_df.localCheckpoint(eager=True)
+        batch_df = batch_df.transform(flat_checkpoint)
         if acts_out_dir is not None:
             acts_out = batch_df
             if sink_parts is not None:
@@ -473,7 +501,7 @@ def resolve_activities_stream(
             acts_out.write.mode("overwrite").parquet(
                 f"{acts_out_dir}/batch-{batch_id:05d}"
             )
-        newly = resolver.process_batch(batch_df).localCheckpoint(eager=True)
+        newly = resolver.process_batch(batch_df).transform(flat_checkpoint)
         direct = batch_df.filter(
             F.col("kind").isin(KIND_POST, KIND_LIKE, KIND_COMMENT)
         ).select(*out_cols)
@@ -495,7 +523,7 @@ def resolve_activities_stream(
         )
         parked = reply_rows.join(
             hit.select("id"), "id", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).transform(flat_checkpoint)
         resolved_out = direct.unionByName(hit)
         if sink_parts is not None:
             resolved_out = resolved_out.coalesce(sink_parts)
