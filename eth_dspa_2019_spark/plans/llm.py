@@ -2355,30 +2355,69 @@ def doc_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    return nb_quality_from_postings(tf, dl)
+
+
+def nb_quality_from_postings(tf: DataFrame, dl: DataFrame) -> DataFrame:
+    """The whole NB learn/calibrate/score loop from POSTINGS-SHAPED
+    sufficient statistics (doc_id, tok, tf) + (doc_id, dl) — the same
+    relations the streaming index maintains durably, like
+    `perplexity_mixture_from_postings`: the heuristic LABEL re-derives
+    from the margins (distinct-token count, stopword tf mass, dl — same
+    integers, same double-op tree as `functions.text.quality_score`, so
+    thresholds agree bit-for-bit), per-class bucket counts weight by tf,
+    and scoring sums tf·w. Golden-tested over the streamed index,
+    including after right-to-be-forgotten deletes
+    (tests/test_streaming_postings.py)."""
     lg8 = lambda x: _lg8(x, "shiftright(%s, %s)")
-    lab = docs.select("doc_id", tokens("text").alias("ta")).withColumn(
-        "good",
-        (quality_score(F.col("ta")) >= NB_LABEL_MIN_QUALITY).cast("int"),
+    tf = tf.localCheckpoint(eager=True)
+    marg = tf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nu"),
+        F.sum(
+            F.when(F.col("tok").isin(*STOPWORDS), F.col("tf"))
+            .otherwise(F.lit(0))
+        ).alias("nstop"),
     )
-    tok = (
-        lab.select("doc_id", "good", F.explode("ta").alias("t"))
-        .select("doc_id", "good", (h64("t") % NB_BUCKETS).alias("b"))
-        .localCheckpoint(eager=True)
+    # EXACT double-op tree of functions.text.quality_score over the
+    # margin integers: 0.5*least(n/100.0, 1.0) + 0.3*(uniq/n)
+    # + 0.2*(1.0 - stop/n)
+    q = (
+        0.5 * F.least(F.col("dl") / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (F.col("nu") / F.col("dl"))
+        + 0.2 * (F.lit(1.0) - F.col("nstop") / F.col("dl"))
     )
-    one = F.count(F.lit(1))
-    cnts = tok.groupBy("b").agg(
-        F.sum("good").alias("cg"), (one - F.sum("good")).alias("cb")
+    lab = (
+        dl.join(marg, "doc_id")
+        .select(
+            "doc_id",
+            "dl",
+            (q >= NB_LABEL_MIN_QUALITY).cast("int").alias("good"),
+        )
     )
-    tots = tok.agg(
-        F.sum("good").alias("tg"), (one - F.sum("good")).alias("tb")
+    tokb = tf.join(lab, "doc_id").select(
+        "doc_id", "good", (h64("tok") % NB_BUCKETS).alias("b"), "tf"
+    )
+    cnts = tokb.groupBy("b").agg(
+        F.sum(F.col("tf") * F.col("good")).alias("cg"),
+        F.sum(F.col("tf") * (1 - F.col("good"))).alias("cb"),
+    )
+    tots = tokb.agg(
+        F.sum(F.col("tf") * F.col("good")).alias("tg"),
+        F.sum(F.col("tf") * (1 - F.col("good"))).alias("tb"),
     )
     w = cnts.crossJoin(F.broadcast(tots)).select(
         "b", F.expr(_nb_w8(lg8)).alias("w")
     )
     sc = (
-        tok.join(F.broadcast(w), "b")
+        tokb.join(F.broadcast(w), "b")
         .groupBy("doc_id", "good")
-        .agg(one.alias("n_tokens"), F.sum("w").alias("nb_score"))
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("w")).alias("nb_score"),
+        )
         .localCheckpoint(eager=True)  # scored once; feeds calibration + output
     )
     good0 = F.col("good") == 0

@@ -102,3 +102,47 @@ def test_incremental_mixture_equals_batch_including_after_delete(
         tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")),
     )
     assert _rows(got2) == _rows(want2)
+
+
+def test_incremental_nb_classifier_equals_batch_including_after_delete(
+    spark, sf_dir
+):
+    """The trained NB quality classifier is fully derivable from the
+    standing postings statistics — labels, per-class weights,
+    calibration, and scores read from the streamed index equal the
+    registered batch query, and deletion shifts all of them exactly as
+    a purged-corpus retrain would."""
+    from eth_dspa_2019_spark.plans.llm import nb_quality_from_postings
+    from eth_dspa_2019_spark.streaming.postings import StreamingPostingsIndex
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    cuts = [lo + (hi - lo) * i // 3 for i in range(3)] + [hi + 1]
+    idx = StreamingPostingsIndex(spark)
+    for b, (a, z) in enumerate(zip(cuts[:-1], cuts[1:])):
+        idx.begin_batch(b)
+        idx.process_batch(
+            docs.filter((F.col("doc_id") >= a) & (F.col("doc_id") < z))
+        )
+        idx.commit(b)
+
+    got = nb_quality_from_postings(idx._live(idx.tf), idx._live(idx.dl))
+    want = all_queries()["doc_nb_quality"].spark(spark, sf_dir)
+    assert _rows(got) == _rows(want)
+
+    deletes = docs.filter(F.col("doc_id") % 17 == 3).select("doc_id")
+    idx.begin_batch(3)
+    idx.delete_docs(deletes)
+    idx.commit(3)
+    got2 = nb_quality_from_postings(idx._live(idx.tf), idx._live(idx.dl))
+    purged = docs.join(deletes, "doc_id", "left_anti")
+    tok = purged.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    want2 = nb_quality_from_postings(
+        tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")),
+        tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")),
+    )
+    assert _rows(got2) == _rows(want2)
