@@ -280,3 +280,39 @@ def test_durable_tables_lifecycle(spark, tmp_path):
 
     vdirs = sorted(glob.glob(f"{sdir}/v*"))
     assert len(vdirs) <= COMPACT_EVERY + 2, vdirs
+
+
+def test_flat_checkpoint_strips_origin_statistics(spark):
+    """Regression pin for the round-8 stats blowup: localCheckpoint
+    preserves the origin plan's estimated sizeInBytes (join estimation
+    multiplies these, compounding geometrically across standing-state
+    batches); flat_checkpoint must reset the leaf to the bounded default
+    while serving the identical rows without recompute."""
+    import pyspark.sql.functions as F
+
+    from eth_dspa_2019_spark.streaming.durable import flat_checkpoint
+
+    a = spark.range(100).withColumn("k", F.col("id") % 7)
+    b = spark.range(50).withColumn("k", F.col("id") % 7)
+    j = a.join(b.withColumnRenamed("id", "id2"), "k").join(
+        a.withColumnRenamed("id", "id3"), "k"
+    )
+
+    def bits(df):
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ).bit_length()
+
+    flat = flat_checkpoint(j)
+    assert bits(flat) <= 64, bits(flat)
+    assert sorted(map(tuple, flat.collect())) == sorted(
+        map(tuple, j.collect())
+    )
+    # and the compounding scenario stays bounded: re-checkpoint a plan
+    # that references the previous checkpoint several times, repeatedly
+    st = flat
+    for _ in range(5):
+        st = flat_checkpoint(
+            st.alias("x").join(st.alias("y"), "k").limit(10)
+        )
+    assert bits(st) <= 64, bits(st)
