@@ -513,6 +513,7 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 48,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """(id, simhash) — classic SimHash over token hashes, ``bits`` wide
     (≤62 keeps the BIGINT positive).
@@ -529,6 +530,14 @@ def simhash(
     r8: the per-occurrence form spent ~2 s of the 4 s query here at
     sf0.1). The vote aggregation then runs over |doc|·|doc-vocab| rows,
     not token occurrences.
+
+    ``broadcast_vocab`` gates the vocabulary hint: a Heaps-law web-scale
+    corpus has hundreds of millions of distinct tokens, past the 8 GB
+    broadcast cap — there, pass ``False`` and the hash is computed inline
+    per DISTINCT (doc, token) pair instead (no join at all; the (id, tok)
+    pre-agg already collapsed raw occurrences, so the md5 cost is per
+    doc-vocab entry — more than per-corpus-vocab, far less than
+    per-occurrence, and nothing ever sits on the driver).
     """
     tokc = (
         df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
@@ -536,10 +545,13 @@ def simhash(
         .groupBy("id", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    vocab = tokc.select("tok").distinct().select(
-        "tok", h64("tok").alias("h")
-    )
-    tok = tokc.join(F.broadcast(vocab), "tok").select("id", "cnt", "h")
+    if broadcast_vocab:
+        vocab = tokc.select("tok").distinct().select(
+            "tok", h64("tok").alias("h")
+        )
+        tok = tokc.join(F.broadcast(vocab), "tok").select("id", "cnt", "h")
+    else:
+        tok = tokc.select("id", "cnt", h64("tok").alias("h"))
     # SQL-string expressions: one py4j call per aggregate instead of ~8
     # Column-builder round-trips — with `bits` of them, driver-side plan
     # construction dominated the whole query otherwise (~2 s at 84 exprs).
@@ -569,6 +581,7 @@ def simhash_wide(
     text_col: str = "text",
     word_bits: tuple[int, ...] = (48, 36),
     salts: tuple[str, ...] = ("", "#w1"),
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """(id, sim_0, sim_1, …) — SimHash fingerprints WIDER than one BIGINT,
     one column ("word") per entry of ``word_bits``, each word voted from an
@@ -587,7 +600,9 @@ def simhash_wide(
     All words' votes still run in ONE groupBy (Σ word_bits conditional
     sums), count-weighted over per-(doc, token) rows with all salted
     hashes computed once per DISTINCT token on a broadcast vocabulary —
-    see :func:`simhash` for why (occurrences ≫ vocabulary on Zipf text).
+    see :func:`simhash` for why (occurrences ≫ vocabulary on Zipf text),
+    and for the ``broadcast_vocab=False`` web-scale fallback (inline
+    per-(doc, token) hashing, no driver-sized structure).
     """
     if len(word_bits) != len(salts):
         raise ValueError("word_bits and salts must align")
@@ -597,16 +612,17 @@ def simhash_wide(
         .groupBy("id", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    vocab = tokc.select("tok").distinct().select(
-        "tok",
-        *[
-            (h64(F.concat(F.col("tok"), F.lit(s))) if s else h64("tok")).alias(
-                f"h{w}"
-            )
-            for w, s in enumerate(salts)
-        ],
-    )
-    tokh = tokc.join(F.broadcast(vocab), "tok").drop("tok")
+    salted = [
+        (h64(F.concat(F.col("tok"), F.lit(s))) if s else h64("tok")).alias(
+            f"h{w}"
+        )
+        for w, s in enumerate(salts)
+    ]
+    if broadcast_vocab:
+        vocab = tokc.select("tok").distinct().select("tok", *salted)
+        tokh = tokc.join(F.broadcast(vocab), "tok").drop("tok")
+    else:
+        tokh = tokc.select("id", "cnt", *salted)
     # SQL-string expressions — see :func:`simhash` for why (py4j plan-build
     # cost scales with expression count; Σ word_bits is 84 by default)
     vote_aggs = [

@@ -19,15 +19,40 @@ counts are scalar aggregates (1-row funnels).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def purge_relation(rel: DataFrame, deletes: DataFrame, id_col: str) -> DataFrame:
+def delete_id_col(deletes: DataFrame, id_col: str | None = None) -> Column:
+    """The delete-id column of a delete frame. A compliance primitive
+    must not guess: without an explicit ``id_col`` the frame must have
+    exactly ONE column — silently taking ``columns[0]`` of a wider frame
+    would purge by the wrong column with no error."""
+    if id_col is not None:
+        if id_col not in deletes.columns:
+            raise ValueError(
+                f"delete frame has no column {id_col!r}; has {deletes.columns}"
+            )
+        return F.col(id_col)
+    if len(deletes.columns) != 1:
+        raise ValueError(
+            "ambiguous delete frame: pass the delete-id column name "
+            f"explicitly for a multi-column frame (got {deletes.columns})"
+        )
+    return F.col(deletes.columns[0])
+
+
+def purge_relation(
+    rel: DataFrame,
+    deletes: DataFrame,
+    id_col: str,
+    delete_id: str | None = None,
+) -> DataFrame:
     """``rel`` minus all rows whose ``id_col`` is in the delete set —
     one broadcast anti-join, the universal propagation step."""
     d = F.broadcast(
-        deletes.select(F.col(deletes.columns[0]).alias("__del_id")).distinct()
+        deletes.select(delete_id_col(deletes, delete_id).alias("__del_id"))
+        .distinct()
     )
     return rel.join(d, rel[id_col] == d["__del_id"], "left_anti")
 
@@ -44,14 +69,17 @@ def purge_relations(
 
 
 def purge_audit(
-    relations: dict[str, tuple[DataFrame, str]], deletes: DataFrame
+    relations: dict[str, tuple[DataFrame, str]],
+    deletes: DataFrame,
+    delete_id: str | None = None,
 ) -> DataFrame:
     """The compliance report: one row per relation with
     ``(relation, rows_before, rows_after, rows_purged)``. Each relation
     contributes ONE aggregate pass (left-join flag + conditional count),
     so the audit costs one scan per relation regardless of corpus size."""
     d = F.broadcast(
-        deletes.select(F.col(deletes.columns[0]).alias("__del_id")).distinct()
+        deletes.select(delete_id_col(deletes, delete_id).alias("__del_id"))
+        .distinct()
     )
     parts = []
     for name, (df, idc) in sorted(relations.items()):

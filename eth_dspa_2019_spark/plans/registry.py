@@ -247,17 +247,32 @@ def _stale_greens(
     return stale
 
 
+# the driver's correctness gate samples the FIRST `GATE_SLOTS` registry
+# entries; `STALEST_QUOTA` of those slots are reserved for the stalest
+# untouched greens so growth + staleness churn can never starve
+# re-certification (VERDICT r8 #1: the task2 family had no gate row
+# since r4 because groups 0-2 alone kept filling all 50 slots)
+GATE_SLOTS = 50
+STALEST_QUOTA = 12
+
+
 def _ordered_names(
     registry_names: list[str],
     last_green: dict[str, int],
     stale: dict[str, int] | set[str],
+    gate_slots: int = GATE_SLOTS,
+    quota: int = STALEST_QUOTA,
 ) -> list[str]:
     """Gate order: never-green first, then greens whose DEFINING module
     changed (tier 1, stalest round first), then greens stale only via a
     changed transitive import (tier 2), then untouched greens — each
-    sub-group stalest round first, ties on registration position. Pure —
-    unit-tested directly. Accepts a plain set for tier-less staleness
-    (everything tier 1)."""
+    sub-group stalest round first, ties on registration position. On top
+    of that, the ``quota`` greens with the OLDEST last-green round are
+    GUARANTEED a slot in the first ``gate_slots`` positions (any tier —
+    age since last certification is the starvation metric, and tier-1
+    churn alone can overfill the window); within the window the base
+    ordering is preserved. Pure — unit-tested directly. Accepts a plain
+    set for tier-less staleness (everything tier 1)."""
     reg_pos = {n: i for i, n in enumerate(registry_names)}
     tiers = (
         stale if isinstance(stale, dict) else {n: 1 for n in stale}
@@ -268,7 +283,19 @@ def _ordered_names(
         group = 0 if green == 0 else tiers.get(n, 3)
         return (group, green, reg_pos[n])
 
-    return sorted(registry_names, key=key)
+    base = sorted(registry_names, key=key)
+    greens_by_age = sorted(
+        (n for n in base if last_green.get(n, 0) > 0),
+        key=lambda n: (last_green[n], reg_pos[n]),
+    )
+    reserved = set(greens_by_age[:quota])
+    nonres = [n for n in base if n not in reserved]
+    window = set(
+        nonres[: max(0, gate_slots - len(reserved))]
+    ) | reserved
+    return [n for n in base if n in window] + [
+        n for n in base if n not in window
+    ]
 
 
 _ORDER: list[str] | None = None

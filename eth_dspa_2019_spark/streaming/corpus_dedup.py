@@ -37,6 +37,7 @@ from ..operators.dedup import (
     incremental_dedup_against,
     minhash_lsh_pairs,
 )
+from ..operators.forget import delete_id_col
 from .durable import COMPACT_EVERY, DurableTables, flat_checkpoint
 
 _KEYS_SCHEMA = "id long, key_hash long"
@@ -137,6 +138,10 @@ class StreamingCorpusDedup:
                 self._seed()  # rolled back past the first commit
             else:
                 self._adopt(tables)
+        else:
+            # fresh staging area; folds MERGE into it (unionByName) so a
+            # delete and an ingest in one begin/commit cycle both persist
+            self._empty_deltas()
 
     def commit(self, batch_id: int) -> None:
         """Persist this batch's kept-doc artifacts as the version deltas.
@@ -223,23 +228,27 @@ class StreamingCorpusDedup:
         NEW (the whole point of the retraction). Call between
         ``begin_batch`` and ``commit`` like ``process_batch``."""
         d = (
-            ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
+            ids.select(delete_id_col(ids).cast("long").alias("doc_id"))
             .distinct()
             .transform(flat_checkpoint)
         )
-        self._empty_deltas()
-        self._delta["deleted"] = d
+        # merge, don't overwrite: an ingest fold staged earlier in this
+        # same batch keeps its artifact deltas in the durable log
+        self._delta["deleted"] = self._delta["deleted"].unionByName(d)
         self.deleted = self.deleted.unionByName(d)
         self._since_compact += 1
         if self._since_compact >= COMPACT_EVERY:
-            self.keys = self._active(self.keys, "id").localCheckpoint(
-                eager=True
+            # flat_checkpoint, not raw localCheckpoint: the anti-join
+            # plan's preserved stats would re-seed the geometric
+            # sizeInBytes blowup the r8 soak caught (durable.py docstring)
+            self.keys = self._active(self.keys, "id").transform(
+                flat_checkpoint
             )
-            self.bands = self._active(self.bands, "id").localCheckpoint(
-                eager=True
+            self.bands = self._active(self.bands, "id").transform(
+                flat_checkpoint
             )
-            self.shingles = self._active(self.shingles, "id").localCheckpoint(
-                eager=True
+            self.shingles = self._active(self.shingles, "id").transform(
+                flat_checkpoint
             )
             self._since_compact = 0
 
@@ -266,7 +275,7 @@ class StreamingCorpusDedup:
         for c in caches:
             c.unpersist()
         if not self.grow:
-            self._empty_deltas()
+            # nothing to stage; leave any delete delta from this batch
             return scored
         kept = new_docs.join(
             scored.filter(F.col("keep")).select(
@@ -280,16 +289,17 @@ class StreamingCorpusDedup:
         )
         # O(batch) eager work: only the kept delta checkpoints; the
         # standing tables stay lazy unions compacted every COMPACT_EVERY
-        # batches (the in-memory mirror of the store's layout)
-        self._delta = {
-            "keys": dk.transform(flat_checkpoint),
-            "bands": db.transform(flat_checkpoint),
-            "shingles": dsh.transform(flat_checkpoint),
-            "deleted": self.deleted.limit(0),
-        }
-        self.keys = self.keys.unionByName(self._delta["keys"])
-        self.bands = self.bands.unionByName(self._delta["bands"])
-        self.shingles = self.shingles.unionByName(self._delta["shingles"])
+        # batches (the in-memory mirror of the store's layout). Merge
+        # into any delta staged earlier this batch (e.g. a delete fold).
+        dk = dk.transform(flat_checkpoint)
+        db = db.transform(flat_checkpoint)
+        dsh = dsh.transform(flat_checkpoint)
+        self._delta["keys"] = self._delta["keys"].unionByName(dk)
+        self._delta["bands"] = self._delta["bands"].unionByName(db)
+        self._delta["shingles"] = self._delta["shingles"].unionByName(dsh)
+        self.keys = self.keys.unionByName(dk)
+        self.bands = self.bands.unionByName(db)
+        self.shingles = self.shingles.unionByName(dsh)
         self._since_compact += 1
         if self._since_compact >= COMPACT_EVERY:
             self.keys = self.keys.transform(flat_checkpoint)

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import h64
 from ..plans.llm import PARA_KEY, PARA_W
+from ..operators.forget import delete_id_col
 from .durable import COMPACT_EVERY, DurableTables, flat_checkpoint
 
 _PARAS_SCHEMA = "doc_id long, ph long"  # keeper doc id = retraction provenance
@@ -127,12 +128,13 @@ class StreamingParagraphDedup:
         safe in the forget direction: nothing of the deleted document
         remains in state."""
         d = (
-            ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
+            ids.select(delete_id_col(ids).cast("long").alias("doc_id"))
             .distinct()
             .transform(flat_checkpoint)
         )
-        self._empty_deltas()
-        self._delta["deleted"] = d
+        # merge, don't overwrite: a paragraph fold staged earlier in this
+        # same batch keeps its paras delta in the durable log
+        self._delta["deleted"] = self._delta["deleted"].unionByName(d)
         self.deleted = self.deleted.unionByName(d)
         self._since_compact += 1
         if self._since_compact >= COMPACT_EVERY:
@@ -148,6 +150,10 @@ class StreamingParagraphDedup:
                 self._seed()
             else:
                 self._adopt(tables)
+        else:
+            # fresh staging area; folds MERGE into it (unionByName) so a
+            # delete and an ingest in one begin/commit cycle both persist
+            self._empty_deltas()
 
     def commit(self, batch_id: int) -> None:
         self.state.commit(
@@ -203,11 +209,10 @@ class StreamingParagraphDedup:
             )
             .transform(flat_checkpoint)
         )
-        self._empty_deltas()
-        self._delta["paras"] = (
-            kept.select("doc_id", "ph").distinct().transform(flat_checkpoint)
-        )
-        self.paras = self.paras.unionByName(self._delta["paras"])
+        # merge into any delta staged earlier this batch (delete fold)
+        dp = kept.select("doc_id", "ph").distinct().transform(flat_checkpoint)
+        self._delta["paras"] = self._delta["paras"].unionByName(dp)
+        self.paras = self.paras.unionByName(dp)
         self._since_compact += 1
         if self._since_compact >= COMPACT_EVERY:
             self.paras = self.paras.transform(flat_checkpoint)

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.forget import delete_id_col
 from .durable import COMPACT_EVERY, DurableTables, flat_checkpoint
 
 _TF_SCHEMA = "doc_id long, tok string, tf long"
@@ -79,6 +80,11 @@ class StreamingPostingsIndex:
                 self._seed()
             else:
                 self._adopt(tables)
+        else:
+            # fresh staging area for this batch; folds MERGE into it
+            # (unionByName), so an ingest and a delete in the same
+            # begin/commit cycle both reach the durable log
+            self._empty_deltas()
 
     def commit(self, batch_id: int) -> None:
         self.state.commit(
@@ -112,7 +118,11 @@ class StreamingPostingsIndex:
             .agg(F.count(F.lit(1)).alias("dl"))
             .transform(flat_checkpoint)
         )
-        self._delta = {"tf": d_tf, "dl": d_dl, "del": self.deleted.limit(0)}
+        # merge into any delta already staged this batch (e.g. an earlier
+        # delete_docs fold) — overwriting would drop its tombstones from
+        # the durable log and lose them on crash-recovery replay
+        self._delta["tf"] = self._delta["tf"].unionByName(d_tf)
+        self._delta["dl"] = self._delta["dl"].unionByName(d_dl)
         self.tf = self.tf.unionByName(d_tf)
         self.dl = self.dl.unionByName(d_dl)
         self._since_compact += 1
@@ -134,12 +144,13 @@ class StreamingPostingsIndex:
         margin all shift because `search()` re-derives them from the
         live postings. Call between ``begin_batch`` and ``commit``."""
         d = (
-            ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
+            ids.select(delete_id_col(ids).cast("long").alias("doc_id"))
             .distinct()
             .transform(flat_checkpoint)
         )
-        self._empty_deltas()
-        self._delta["del"] = d
+        # merge, don't overwrite: an ingest fold staged earlier in this
+        # same batch keeps its tf/dl deltas in the durable log
+        self._delta["del"] = self._delta["del"].unionByName(d)
         self.deleted = self.deleted.unionByName(d)
         self._since_compact += 1
         if self._since_compact >= COMPACT_EVERY:

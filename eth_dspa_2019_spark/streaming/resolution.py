@@ -81,14 +81,25 @@ def flat_checkpoint(df: DataFrame) -> DataFrame:
     stay a few thousand bits forever. The reset also disables
     auto-broadcast for these frames — standing state isn't
     broadcastable at scale anyway, and the components hint
-    ``F.broadcast`` explicitly where they mean it."""
+    ``F.broadcast`` explicitly where they mean it.
+
+    CLASSIC-MODE ONLY: the stats strip reaches into py4j internals
+    (``_jdf``, ``internalCreateDataFrame`` — private[sql] API). Under
+    Spark Connect (no ``_jdf``) or if the private API moves, we fall
+    back to the plain eager localCheckpoint — correct, lineage still
+    cut, only the stats-reset optimization is lost."""
     ck = df.localCheckpoint(eager=True)
-    jdf = ck._jdf
     spark = df.sparkSession
-    stripped = spark._jsparkSession.internalCreateDataFrame(
-        jdf.queryExecution().toRdd(), jdf.schema(), False
-    )
-    return DataFrame(stripped, spark)
+    if not hasattr(ck, "_jdf") or not hasattr(spark, "_jsparkSession"):
+        return ck  # Spark Connect: no JVM handle on this side
+    try:
+        jdf = ck._jdf
+        stripped = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(stripped, spark)
+    except Exception:  # private API drifted across Spark versions
+        return ck
 
 
 

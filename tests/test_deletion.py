@@ -318,3 +318,102 @@ def test_delete_edge_cases_empty_and_all(spark, sf_dir):
     idx.delete_docs(seed.select("doc_id"))
     idx.commit(2)
     assert idx.search().count() == 0
+
+
+def test_postings_ingest_and_delete_compose_in_one_batch(
+    spark, sf_dir, tmp_path
+):
+    """An ingest fold and a delete fold in the SAME begin/commit cycle
+    must BOTH reach the durable log (r8 ADVICE: the staged delta was
+    overwritten, so crash-recovery silently lost either the batch's
+    postings or its tombstones — a right-to-be-forgotten violation)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = _chunks(docs, 2)
+    deletes = docs.filter(F.col("doc_id") % 17 == 3).select("doc_id")
+    st = str(tmp_path / "state")
+
+    idx = StreamingPostingsIndex(spark, st)
+    idx.begin_batch(0)
+    idx.process_batch(chunks[0])
+    idx.commit(0)
+    idx.begin_batch(1)
+    idx.process_batch(chunks[1])
+    idx.delete_docs(deletes)  # same cycle as the ingest
+    idx.commit(1)
+
+    # a fresh process recovering from durable state alone
+    recovered = StreamingPostingsIndex(spark, st)
+    ref = StreamingPostingsIndex(spark)
+    ref.begin_batch(0)
+    ref.process_batch(docs.join(deletes, "doc_id", "left_anti"))
+    ref.commit(0)
+    assert _rows(recovered.search()) == _rows(ref.search())
+
+
+def test_dedup_ingest_and_delete_compose_in_one_batch(
+    spark, sf_dir, tmp_path
+):
+    """Same-cycle composition for the corpus-dedup state: after crash
+    recovery, a copy of the same-cycle INGESTED doc scores as a dup
+    (its artifact delta persisted) and a copy of the same-cycle DELETED
+    doc scores as new (its tombstone delta persisted)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 2 == 0).localCheckpoint(eager=True)
+    key = F.md5(F.substring("text", 1, 64)).alias("k")
+    uniq = (
+        seed.select("doc_id", key)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("c") == 1)
+        .orderBy("doc_id")
+        .limit(1)
+    )
+    vid = seed.join(uniq.select("doc_id"), "doc_id").collect()[0]["doc_id"]
+    sentinel = spark.createDataFrame(
+        [(9_000_001, "zqxj " * 40)], "doc_id long, text string"
+    ).localCheckpoint(eager=True)
+    st = str(tmp_path / "state")
+
+    det = StreamingCorpusDedup(spark, seed, st, **_PARAMS)
+    det.begin_batch(0)
+    det.process_batch(sentinel)  # ingest fold ...
+    det.delete_batch(
+        spark.createDataFrame([(vid,)], "doc_id long")
+    )  # ... and delete fold, same cycle
+    det.commit(0)
+
+    recovered = StreamingCorpusDedup(spark, None, st, **_PARAMS)
+    probe = spark.createDataFrame(
+        [(9_000_002, "zqxj " * 40)], "doc_id long, text string"
+    )
+    victim_copy = (
+        docs.filter(F.col("doc_id") == vid)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    recovered.begin_batch(1)
+    got = recovered.process_batch(probe.unionByName(victim_copy))
+    recovered.commit(1)
+    by_id = {r["doc_id"]: r for r in got.collect()}
+    assert by_id[9_000_002]["is_exact_dup"] is True  # ingest persisted
+    assert by_id[vid + 1_000_000]["keep"] is True  # tombstone persisted
+
+
+def test_delete_id_col_requires_unambiguous_column(spark):
+    """The compliance primitive must not guess the delete-id column:
+    multi-column frames need an explicit name (r8 ADVICE)."""
+    import pytest
+
+    from eth_dspa_2019_spark.operators.forget import purge_relation
+
+    rel = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    wide = spark.createDataFrame(
+        [("x", 1)], "other string, doc_id long"
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        purge_relation(rel, wide, "doc_id")
+    got = purge_relation(rel, wide, "doc_id", delete_id="doc_id")
+    assert _rows(got.select("doc_id")) == [(2,)]
+    with pytest.raises(ValueError, match="no column"):
+        purge_relation(rel, wide, "doc_id", delete_id="nope")

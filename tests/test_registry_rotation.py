@@ -95,3 +95,29 @@ def test_module_files_follow_plan_to_operator_imports():
 def test_live_order_is_a_permutation_of_registry():
     qs = R.all_queries()
     assert set(qs) == set(R._REGISTRY)
+
+def test_stalest_green_quota_survives_crowding():
+    """VERDICT r8 #1: with 60 priority entries (never-green + stale),
+    the 50-slot gate window must still carry the 12 stalest untouched
+    greens — re-certification cannot be starved indefinitely."""
+    pri = [f"new{i}" for i in range(60)]            # never green
+    unt = [f"old{i}" for i in range(20)]            # untouched greens
+    names = pri + unt
+    last_green = {n: 1 + (i % 7) for i, n in enumerate(unt)}
+    got = R._ordered_names(names, last_green, set())
+    window = got[:50]
+    # 38 priority slots, then the 12 stalest untouched greens
+    assert window[:38] == pri[:38]
+    expect_unt = sorted(unt, key=lambda n: (last_green[n], names.index(n)))
+    assert window[38:] == expect_unt[:12]
+    # nothing lost: still a permutation
+    assert sorted(got) == sorted(names)
+
+
+def test_quota_is_noop_when_gate_uncrowded():
+    """With fewer entries than the gate window, ordering is unchanged
+    from the pure group/staleness sort (existing tests' regime)."""
+    names = ["a", "b", "c", "d", "e"]
+    last_green = {"b": 3, "c": 1, "d": 5, "e": 1}
+    got = R._ordered_names(names, last_green, {"c", "d"})
+    assert got == ["a", "c", "d", "e", "b"]
