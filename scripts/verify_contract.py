@@ -8,25 +8,15 @@ the unexpected-failure report work the same.
 
 Creates a VANILLA SparkSession (no engine configs — the driver won't have
 them), runs `__spark_entry__.entry`, then every `queries()` entry against
-its `oracle_sql()` in DuckDB with the 10 testdata views registered,
-comparing (sorted columns, sorted repr-rows). Two known benign repr
-artifacts (`activity_parse`, `events_asof_last_purchase`: pandas
-timestamp-repr canonicalization) pass the driver's typed comparator
-(tests/oracle.py) but not this cruder repr compare; they are listed so a
-zero-exit run means "everything the driver checks is green".
+its `oracle_sql()` in DuckDB using the TYPED comparator the test suite
+uses (tests/oracle.py: schema + canonical dtype + type-tagged values,
+order-insensitive) — the same comparison discipline as the driver's
+value hash, with no repr-artifact whitelist: zero failures means green.
 """
 
 from __future__ import annotations
 
 import sys
-
-import duckdb
-
-REPR_ARTIFACTS = {"activity_parse", "events_asof_last_purchase"}
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
 
 
 def main() -> int:
@@ -36,14 +26,9 @@ def main() -> int:
 
     spark = SparkSession.builder.master("local[8]").getOrCreate()
     import __spark_entry__ as e
+    from tests.oracle import compare
 
     assert len(e.entry(spark).collect()) > 0, "entry returned 0 rows"
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf}/{t}.parquet')"
-        )
     qs, os_ = e.queries(), e.oracle_sql()
     pats = [a.lower() for a in sys.argv[2:]]
     if pats:
@@ -55,24 +40,13 @@ def main() -> int:
     fails = []
     for name in sorted(qs):
         try:
-            sdf = qs[name](spark, sf)
-            cols = sorted(sdf.columns)
-            srows = sorted(
-                tuple(repr(r[c]) for c in cols) for r in sdf.collect()
-            )
-            odf = con.sql(os_[name]).df()
-            assert sorted(odf.columns.tolist()) == cols, "schema mismatch"
-            orows = sorted(
-                tuple(repr(v) for v in row)
-                for row in odf[cols].itertuples(index=False)
-            )
-            status = "ok" if srows == orows else "FAIL"
+            compare(qs[name](spark, sf), os_[name], sf)
+            status = "ok"
         except Exception as ex:  # pragma: no cover - diagnostic path
-            status = f"ERR {type(ex).__name__}: {str(ex)[:120]}"
-        if status != "ok" and name not in REPR_ARTIFACTS:
+            status = f"FAIL {type(ex).__name__}: {str(ex)[:160]}"
             fails.append((name, status))
-        print(f"{status:4s} {name}", flush=True)
-    print(f"==== {len(qs)} queries, {len(fails)} unexpected failures")
+        print(f"{'ok  ' if status == 'ok' else 'FAIL'} {name}", flush=True)
+    print(f"==== {len(qs)} queries, {len(fails)} failures")
     for n, s in fails:
         print("FAIL:", n, s)
     return 1 if fails else 0
