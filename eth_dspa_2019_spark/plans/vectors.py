@@ -20,7 +20,9 @@ from ..operators.similarity import (
     cosine_topk,
     ivf_topk,
     neardup_pairs_lsh,
+    norm2_fx,
     o_bucket_expr,
+    pair_cosine_batches,
     plane_signs,
     pq_topk,
     sq8_topk,
@@ -1183,4 +1185,178 @@ def kmeans_lloyd_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("d").cast("bigint").alias("inertia_fx"),
         )
         .orderBy("cid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDedup shape: Abbas et al. 2023, arXiv:2303.09540) —
+# embedding-space near-dup pruning with the all-pairs product bounded by
+# CLUSTER SIZE: k-means assignment first, exact cosine only within a
+# cluster. The one industry-standard dedup family (embedding, cluster-
+# pruned) alongside exact / Jaccard / MinHash / SimHash / cosine-LSH.
+
+SEM_THRESHOLD = 0.35  # testdata embeddings are near-random; see ND_THRESHOLD
+
+# knob CTE shared with _o_kmeans: smallest power-of-two K with K² ≥ N,
+# stride = max(1, N // K) — matches km_stride_for exactly
+_O_KNOBS = """
+    knobs AS (
+      SELECT greatest(1, c.n // (1::BIGINT << coalesce(
+               (SELECT min(t) FROM range(0, 22) r(t),
+                    (SELECT count(DISTINCT vec_id) AS n FROM eli) c2
+                WHERE (1::BIGINT << (2 * t)) >= c2.n), 21))) AS stride
+      FROM (SELECT count(DISTINCT vec_id) AS n FROM eli) c
+    )
+"""
+
+
+def _o_semdedup() -> str:
+    dist = f"sum((a.xf * {KM_S} - c.cel) * (a.xf * {KM_S} - c.cel))"
+    cos = (
+        "cast(d.dp AS double) / (sqrt(cast(na.n2 AS double)) * "
+        "sqrt(cast(nb.n2 AS double)))"
+    )
+    return f"""
+    WITH {_O_ELEMENTS},
+    eli AS (SELECT vec_id, i, cast(floor(x * {KM_Q}) AS bigint) AS xf
+            FROM el),
+    {_O_KNOBS},
+    cent0 AS (
+      SELECT vec_id AS cid, i, xf * {KM_S} AS cel FROM eli, knobs
+      WHERE vec_id % knobs.stride = 0
+    ),
+    d1 AS (
+      SELECT a.vec_id, c.cid, {dist} AS d
+      FROM eli a JOIN cent0 c ON c.i = a.i
+      GROUP BY 1, 2
+    ),
+    assign1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM assign1 x JOIN assign1 y
+        ON x.cid = y.cid AND x.vec_id > y.vec_id
+    ),
+    dots AS (
+      SELECT cd.a, cd.b,
+             sum(cast(floor(ea.x * eb.x * {FIXED_POINT}.0) AS bigint)) AS dp
+      FROM cand cd
+      JOIN el ea ON ea.vec_id = cd.a
+      JOIN el eb ON eb.vec_id = cd.b AND eb.i = ea.i
+      GROUP BY 1, 2
+    ),
+    dup AS (
+      SELECT DISTINCT d.a AS vec_id
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.a
+      JOIN norms nb ON nb.vec_id = d.b
+      WHERE {cos} >= {SEM_THRESHOLD}
+    )
+    SELECT s.vec_id, cast(s.cid AS bigint) AS cid,
+           (du.vec_id IS NULL) AS keep
+    FROM assign1 s LEFT JOIN dup du ON du.vec_id = s.vec_id
+    """
+
+
+def sem_cluster_assign(emb: DataFrame) -> DataFrame:
+    """(vec_id, cid): one integer-exact Lloyd assignment round over
+    stride seeds, K knob-derived (`km_stride_for`, K ≈ √N). Shared by
+    the registered query and the growth/recall tests. A second Lloyd
+    round moves co-cluster recall < 1 pt on the testdata embeddings
+    (measured r9), so the gate query pins the single-round form."""
+    el = (
+        emb.select("vec_id", F.posexplode("embedding").alias("i0", "x"))
+        .select(
+            "vec_id",
+            (F.col("i0") + 1).alias("i"),
+            F.floor(F.col("x").cast("double") * KM_Q)
+            .cast("bigint")
+            .alias("xf"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stride = km_stride_for(
+        int(el.agg(F.countDistinct("vec_id")).collect()[0][0])
+    )
+    cent0 = el.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cid"), "i", (F.col("xf") * KM_S).alias("cel")
+    )
+    diff = F.col("xf") * KM_S - F.col("cel")
+    return (
+        el.join(F.broadcast(cent0), "i")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(diff * diff).alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid")).alias("a"))
+        .select("vec_id", F.col("a.cid").alias("cid"))
+        .localCheckpoint(eager=True)
+    )
+
+
+@register(
+    "semantic_dedup_clusters",
+    oracle=_o_semdedup(),
+    doc="SemDedup: kmeans-pruned embedding near-dup, per-doc keep flags",
+)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup over the embeddings table: integer-exact k-means
+    assignment (the `kmeans_lloyd_sizes` machinery, one assign round,
+    knob-derived K ≈ √N) partitions the corpus; exact fixed-point cosine
+    runs ONLY within a cluster; a vector is dropped when an
+    earlier-id cluster-mate sits at cos ≥ τ (greedy first-occurrence
+    election — the same keeper discipline as paragraph/exact dedup).
+    Returns (vec_id, cid, keep).
+
+    Scale shape: candidate pairs are Σ_c n_c², never corpus² — with
+    K ≈ √N balanced clusters that is ~N^1.5, and the growth exponent is
+    asserted in tests/test_candidate_growth.py. The cluster assignment
+    join broadcasts K·dim centroid rows; the pair verify is the
+    Arrow-batched numpy kernel shared with `embedding_neardup_pairs`.
+    Production form at 100 TB: more Lloyd rounds (kmeans_refine) and a
+    per-cluster repartition so each cluster's verify is partition-local;
+    recall vs the LSH all-corpus screen is measured in
+    tests/test_kernels.py::test_semantic_dedup_recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = sem_cluster_assign(emb)
+    x, y = asg.alias("x"), asg.alias("y")
+    cand = x.join(
+        y,
+        (F.col("x.cid") == F.col("y.cid"))
+        & (F.col("x.vec_id") > F.col("y.vec_id")),
+    ).select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+    vecs = emb.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        norm2_fx(F.col("embedding")).alias("n2"),
+    )
+    va = vecs.select(
+        F.col("vec_id").alias("a"),
+        F.col("emb").alias("a_emb"),
+        F.col("n2").alias("a_n2"),
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("b"),
+        F.col("emb").alias("b_emb"),
+        F.col("n2").alias("b_n2"),
+    )
+    dup = (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .mapInPandas(
+            pair_cosine_batches(), schema="a long, b long, cos_sim double"
+        )
+        .filter(F.col("cos_sim") >= SEM_THRESHOLD)
+        .select(F.col("a").alias("vec_id"))
+        .distinct()
+        .withColumn("isdup", F.lit(True))
+    )
+    return asg.join(dup, "vec_id", "left").select(
+        "vec_id",
+        F.col("cid").cast("bigint").alias("cid"),
+        F.coalesce(~F.col("isdup"), F.lit(True)).alias("keep"),
     )

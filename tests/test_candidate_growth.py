@@ -387,3 +387,23 @@ def test_fuzzy_rare_gram_candidates_subquadratic(spark):
         ).count()
         pts.append((n, c))
     assert _alpha(pts) <= 1.55, pts
+
+
+def test_semantic_dedup_pair_mass_subquadratic(spark):
+    """SemDedup candidates are bounded by CLUSTER size: with the
+    km_stride_for knob (K ~ sqrt(N)) the within-cluster pair mass
+    sum(n_c^2) is ~N^1.5 by design — a degenerate assignment that dumps
+    the corpus into one cluster regresses to alpha ~ 2 and fails."""
+    from eth_dspa_2019_spark.plans.vectors import sem_cluster_assign
+
+    pts = []
+    for n, e in _emb_slices(spark):
+        asg = sem_cluster_assign(e)
+        sizes = [
+            r["c"]
+            for r in asg.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ]
+        pts.append((n, sum(s * s for s in sizes)))
+    assert _alpha(pts) <= 1.75, pts

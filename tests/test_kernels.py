@@ -295,3 +295,57 @@ def test_nb_quality_classifier_beats_majority_baseline(spark, sf_dir):
     acc = agg["correct"] / agg["n"]
     base = max(agg["pos"], agg["n"] - agg["pos"]) / agg["n"]
     assert acc > base + 0.05, (acc, base)
+
+
+def test_semantic_dedup_recall(spark, sf_dir):
+    """SemDedup effectiveness + exactness vs the all-corpus LSH screen
+    (`embedding_neardup_pairs`): (1) the later member of EVERY
+    co-clustered >=tau pair is dropped (within-cluster verify is exact),
+    and (2) co-cluster recall beats the chance co-clustering rate by
+    >=4x — on near-random testdata embeddings clustering must still
+    capture real similarity structure, not just partition randomly."""
+    from pyspark.sql import functions as F
+
+    from eth_dspa_2019_spark.plans.vectors import (
+        embedding_neardup_pairs,
+        semantic_dedup_clusters,
+    )
+
+    sd = semantic_dedup_clusters(spark, sf_dir).localCheckpoint(eager=True)
+    nd = (
+        embedding_neardup_pairs(spark, sf_dir)
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    asg = sd.select("vec_id", "cid")
+    co = (
+        nd.join(
+            asg.select(F.col("vec_id").alias("a"), F.col("cid").alias("ca")),
+            "a",
+        )
+        .join(
+            asg.select(F.col("vec_id").alias("b"), F.col("cid").alias("cb")),
+            "b",
+        )
+        .filter(F.col("ca") == F.col("cb"))
+        .localCheckpoint(eager=True)
+    )
+    dropped = sd.filter(~F.col("keep")).select("vec_id")
+    missed = (
+        co.select(F.col("b").alias("vec_id"))
+        .distinct()
+        .join(dropped, "vec_id", "left_anti")
+        .count()
+    )
+    assert missed == 0, "co-clustered >=tau pair survived the verify"
+
+    tot = nd.count()
+    assert tot > 0, "LSH screen found no pairs — threshold drifted?"
+    recall = co.count() / tot
+    sizes = [
+        r["c"]
+        for r in asg.groupBy("cid").agg(F.count(F.lit(1)).alias("c")).collect()
+    ]
+    n = sum(sizes)
+    chance = sum(s * (s - 1) for s in sizes) / (n * (n - 1))
+    assert recall >= 4 * chance, (recall, chance)
