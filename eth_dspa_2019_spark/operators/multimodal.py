@@ -4,100 +4,258 @@ columns with typed metadata, processed with Arrow-batched ``mapInPandas``.
 The 100-TB pattern: payload bytes travel as a binary column next to typed
 metadata; decode / feature-extract / resize / frame-sample run as
 ``mapInPandas`` stages (Arrow batch in, Arrow batch out — no per-row Python
-cost), partitioned by whatever key the pipeline shards on. Heavy codec
-libraries are NOT in this container, so the codec boundary is explicit:
+cost), partitioned by whatever key the pipeline shards on.
 
-- :func:`decode_image_meta` — the *plumbing* (schema, batching, UDF
-  signature) is real and tested; the pixel decode is a deterministic fake
-  header-parse (`_fake_decode`) with the real-codec slot raising
-  NotImplementedError, clearly marked.
+The payloads are REAL PNGs (RGB8), encoded and decoded stdlib-only
+(struct + zlib — no imaging library exists in this container and none is
+needed for the container format itself):
 
-The fixture payloads are deterministic synthetic "images": a 16-byte
-header (magic, width, height, channels) + text bytes, built from the
-documents table entirely with SQL expressions, so a DuckDB oracle can
-verify the decoded metadata byte-for-byte.
+- :func:`synth_png_column` — fixture generator: per-doc deterministic
+  pixels from a closed-form spec, filtered scanlines (None/Sub/Up round-
+  robin), zlib-compressed IDAT, CRC'd chunks.
+- :func:`png_decode` — a real scanline-decoding parser: signature +
+  chunk walk with CRC32 verification, IHDR validation, multi-IDAT
+  inflate, and full de-filtering (all five PNG filter types incl.
+  Average/Paeth). Decode failures surface as a QUARANTINE column
+  (``ok=false`` + ``err``), never an executor exception — at corpus
+  scale a torn payload must not kill the stage.
+
+The DuckDB oracles re-derive every metadata/feature column from the
+generation spec in closed form, so the encode → decode → feature path is
+verified end-to-end: pixel sums and histograms only match if the inflate
++ de-filter actually reconstructed the scanlines.
+
+Reference parity: the reference has no multimodal path; this implements
+the LLM-pipeline brief (binary columns + typed metadata + Arrow-batched
+codec stages).
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame
 
-MAGIC = 0x1347
-HEADER_LEN = 16
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+CHANNELS = 3  # RGB8 fixture
+
+# fixture dims/pixels derive from doc_id in closed form (oracle-sharable)
+W_MOD, W_OFF = 40, 8  # width  = doc_id % 40 + 8   (8..47)
+H_MOD, H_OFF = 30, 6  # height = doc_id % 30 + 6   (6..35)
 
 META_SCHEMA = (
     "doc_id bigint, width int, height int, channels int, n_pixels bigint, "
-    "payload_len int, ok boolean"
+    "payload_len int, pix_sum bigint, ok boolean, err string"
 )
 
 
-def synth_image_column(docs: DataFrame) -> DataFrame:
-    """(doc_id, image binary): 16-byte big-endian header
-    (magic, width, height, channels — all int32) + the utf-8 text payload.
-    Width/height derive from doc_id; channels from text length."""
-    width = (F.col("doc_id") % 640 + 64).cast("int")
-    height = (F.col("doc_id") % 480 + 48).cast("int")
-    channels = (F.length("text") % 3 + 1).cast("int")
-
-    def be32(c: Column) -> Column:
-        # 4-byte big-endian encoding of a non-negative int32, JVM-side
-        return F.unhex(F.lpad(F.hex(c.cast("bigint")), 8, "0"))
-
-    payload = F.encode("text", "UTF-8")
-    return docs.select(
-        "doc_id",
-        F.concat(
-            be32(F.lit(MAGIC)), be32(width), be32(height), be32(channels), payload
-        ).alias("image"),
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
     )
 
 
-def _real_decode(payload: bytes):  # pragma: no cover - codec libs absent
-    """Slot for a real image codec (PIL/libvips). STUB: the container has
-    no imaging libraries; wire one in here when deploying."""
-    raise NotImplementedError("image codec not available in this environment")
+def fixture_pixels(doc_id: int) -> np.ndarray:
+    """The (h, w, 3) uint8 pixel spec: val = (31·id + 7x + 13y + 17c) mod
+    256 — closed-form, so the SQL oracle can recompute any reduction of
+    the decoded image without a codec."""
+    w = doc_id % W_MOD + W_OFF
+    h = doc_id % H_MOD + H_OFF
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(CHANNELS, dtype=np.int64)[None, None, :]
+    return ((31 * doc_id + 7 * x + 13 * y + 17 * c) % 256).astype(np.uint8)
 
 
-def _fake_decode(buf: bytes) -> tuple[int, int, int, bool]:
-    """Deterministic header parse standing in for the codec."""
-    if len(buf) < HEADER_LEN:
-        return 0, 0, 0, False
-    magic, width, height, channels = struct.unpack(">iiii", buf[:HEADER_LEN])
-    if magic != MAGIC:
-        return 0, 0, 0, False
-    return width, height, channels, True
+def png_encode(pixels: np.ndarray) -> bytes:
+    """Stdlib PNG encoder (RGB8): filtered scanlines (filter = y % 3 —
+    None/Sub/Up round-robin, so a decoder that skips de-filtering cannot
+    reproduce the pixels), one zlib IDAT, CRC'd chunks."""
+    h, w, ch = pixels.shape
+    assert ch == CHANNELS
+    raw = pixels.astype(np.int16)
+    lines = []
+    for y in range(h):
+        row = raw[y].reshape(-1)  # w*3 bytes
+        ftype = y % 3
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:  # Sub: left neighbor, bpp=3
+            left = np.concatenate([np.zeros(CHANNELS, dtype=np.int16), row[:-CHANNELS]])
+            filt = (row - left) % 256
+        else:  # Up: prior scanline
+            prior = raw[y - 1].reshape(-1) if y else np.zeros_like(row)
+            filt = (row - prior) % 256
+        lines.append(bytes([ftype]) + filt.astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
+    idat = zlib.compress(b"".join(lines), 6)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_decode(buf: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Real PNG parser: returns (width, height, channels, pixels[h,w,c]).
+
+    Walks the chunk stream verifying each CRC32, validates IHDR (8-bit
+    RGB, no interlace), inflates the concatenated IDATs and de-filters
+    every scanline — all five filter types (None/Sub/Up/Average/Paeth),
+    so any spec-conformant RGB8 PNG decodes, not just the fixture.
+    Raises ValueError with a diagnostic message on malformed input."""
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos, w, h, idat = 8, None, None, []
+    while pos < len(buf):
+        if pos + 8 > len(buf):
+            raise ValueError("truncated chunk header")
+        (clen,) = struct.unpack(">I", buf[pos : pos + 4])
+        typ = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + clen]
+        if len(data) != clen or pos + 12 + clen > len(buf):
+            raise ValueError("truncated chunk data")
+        (crc,) = struct.unpack(">I", buf[pos + 8 + clen : pos + 12 + clen])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {typ!r}")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} color={ctype} "
+                    f"interlace={inter}"
+                )
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + clen
+    if w is None:
+        raise ValueError("missing IHDR")
+    try:
+        stream = zlib.decompress(b"".join(idat))
+    except zlib.error as ex:
+        raise ValueError(f"IDAT inflate failed: {ex}") from ex
+    stride = 1 + w * CHANNELS
+    if len(stream) != h * stride:
+        raise ValueError(
+            f"decompressed length {len(stream)} != {h}x{stride}"
+        )
+    bpp = CHANNELS
+    out = np.zeros((h, w * CHANNELS), dtype=np.uint8)
+    for y in range(h):
+        ftype = stream[y * stride]
+        line = np.frombuffer(
+            stream, dtype=np.uint8, count=w * CHANNELS, offset=y * stride + 1
+        ).astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y else np.zeros_like(line)
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # Sub — per-channel prefix sum, vectorized
+            rec = line.copy()
+            for chan in range(bpp):
+                rec[chan::bpp] = np.cumsum(line[chan::bpp]) % 256
+        elif ftype == 2:  # Up
+            rec = (line + prior) % 256
+        elif ftype == 3:  # Average
+            rec = line.copy()
+            for i in range(len(rec)):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (rec[i] + (left + prior[i]) // 2) % 256
+        elif ftype == 4:  # Paeth
+            rec = line.copy()
+            for i in range(len(rec)):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (rec[i] + pred) % 256
+        else:
+            raise ValueError(f"bad filter type {ftype} at row {y}")
+        out[y] = rec.astype(np.uint8)
+    return w, h, CHANNELS, out.reshape(h, w, CHANNELS)
+
+
+def _encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "image": [
+                    png_encode(fixture_pixels(int(d))) for d in pdf["doc_id"]
+                ],
+            }
+        )
+
+
+def synth_png_column(docs: DataFrame) -> DataFrame:
+    """(doc_id, image binary): real RGB8 PNG payloads, pixels from the
+    closed-form fixture spec. Arrow-batched encode — the binary column
+    is born distributed, exactly how a payload-bearing table would be
+    ingested."""
+    return docs.select("doc_id").mapInPandas(
+        _encode_batches, schema="doc_id bigint, image binary"
+    )
 
 
 def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
-        decoded = [_fake_decode(b) for b in pdf["image"]]
-        w = pd.Series([d[0] for d in decoded], dtype="int32")
-        h = pd.Series([d[1] for d in decoded], dtype="int32")
-        c = pd.Series([d[2] for d in decoded], dtype="int32")
+        rows = {k: [] for k in (
+            "doc_id", "width", "height", "channels", "n_pixels",
+            "payload_len", "pix_sum", "ok", "err",
+        )}
+        for doc_id, buf in zip(pdf["doc_id"], pdf["image"]):
+            rows["doc_id"].append(int(doc_id))
+            try:
+                w, h, c, px = png_decode(bytes(buf))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(c)
+                rows["n_pixels"].append(w * h * c)
+                rows["payload_len"].append(h * (1 + w * c))
+                rows["pix_sum"].append(int(px.astype(np.int64).sum()))
+                rows["ok"].append(True)
+                rows["err"].append(None)
+            except ValueError as ex:  # quarantine, never a stage failure
+                rows["width"].append(0)
+                rows["height"].append(0)
+                rows["channels"].append(0)
+                rows["n_pixels"].append(0)
+                rows["payload_len"].append(0)
+                rows["pix_sum"].append(0)
+                rows["ok"].append(False)
+                rows["err"].append(str(ex))
         yield pd.DataFrame(
             {
-                "doc_id": pdf["doc_id"],
-                "width": w,
-                "height": h,
-                "channels": c,
-                "n_pixels": (w.astype("int64") * h * c),
-                "payload_len": pd.Series(
-                    [len(b) - HEADER_LEN for b in pdf["image"]], dtype="int32"
-                ),
-                "ok": pd.Series([d[3] for d in decoded], dtype="bool"),
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "channels": pd.Series(rows["channels"], dtype="int32"),
+                "n_pixels": pd.Series(rows["n_pixels"], dtype="int64"),
+                "payload_len": pd.Series(rows["payload_len"], dtype="int32"),
+                "pix_sum": pd.Series(rows["pix_sum"], dtype="int64"),
+                "ok": pd.Series(rows["ok"], dtype="bool"),
+                "err": pd.Series(rows["err"], dtype="object"),
             }
         )
 
 
 def decode_image_meta(images: DataFrame) -> DataFrame:
-    """Arrow-batched decode of (doc_id, image) → typed metadata rows.
-    One mapInPandas stage, no shuffle: partition-parallel over however the
-    payload table is laid out."""
+    """Arrow-batched decode of (doc_id, image) → typed metadata rows with
+    a quarantine column (ok/err). One mapInPandas stage, no shuffle:
+    partition-parallel over however the payload table is laid out."""
     return images.mapInPandas(_decode_batches, schema=META_SCHEMA)
 
 
@@ -105,19 +263,24 @@ FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_offset bigint"
 
 
 def _frame_sample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic frame sampling stand-in: every payload is treated as
-    n_frames = payload_len % 7 + 1 equal 'frames'; emit (idx, byte offset)
-    per sampled frame — the video-path row-explode shape."""
+    """Frame sampling over the DECODED geometry: the image's scanline
+    stream stands in for a frame sequence — n_frames = h % 7 + 1, each
+    frame_offset a byte offset into the de-filtered stream (stride =
+    whole scanlines). The video-path row-explode shape with a real
+    decode feeding the stride math."""
     for pdf in it:
         ids, idxs, offs = [], [], []
         for doc_id, buf in zip(pdf["doc_id"], pdf["image"]):
-            plen = len(buf) - HEADER_LEN
-            n_frames = plen % 7 + 1
-            stride = max(plen // n_frames, 1)
+            try:
+                w, h, c, _px = png_decode(bytes(buf))
+            except ValueError:
+                continue  # quarantined payloads produce no frames
+            n_frames = h % 7 + 1
+            row_stride = max(h // n_frames, 1)
             for i in range(n_frames):
-                ids.append(doc_id)
+                ids.append(int(doc_id))
                 idxs.append(i)
-                offs.append(HEADER_LEN + i * stride)
+                offs.append(i * row_stride * (1 + w * c))
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(ids, dtype="int64"),
@@ -141,19 +304,20 @@ RESIZE_SCHEMA = (
 
 
 def _resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Aspect-preserving fit-within-{RESIZE_TARGET}px resize PLAN: integer
-    target dims + fixed-point scale per image. The pixel resample itself
-    is the codec-boundary stub (`_real_decode`); the planning math is the
-    real thing a preprocessing pipeline shards on."""
+    """Aspect-preserving fit-within-{RESIZE_TARGET}px resize PLAN from the
+    real decoded dims: integer target sizes + fixed-point scale per
+    image — the planning math a preprocessing pipeline shards on (the
+    resample itself would ride the same mapInPandas stage)."""
     for pdf in it:
         rows = {"doc_id": [], "width": [], "height": [], "dst_w": [],
                 "dst_h": [], "scale_fx": []}
         for doc_id, buf in zip(pdf["doc_id"], pdf["image"]):
-            w, h, _c, ok = _fake_decode(buf)
-            if not ok:
+            try:
+                w, h, _c, _px = png_decode(bytes(buf))
+            except ValueError:
                 continue
             m = max(w, h)
-            rows["doc_id"].append(doc_id)
+            rows["doc_id"].append(int(doc_id))
             rows["width"].append(w)
             rows["height"].append(h)
             rows["dst_w"].append(w * RESIZE_TARGET // m)
@@ -183,25 +347,32 @@ FEAT_SCHEMA = "doc_id bigint, " + ", ".join(
 )
 
 
-def _byte_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Per-image byte-histogram features over the raw PAYLOAD bytes (the
-    16-dim stand-in for a learned visual embedding): bucket = byte % 16,
-    vectorized numpy bincount per image. Real byte-level plumbing — the
-    oracle cross-checks it from the text column (the payload is utf-8,
-    ASCII on the fixture, so byte values == character codes)."""
-    import numpy as np
-
+def _pixel_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-image histogram over the DECODED PIXEL bytes (bucket =
+    value % 16) — a 16-dim deterministic stand-in for a learned visual
+    embedding that only matches the oracle if the inflate + de-filter
+    path actually reconstructed the scanlines."""
     for pdf in it:
-        out = {"doc_id": pdf["doc_id"].to_numpy()}
-        feats = np.zeros((len(pdf), FEAT_BUCKETS), dtype="int64")
-        for j, buf in enumerate(pdf["image"]):
-            b = np.frombuffer(bytes(buf), dtype=np.uint8)[HEADER_LEN:]
-            feats[j] = np.bincount(b % FEAT_BUCKETS, minlength=FEAT_BUCKETS)
+        ids = []
+        feats = []
+        for doc_id, buf in zip(pdf["doc_id"], pdf["image"]):
+            try:
+                _w, _h, _c, px = png_decode(bytes(buf))
+            except ValueError:
+                continue
+            ids.append(int(doc_id))
+            feats.append(
+                np.bincount(
+                    px.reshape(-1) % FEAT_BUCKETS, minlength=FEAT_BUCKETS
+                ).astype(np.int64)
+            )
+        fm = np.stack(feats) if feats else np.zeros((0, FEAT_BUCKETS), np.int64)
+        out = {"doc_id": pd.Series(ids, dtype="int64")}
         for i in range(FEAT_BUCKETS):
-            out[f"f{i}"] = feats[:, i]
+            out[f"f{i}"] = fm[:, i]
         yield pd.DataFrame(out)
 
 
 def byte_features(images: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over (doc_id, image)."""
-    return images.mapInPandas(_byte_feature_batches, schema=FEAT_SCHEMA)
+    return images.mapInPandas(_pixel_feature_batches, schema=FEAT_SCHEMA)
