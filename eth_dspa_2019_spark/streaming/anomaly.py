@@ -248,6 +248,7 @@ def anomaly_stream(
     checkpoint_dir: str,
     state_dir: str | None = None,
     _fail_at_batch: int | None = None,
+    timings: list | None = None,
 ) -> "StreamingAnomalyDetector":
     """Wire the detector to a parquet micro-batch stream of parsed
     activities (one file per trigger — event-time-ordered files, the
@@ -263,12 +264,17 @@ def anomaly_stream(
     det = StreamingAnomalyDetector(spark, state_dir)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        _t0 = _time.monotonic()
         det.begin_batch(batch_id)
         newly = det.process_batch(batch_df.transform(flat_checkpoint))
         newly.write.mode("overwrite").parquet(
             f"{out_dir}/batch-{batch_id:05d}"
         )
         det.commit(batch_id)
+        if timings is not None:  # soak/latency instrumentation
+            timings.append((batch_id, _time.monotonic() - _t0))
         if _fail_at_batch is not None and batch_id == _fail_at_batch:
             raise RuntimeError(
                 f"injected crash after committing batch {batch_id}"

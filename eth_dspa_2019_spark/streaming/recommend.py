@@ -141,6 +141,7 @@ def recommend_stream(
     out_dir: str | None = None,
     max_files_per_trigger: int | None = None,
     _fail_at_batch: int | None = None,
+    timings: list | None = None,
 ) -> "StreamingRecommender":
     """Wire the full streaming Task 2: resolved-activity parquet stream →
     watermarked windowed counts (append) → foreachBatch similarity fold.
@@ -165,6 +166,9 @@ def recommend_stream(
     counts = windowed_counts_stream(stream, watermark)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        _t0 = _time.monotonic()
         rec.begin_batch(batch_id)
         newly = rec.process_batch(batch_df)
         if out_dir is not None:
@@ -172,6 +176,8 @@ def recommend_stream(
                 f"{out_dir}/batch-{batch_id:05d}"
             )
         rec.commit(batch_id)
+        if timings is not None:  # soak/latency instrumentation
+            timings.append((batch_id, _time.monotonic() - _t0))
         if _fail_at_batch is not None and batch_id == _fail_at_batch:
             raise RuntimeError(
                 f"injected crash after committing batch {batch_id}"

@@ -457,6 +457,7 @@ def resolve_activities_stream(
     acts_out_dir: str | None = None,
     sink_parts: int | None = None,
     _fail_at_batch: int | None = None,
+    timings: list | None = None,
 ) -> "IncrementalResolver":
     """The reference's full resolver topology in streaming form
     (`PostIdResolver.buildPipeline`, `SN/SocialNetwork.java:37`): parse the
@@ -500,7 +501,10 @@ def resolve_activities_stream(
     parked = resolver.load_extra("parked", _PARKED_SCHEMA)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
         nonlocal parked
+        _t0 = _time.monotonic()
         rolled = resolver.begin_batch(batch_id)
         if rolled is not None:
             parked = resolver.store.load(rolled, "parked", _PARKED_SCHEMA)
@@ -542,6 +546,8 @@ def resolve_activities_stream(
             f"{out_dir}/batch-{batch_id:05d}"
         )
         resolver.commit(batch_id, extra={"parked": parked})
+        if timings is not None:  # soak/latency instrumentation
+            timings.append((batch_id, _time.monotonic() - _t0))
         if _fail_at_batch is not None and batch_id == _fail_at_batch:
             raise RuntimeError(f"injected crash after committing batch {batch_id}")
 
