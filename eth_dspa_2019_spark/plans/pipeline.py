@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h64, o_h64
-from ..functions.text import quality_score, token_count, tokens
+from ..functions.text import STOPWORDS, quality_score, token_count, tokens
 from ..io.readers import load_table
 from .llm import (
     _lsh_pairs,
@@ -1146,4 +1146,377 @@ def perplexity_mixture_from_postings(
             F.col("n_kept").cast("bigint").alias("n_kept"),
         )
         .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/valid/test split: near-dup clusters stay together
+
+#: split percentages over the 0..99 hash coin: [0, TRAIN) train,
+#: [TRAIN, TRAIN+VALID) valid, rest test
+SPLIT_TRAIN_PCT = 80
+SPLIT_VALID_PCT = 10
+
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_O_SHINGLES},
+    {_o_minhash_bands()},
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS common
+      FROM cand c
+      JOIN sh a ON a.id = c.doc_a
+      JOIN sh b ON b.id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    pairs AS ({_o_jaccard_select('common')}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+      SELECT src AS id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    assign AS (
+      SELECT d.doc_id,
+             cast(coalesce(c.cluster_id, d.doc_id) AS bigint) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN coin < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN coin < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, cluster_id,
+                 {o_h64("'split#' || cast(cluster_id AS varchar)")} % 100
+                   AS coin
+          FROM assign)
+    """,
+    doc="near-dup-cluster-aware train/valid/test split (zero leakage)",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated dataset split: every document is assigned
+    train/valid/test by hashing its NEAR-DUP CLUSTER id, not its own id —
+    near-duplicates (MinHash-LSH components, the `dedup_clusters_q`
+    relation) land in the same split by construction, so evaluation can
+    never see a paraphrase of a training document (the train/test-overlap
+    failure documented for web corpora; cluster-level splitting is the
+    standard fix). Singleton docs hash their own id. The coin is the
+    deterministic `h64("split#" || cluster)` — reproducible across runs
+    and engines, re-derivable per doc with no side table.
+
+    Scale shape: the cluster relation is already sub-quadratic
+    (banded LSH + pointer-jumping CC); assignment is ONE left equi-join
+    doc→cluster (hash-partitioned on doc id, the pair relation is
+    dup-count-sized, far smaller than the corpus) plus a map-side
+    projection. Zero-leakage is structural — no audit pass needed — and
+    is regression-asserted against the pair relation in
+    tests/test_pipeline_ops.py.
+    """
+    clusters = dd.dedup_clusters(_lsh_pairs(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cl = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    coin = h64(F.concat(F.lit("split#"), cl.cast("string"))) % 100
+    split = (
+        F.when(coin < SPLIT_TRAIN_PCT, "train")
+        .when(coin < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, "valid")
+        .otherwise("test")
+    )
+    return (
+        docs.join(clusters, docs.doc_id == clusters.id, "left")
+        .select(
+            "doc_id",
+            cl.cast("bigint").alias("cluster_id"),
+            split.alias("split"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-filter flags (Rae et al. 2021, table A1 heuristics)
+
+GOPHER_WC_LO, GOPHER_WC_HI = 50, 100_000  # word-count bounds
+GOPHER_MWL_LO, GOPHER_MWL_HI = 3, 10  # mean word length bounds
+GOPHER_ALPHA_NUM, GOPHER_ALPHA_DEN = 4, 5  # >= 80% words contain a letter
+GOPHER_MIN_STOP = 2  # >= 2 distinct stopwords present
+GOPHER_MAX_WORD_LEN = 20  # no degenerate mega-token
+GOPHER_DIGIT_DEN = 10  # <= 10% words contain a digit
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 1
+    ),
+    m AS (
+      SELECT doc_id,
+             cast(len(t) AS bigint) AS n,
+             cast(list_sum(list_transform(t, x -> cast(length(x) AS bigint)))
+                  AS bigint) AS sum_len,
+             cast(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+                  AS bigint) AS alpha,
+             cast(len(list_filter(t, x -> regexp_matches(x, '[0-9]')))
+                  AS bigint) AS digits,
+             cast(len(list_filter(list_distinct(t),
+                  x -> list_contains({{stop}}, x))) AS bigint) AS nstop,
+             cast(list_max(list_transform(t, x -> cast(length(x) AS bigint)))
+                  AS bigint) AS max_len
+      FROM base
+    )
+    SELECT doc_id, n AS n_tokens,
+           cast(CASE WHEN n < {GOPHER_WC_LO} OR n > {GOPHER_WC_HI}
+                     THEN 1 ELSE 0 END
+              + CASE WHEN sum_len < {GOPHER_MWL_LO} * n
+                       OR sum_len > {GOPHER_MWL_HI} * n THEN 2 ELSE 0 END
+              + CASE WHEN {GOPHER_ALPHA_DEN} * alpha
+                       < {GOPHER_ALPHA_NUM} * n THEN 4 ELSE 0 END
+              + CASE WHEN nstop < {GOPHER_MIN_STOP} THEN 8 ELSE 0 END
+              + CASE WHEN max_len > {GOPHER_MAX_WORD_LEN} THEN 16 ELSE 0 END
+              + CASE WHEN {GOPHER_DIGIT_DEN} * digits > n THEN 32 ELSE 0 END
+             AS int) AS flags,
+           cast(CASE WHEN n >= {GOPHER_WC_LO} AND n <= {GOPHER_WC_HI}
+                      AND sum_len >= {GOPHER_MWL_LO} * n
+                      AND sum_len <= {GOPHER_MWL_HI} * n
+                      AND {GOPHER_ALPHA_DEN} * alpha >= {GOPHER_ALPHA_NUM} * n
+                      AND nstop >= {GOPHER_MIN_STOP}
+                      AND max_len <= {GOPHER_MAX_WORD_LEN}
+                      AND {GOPHER_DIGIT_DEN} * digits <= n
+                THEN 1 ELSE 0 END AS int) AS gopher_pass
+    FROM m
+    """.replace("{stop}", _sql_stoplist()),
+    doc="Gopher rule-filter bitmask (word count, word length, alpha, "
+        "stopwords, digit ratio)",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule-based quality filter (Rae et al. 2021, §A1.1 —
+    the heuristic ensemble MassiveWeb popularized, public paper) as a
+    per-document failure BITMASK: word-count bounds (bit 0), mean word
+    length bounds (bit 1), alphabetic-word fraction (bit 2), minimum
+    distinct stopwords (bit 3), degenerate mega-token (bit 4), and
+    digit-word ratio (bit 5); ``gopher_pass`` = no bit set. Every rule is
+    integer cross-multiplied (``5·alpha ≥ 4·n`` instead of
+    ``alpha/n ≥ 0.8``) so both engines decide each bit identically — the
+    bitmask form is what a curation pipeline logs per doc to attribute
+    WHICH rule rejected it (the observability the pass/fail boolean
+    loses).
+
+    Scale shape: one map-only codegen projection over the token array —
+    no shuffle, no UDF, trivially linear; composes with
+    `quality_quantile_filter` (model-based) and `doc_repetition` as the
+    standard three-stage filter cascade.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    base = docs.select("doc_id", tokens("text").alias("ta")).filter(
+        F.size("ta") >= 1
+    )
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    m = base.select(
+        "doc_id",
+        F.size("ta").cast("long").alias("n"),
+        F.expr(
+            "aggregate(ta, cast(0 AS bigint), (a, x) -> a + length(x))"
+        ).alias("sum_len"),
+        F.expr("cast(size(filter(ta, x -> x rlike '[a-z]')) AS bigint)")
+        .alias("alpha"),
+        F.expr("cast(size(filter(ta, x -> x rlike '[0-9]')) AS bigint)")
+        .alias("digits"),
+        F.expr(
+            f"cast(size(array_intersect(array_distinct(ta), "
+            f"array({stoplist}))) AS bigint)"
+        ).alias("nstop"),
+        F.expr(
+            "cast(array_max(transform(ta, x -> length(x))) AS bigint)"
+        ).alias("max_len"),
+    )
+    f_wc = (F.col("n") < GOPHER_WC_LO) | (F.col("n") > GOPHER_WC_HI)
+    f_mwl = (F.col("sum_len") < GOPHER_MWL_LO * F.col("n")) | (
+        F.col("sum_len") > GOPHER_MWL_HI * F.col("n")
+    )
+    f_alpha = (
+        GOPHER_ALPHA_DEN * F.col("alpha") < GOPHER_ALPHA_NUM * F.col("n")
+    )
+    f_stop = F.col("nstop") < GOPHER_MIN_STOP
+    f_max = F.col("max_len") > GOPHER_MAX_WORD_LEN
+    f_dig = GOPHER_DIGIT_DEN * F.col("digits") > F.col("n")
+    bit = lambda c, v: F.when(c, v).otherwise(0)
+    flags = (
+        bit(f_wc, 1) + bit(f_mwl, 2) + bit(f_alpha, 4)
+        + bit(f_stop, 8) + bit(f_max, 16) + bit(f_dig, 32)
+    )
+    return m.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        flags.cast("int").alias("flags"),
+        (flags == 0).cast("int").alias("gopher_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023, data selection via
+# importance resampling): hashed-ngram bag models for target vs raw
+
+DSIR_BUCKETS = 4096  # hashed feature width (collisions are part of the model)
+DSIR_TARGET_LANG = "en"  # the in-domain "target" slice for the fixture
+
+
+def _dsir_w8(lg8) -> str:
+    """Per-bucket 1/8-bit importance log-weight
+    ``lg8 p̂_target(b) − lg8 p̂_raw(b)`` (Laplace-smoothed, cross-
+    multiplied into one integer expression)."""
+    num = f"((ct + 1) * (tr + {DSIR_BUCKETS}))"
+    den = f"((cr + 1) * (tt + {DSIR_BUCKETS}))"
+    return f"cast({lg8(num)} - {lg8(den)} AS bigint)"
+
+
+def _o_dsir() -> str:
+    from .llm import _lg8
+
+    lg8 = lambda x: _lg8(x, "(%s >> (%s))")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    feats AS (
+      SELECT doc_id, lang, unnest(t) AS f FROM base
+      UNION ALL
+      SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS f
+      FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+            FROM base WHERE len(t) >= 2)
+    ),
+    fb AS (
+      SELECT doc_id, lang, {o_h64('f')} % {DSIR_BUCKETS} AS b,
+             count(*) AS cnt
+      FROM feats GROUP BY 1, 2, 3
+    ),
+    cnts AS (
+      SELECT b,
+             cast(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN cnt
+                           ELSE 0 END) AS bigint) AS ct,
+             cast(sum(cnt) AS bigint) AS cr
+      FROM fb GROUP BY 1
+    ),
+    tots AS (
+      SELECT cast(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN cnt
+                           ELSE 0 END) AS bigint) AS tt,
+             cast(sum(cnt) AS bigint) AS tr
+      FROM fb
+    ),
+    w AS (SELECT b, {_dsir_w8(lg8)} AS w FROM cnts CROSS JOIN tots),
+    sc AS (
+      SELECT fb.doc_id, sum(fb.cnt) AS n_feats, sum(fb.cnt * w.w) AS lw
+      FROM fb JOIN w USING (b) GROUP BY 1
+    ),
+    cal AS (
+      SELECT cast(sum(lw) AS bigint) AS slw,
+             cast(sum(n_feats) AS bigint) AS snf
+      FROM sc
+    )
+    SELECT doc_id,
+           cast(n_feats AS bigint) AS n_feats,
+           cast(lw AS bigint) AS dsir_lw8,
+           cast(CASE WHEN lw * snf >= n_feats * slw
+                THEN 1 ELSE 0 END AS int) AS selected
+    FROM sc CROSS JOIN cal
+    """
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=_o_dsir(),
+    doc="DSIR hashed-ngram importance log-weights vs an in-domain target",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023, public
+    paper): score every raw document by how much likelier its hashed
+    n-gram bag is under the TARGET distribution than under the raw pool —
+    ``Σ_features cnt_f · (log p̂_target(h(f)) − log p̂_raw(h(f)))`` with
+    hashed unigram+bigram features (the paper's feature space), Laplace
+    smoothing, and the ⅛-bit integer log2 (`llm._lg8`) so both engines
+    produce identical weights. The fixture's target slice is the
+    ``lang = '{DSIR_TARGET_LANG}'`` documents; production points it at any
+    in-domain seed corpus. ``selected`` = per-feature weight at or above
+    the corpus average, cross-multiplied (``lw·Σnf ≥ nf·Σlw``) so the
+    relative threshold stays integer-exact — the resampling step then
+    draws by these weights (`weighted_doc_sample`'s exact-integer coin
+    discipline). The calibration product stays in int64 while
+    |lw|·Σnf < 2⁶³ (≈10¹⁴ corpus tokens); past that, calibrate the
+    threshold on a fixed-rate doc sample, as with `doc_nb_quality`.
+
+    Scale shape: the feature stream is two map-only explodes; bucket
+    statistics are ONE map-side-combined groupBy to ≤{DSIR_BUCKETS} rows
+    plus a 1-row total (whitelisted); the learned weight table broadcasts
+    back and scoring is a map-side probe + per-doc partial agg — the NB
+    trainer's topology (`llm.nb_quality_from_postings`) pointed at a
+    domain label instead of a quality label. Two passes over the token
+    stream, both linear.
+    """
+    from .llm import _lg8
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    base = docs.select("doc_id", "lang", tokens("text").alias("t"))
+    uni = base.select("doc_id", "lang", F.explode("t").alias("f"))
+    bi = base.filter(F.size("t") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat(t[i - 1], ' ', t[i]))"
+            )
+        ).alias("f"),
+    )
+    feats = uni.unionByName(bi)
+    fb = (
+        feats.groupBy(
+            "doc_id", "lang", (h64("f") % DSIR_BUCKETS).alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    is_t = (F.col("lang") == DSIR_TARGET_LANG).cast("long")
+    cnts = fb.groupBy("b").agg(
+        F.sum(F.col("cnt") * is_t).alias("ct"),
+        F.sum("cnt").alias("cr"),
+    )
+    tots = fb.agg(
+        F.sum(F.col("cnt") * is_t).alias("tt"),
+        F.sum("cnt").alias("tr"),
+    )
+    lg8 = lambda x: _lg8(x, "shiftright(%s, %s)")
+    w = cnts.crossJoin(F.broadcast(tots)).select(
+        "b", F.expr(_dsir_w8(lg8)).alias("w")
+    )
+    sc = (
+        fb.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("w")).alias("dsir_lw8"),
+        )
+    )
+    cal = sc.agg(
+        F.sum("dsir_lw8").alias("slw"), F.sum("n_feats").alias("snf")
+    )
+    return sc.crossJoin(F.broadcast(cal)).select(
+        "doc_id",
+        F.col("n_feats").cast("long").alias("n_feats"),
+        F.col("dsir_lw8").cast("long").alias("dsir_lw8"),
+        (
+            F.col("dsir_lw8") * F.col("snf")
+            >= F.col("n_feats") * F.col("slw")
+        ).cast("int").alias("selected"),
     )

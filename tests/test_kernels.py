@@ -349,3 +349,80 @@ def test_semantic_dedup_recall(spark, sf_dir):
     n = sum(sizes)
     chance = sum(s * (s - 1) for s in sizes) / (n * (n - 1))
     assert recall >= 4 * chance, (recall, chance)
+
+
+def test_leakage_safe_split_zero_cross_pairs(spark, sf_dir):
+    """The structural guarantee of `leakage_safe_split`: NO near-dup pair
+    (the MinHash-LSH relation the split is built from) may straddle two
+    splits, and all three splits must be non-empty (the coin actually
+    partitions)."""
+    from pyspark.sql import functions as F
+
+    from eth_dspa_2019_spark.plans.llm import _lsh_pairs
+    from eth_dspa_2019_spark.plans.pipeline import leakage_safe_split
+
+    sp = leakage_safe_split(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = _lsh_pairs(spark, sf_dir)
+    crossed = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("doc_a"),
+                      F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"),
+                      F.col("split").alias("sb")),
+            "doc_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert crossed == 0, "near-dup pair crossed the train/valid/test split"
+    got = {r["split"] for r in sp.select("split").distinct().collect()}
+    assert got == {"train", "valid", "test"}, got
+
+
+def test_gopher_flags_discriminate_and_compose(spark, sf_dir):
+    """The rule bitmask must (1) fire on real fixture docs (some fail,
+    some pass — the rules bind), and (2) stay consistent:
+    gopher_pass == 1 iff flags == 0."""
+    from pyspark.sql import functions as F
+
+    from eth_dspa_2019_spark.plans.pipeline import gopher_quality_flags
+
+    g = gopher_quality_flags(spark, sf_dir).localCheckpoint(eager=True)
+    agg = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gopher_pass").alias("npass"),
+        F.sum(
+            ((F.col("flags") == 0) != (F.col("gopher_pass") == 1))
+            .cast("int")
+        ).alias("inconsistent"),
+    ).collect()[0]
+    assert agg["inconsistent"] == 0
+    assert 0 < agg["npass"] < agg["n"], (agg["npass"], agg["n"])
+
+
+def test_dsir_weights_favor_target_language(spark, sf_dir):
+    """DSIR must actually find the target: the selection rate among
+    target-language docs has to beat the rate among out-of-domain docs
+    by a wide margin (guards the hashed-bigram model + integer-log
+    weights from degenerating to a coin flip)."""
+    from pyspark.sql import functions as F
+
+    from eth_dspa_2019_spark.io.readers import load_table
+    from eth_dspa_2019_spark.plans.pipeline import (
+        DSIR_TARGET_LANG,
+        dsir_importance_weights,
+    )
+
+    w = dsir_importance_weights(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    rates = {
+        r["is_t"]: r["rate"]
+        for r in w.join(docs, "doc_id")
+        .groupBy((F.col("lang") == DSIR_TARGET_LANG).alias("is_t"))
+        .agg(F.avg("selected").alias("rate"))
+        .collect()
+    }
+    assert rates[True] > rates[False] + 0.3, rates

@@ -43,6 +43,7 @@ SINGLE_PARTITION_OK = {
     "deletion_propagation",  # six 1-row per-relation audit aggregates
     "doc_nb_quality",  # two 1-row training funnels (totals + calibration)
     "perplexity_mixture_sample",  # cum-window over the <=few-hundred-bin histogram + 1-row thresholds
+    "dsir_importance_weights",  # 1-row target/raw feature-total funnel
 }
 
 # broadcast side provably tiny: 1-row scalars, the query set, the sketch
@@ -65,6 +66,7 @@ BNLJ_OK = {
     "vector_pipeline_e2e",  # composes cosine_topk (broadcast queries)
     "doc_nb_quality",  # 1-row totals + 1-row calibration cross joins
     "perplexity_mixture_sample",  # 1-row corpus-total + tercile-threshold cross joins
+    "dsir_importance_weights",  # 1-row feature-totals cross join
 }
 
 
