@@ -885,6 +885,29 @@ def ivf_sq8_topk(
     the quantized lists, and a broadcast-candidate fetch for the refine —
     the corpus is never shuffled per query and full-width vectors are
     touched for O(queries·cand_k) rows only."""
+    lists = ivf_sq8_index(corpus, centroids, id_col, emb_col)
+    fulls = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb")
+    )
+    return ivf_sq8_search(
+        lists, fulls, queries, centroids,
+        k=k, nprobe=nprobe, cand_k=cand_k,
+        id_col=id_col, emb_col=emb_col,
+    )
+
+
+def ivf_sq8_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """The PERSISTABLE index relation of :func:`ivf_sq8_topk`: quantized
+    inverted lists ``(centroid_id, vec_id, c_qvec, c_qn2)`` — what a
+    vector store materializes once and serves many searches from (and
+    what `streaming/vector_index.py` maintains incrementally as durable
+    append-only deltas). One assignment shuffle + one map-only
+    quantization pass per ingested batch."""
     assigned = ivf_assign(corpus, centroids, id_col, emb_col).select(
         "vec_id", "centroid_id"
     )
@@ -892,12 +915,33 @@ def ivf_sq8_topk(
     qc = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(emb_col).alias("e")
     ).mapInPandas(quantize_sq8_batches(emb_col="e"), schema=qz_schema)
-    lists = assigned.join(qc, "vec_id").select(
+    return assigned.join(qc, "vec_id").select(
         "centroid_id",
         "vec_id",
         F.col("qvec").alias("c_qvec"),
         F.col("qn2").alias("c_qn2"),
     )
+
+
+def ivf_sq8_search(
+    lists: DataFrame,
+    fulls: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    cand_k: int = 15,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Search PREBUILT IVF-SQ8 index relations: ``lists`` =
+    ``(centroid_id, vec_id, c_qvec, c_qn2)`` (from :func:`ivf_sq8_index`)
+    and ``fulls`` = ``(vec_id, emb)`` full-precision vectors for the
+    re-rank. Identical results to :func:`ivf_sq8_topk` over the same
+    corpus + centroids — the decomposition exists so an incrementally
+    maintained index (streaming ingest, tombstoned deletes) serves the
+    same search path as the one-pass batch build."""
+    qz_schema = "vec_id long, qvec array<tinyint>, qn2 long"
     qvecs = _vecs(queries, id_col, emb_col)
     qq = (
         queries.select(
@@ -936,10 +980,10 @@ def ivf_sq8_topk(
         .filter(F.col("crk") <= cand_k)
         .select("query_id", "vec_id")
     )
-    c_full = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(emb_col).alias("c_emb"),
-        norm2_fx(F.col(emb_col)).alias("c_n2"),
+    c_full = fulls.select(
+        "vec_id",
+        F.col("emb").alias("c_emb"),
+        norm2_fx(F.col("emb")).alias("c_n2"),
     )
     q_full = queries.select(
         F.col(id_col).alias("query_id"),
