@@ -102,26 +102,38 @@ def rows(df):
 
 
 t_all = time.time()
-shutil.rmtree(ROOT, ignore_errors=True)
-os.makedirs(ROOT)
-
-# ---- stage 0: the wire tape as K event-time-ordered chunks
-lines = synth_activity_lines(spark, SRC).withColumn(
-    "ts_ms",
-    F.unix_millis(
-        parse_creation_date(F.element_at(F.split("value", r"\|", -1), 4))
-    ),
-)
-lo, hi = lines.agg(F.min("ts_ms"), F.max("ts_ms")).collect()[0]
-cuts = [lo + (hi - lo) * i // K for i in range(K)] + [hi + 1]
 ldir = f"{ROOT}/lines"
-for i, (clo, chi) in enumerate(zip(cuts[:-1], cuts[1:])):
-    lines.filter((F.col("ts_ms") >= clo) & (F.col("ts_ms") < chi)).select(
-        "value"
-    ).coalesce(1).write.mode("overwrite").text(f"{ldir}/chunk{i:03d}")
-n_lines = lines.count()
-print(f"tape: {n_lines} lines in {K} chunks ({time.time()-t_all:.0f}s)",
-      flush=True)
+tape_marker = f"{ROOT}/_TAPE_DONE"
+if os.path.exists(tape_marker):
+    # reuse the (expensive) tape from a prior run; wipe all state/hops
+    for d in os.listdir(ROOT):
+        if d not in ("lines", "_TAPE_DONE"):
+            shutil.rmtree(f"{ROOT}/{d}", ignore_errors=True)
+    n_lines = int(open(tape_marker).read())
+    print(f"tape: reused ({n_lines} lines in {K} chunks)", flush=True)
+else:
+    # ---- stage 0: the wire tape as K event-time-ordered chunks
+    shutil.rmtree(ROOT, ignore_errors=True)
+    os.makedirs(ROOT)
+    lines = synth_activity_lines(spark, SRC).withColumn(
+        "ts_ms",
+        F.unix_millis(
+            parse_creation_date(F.element_at(F.split("value", r"\|", -1), 4))
+        ),
+    )
+    lo, hi = lines.agg(F.min("ts_ms"), F.max("ts_ms")).collect()[0]
+    cuts = [lo + (hi - lo) * i // K for i in range(K)] + [hi + 1]
+    for i, (clo, chi) in enumerate(zip(cuts[:-1], cuts[1:])):
+        lines.filter(
+            (F.col("ts_ms") >= clo) & (F.col("ts_ms") < chi)
+        ).select("value").coalesce(1).write.mode("overwrite").text(
+            f"{ldir}/chunk{i:03d}"
+        )
+    n_lines = lines.count()
+    with open(tape_marker, "w") as fh:
+        fh.write(str(n_lines))
+    print(f"tape: {n_lines} lines in {K} chunks ({time.time()-t_all:.0f}s)",
+          flush=True)
 
 # ---- stage A: parse + resolve, crash at batch CRASH_AT, resume
 rdir, adir = f"{ROOT}/resolved", f"{ROOT}/acts"
@@ -134,9 +146,11 @@ try:
         acts_out_dir=adir, sink_parts=1, _fail_at_batch=CRASH_AT,
         timings=tA,
     )
-    raise AssertionError("injected crash did not fire")
-except RuntimeError as ex:
-    assert "injected crash" in str(ex)
+    raise AssertionError("fault injection never fired")
+except AssertionError:
+    raise
+except Exception as ex:  # Spark wraps foreachBatch errors (StreamingQueryException)
+    assert "injected crash" in str(ex), ex
 print(f"stage A crashed (as injected) after batch {CRASH_AT} "
       f"({time.time()-t0:.0f}s)", flush=True)
 resolver = resolve_activities_stream(
