@@ -481,24 +481,33 @@ def user_correlation_sketch_pruned(spark: SparkSession, sf_dir: str) -> DataFram
 
 def corr_rpb_for_users(users: int) -> int:
     """The band-width knob rule, shared verbatim (in semantics) with the
-    DuckDB oracle: bits-per-band R = the smallest R in [4, 12] with
-    8·2^R ≥ users, i.e. clamp(4..12, ⌈log₂(users/8)⌉) — the shared
-    integer-exact sizing rule (`functions/hashing.py::auto_band_bits`)."""
-    return auto_band_bits(users)
+    DuckDB oracle: bits-per-band R = the smallest R in [4, 15] with
+    8·2^R ≥ users, i.e. clamp(4..15, ⌈log₂(users/8)⌉) — the shared
+    integer-exact sizing rule (`functions/hashing.py::auto_band_bits`).
+
+    hi=15 (not the shared default 12) because this sketch's sign bits
+    come from 3 md5 words × 60 usable bits = 180 planes, and 12 bands ×
+    15 bits = 180 exactly — the full bit budget. The r9 100× probe
+    caught the hi=12 clamp saturating at 150k users (expected bucket
+    load 8 → 37, collision mass ~21×, wall 402 s); R=15 restores
+    load≈8 through ~260k users. Beyond that the next word (hw3) is the
+    scale-out, not a bigger load."""
+    return auto_band_bits(users, hi=15)
 
 
 # knob preamble shared by the oracle: the SQL twin of
 # `corr_rpb_for_users` (integer comparisons only)
 _O_CORR_KNOB = f"""
     knobs AS (
-      SELECT {o_auto_band_bits("SELECT count(DISTINCT user_id) FROM events")}
+      SELECT {o_auto_band_bits("SELECT count(DISTINCT user_id) FROM events",
+                               hi=15)}
                AS rpb
     )"""
 
 
 def _o_corr_auto_sketch() -> str:
     """Row-form (one row per user×plane) DuckDB sign sketch whose plane
-    count 6·rpb follows the knob CTE — the dynamic-oracle pattern
+    count 12·rpb follows the knob CTE — the dynamic-oracle pattern
     (VERDICT r6 #6): a static per-plane column list can't depend on
     data, but a plane INDEX relation filtered by the knob can. Plane
     signs bit-extract from the per-hour md5 words in cent (word
@@ -512,7 +521,7 @@ def _o_corr_auto_sketch() -> str:
     )
     return f"""
     planes AS (
-      SELECT t.p FROM range(0, {CORR_AUTO_BANDS * 12}) t(p), knobs k
+      SELECT t.p FROM range(0, {CORR_AUTO_BANDS * 15}) t(p), knobs k
       WHERE t.p < {CORR_AUTO_BANDS} * k.rpb
     ),
     sig AS (
@@ -589,7 +598,7 @@ def _o_corr_auto_sketch() -> str:
 def grid_correlation_pruned_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch-pruned grid correlation with the band width sized FROM
     THE DATA — the form a deployment actually runs, now the registered
-    one (VERDICT r6 #1). Bits-per-band R = clamp(4..12, ⌈log₂(users/8)⌉)
+    one (VERDICT r6 #1). Bits-per-band R = clamp(4..15, ⌈log₂(users/8)⌉)
     so bucket count tracks the user population (collision mass ≈
     bands·N²/2^R stays ~N·load); bands stay the recall knob (cost linear
     in bands·N). The 10× scale run that motivated this (SCALE.md

@@ -6,8 +6,15 @@ could hide; knob-derived queries (grid correlation band width, kmeans
 stride, IVF planes/probes) must absorb the decade by DESIGN, not by
 retuning. Writes /tmp/scale_probe100.json; summarized in SCALE.md."""
 import json
+import os
 import sys
 import time
+
+# local[32] shares ONE heap across all 32 executor threads; the engine's
+# 8g default is 250 MB/core — an order below any production executor
+# (4-8 GB/core typical). At 100x that OOMs the shared heap mid-shuffle,
+# so size the harness like a (small) real executor: 48g = 1.5 GB/core.
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
 
 sys.path.insert(0, "/root/repo")
 from eth_dspa_2019_spark.session import get_spark
