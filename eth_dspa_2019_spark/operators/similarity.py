@@ -216,20 +216,28 @@ def _left_fold_projections(mat: np.ndarray, signs: np.ndarray) -> np.ndarray:
 def lsh_buckets_batches(
     bands: int, planes_per_band: int, dim: int
 ) -> "callable":
-    """Arrow-batched replacement for B×P ``bucket_expr`` columns: a
-    ``mapInPandas`` kernel mapping (vec_id, emb) → (vec_id, band, bucket)
-    rows. Spark's higher-order functions evaluate their lambda per element
-    in the interpreter — B·P·dim evals per row dominates LSH runtime — so
-    the projection matrix is applied in numpy instead (~100× fewer Python
-    transitions, one Arrow round-trip per batch). The left-to-right fold
-    emulation keeps bucket ids bit-identical to the column-expression path
-    and the SQL oracle."""
+    """Arrow-batched B×P banded bucketing: a ``mapInPandas`` kernel
+    mapping (vec_id, emb) → (vec_id, band, bucket) rows. Spark's
+    higher-order functions evaluate their lambda per element in the
+    interpreter — B·P·dim evals per row dominates LSH runtime — so the
+    projection matrix is applied in numpy instead (~100× fewer Python
+    transitions, one Arrow round-trip per batch).
+
+    Projections are QUANTIZED before the sum (sign of
+    Σ floor(x_i·FX)·s_i, exact int64) so the reduction is
+    order-independent — the same pre-quantization discipline as
+    :func:`pair_cosine_batches` — which is what lets the SQL oracle
+    derive the SAME buckets from a row-form (band, plane, dim) sign
+    relation whose plane/band COUNTS are data-derived knobs
+    (`plans/vectors.py::_o_nd_bb`), instead of a fixed left-associated
+    expression per band. |Σ| ≤ dim·FX·max|x| ≈ 6.4e16·max|x| keeps int64
+    exact for any |x| < 140."""
     all_signs = np.array(
         [
             plane_signs(planes_per_band, dim, f"band{b}:")
             for b in range(bands)
         ],
-        dtype=np.float64,
+        dtype=np.int64,
     )  # (B, P, dim)
     weights = (1 << np.arange(planes_per_band, dtype=np.int64))[None, :]
 
@@ -238,10 +246,11 @@ def lsh_buckets_batches(
             if not len(pdf):
                 continue
             mat = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            q = np.floor(mat * float(FIXED_POINT)).astype(np.int64)
             ids = pdf["vec_id"].to_numpy()
             out = []
             for b in range(bands):
-                proj = _left_fold_projections(mat, all_signs[b])
+                proj = q @ all_signs[b].T
                 bucket = ((proj >= 0).astype(np.int64) * weights).sum(axis=1)
                 out.append(
                     pd.DataFrame(

@@ -31,6 +31,7 @@ from ..operators.similarity import (
     PQ_SUBS,
     SQ8_MAX,
 )
+from ..functions.hashing import auto_band_bits, o_auto_band_bits
 from .registry import register
 
 N_QUERIES = 10  # query set = vec_id < N_QUERIES
@@ -134,19 +135,80 @@ def _ann_oracle() -> str:
 ND_BANDS = 8
 ND_PLANES = 6
 ND_THRESHOLD = 0.35
+# corpus-derived banding (VERDICT r8 #4 — the r9 100× probe caught the
+# FIXED 8×6 banding's 64-buckets-per-band going quadratic: 26× wall per
+# 10× corpus at 10×, est. ~2.5e9 candidates at 100×). planes-per-band R
+# follows the shared auto_band_bits load rule (load=8, the same target
+# bucket population as the SimHash/correlation bands; lo=ND_PLANES so
+# sf0.001/sf0.01 derive exactly the historical 8×6). Candidate mass ≈
+# bands·n·load/2, so load=8 keeps the exact-verify join (which ships
+# two WIDE embedding rows per candidate — the decade-dominant shuffle)
+# linear-in-n. Bands grow 2 per extra bit as the RECALL knob (collision
+# 1-(1-p^R)^B: +1 bit multiplies p^R by p ≈ 0.9 in the near-dup regime
+# and +2 bands compensates: p=0.9 pairs hold ≥99% recall through R=16;
+# recall itself is asserted vs brute force at gate scale in
+# tests/test_kernels.py).
+ND_RPB_LO, ND_RPB_HI, ND_LOAD = ND_PLANES, 16, 8
+ND_BANDS_MAX = ND_BANDS + 2 * (ND_RPB_HI - ND_RPB_LO)
+
+
+def nd_knobs(n_vecs: int) -> tuple[int, int]:
+    """(planes_per_band, bands) for a corpus of ``n_vecs`` — shared, in
+    semantics, with the oracle's nknob/bknob CTEs (`_o_nd_bb`)."""
+    rpb = auto_band_bits(n_vecs, lo=ND_RPB_LO, hi=ND_RPB_HI, load=ND_LOAD)
+    return rpb, ND_BANDS + 2 * (rpb - ND_RPB_LO)
+
+
+def _o_nd_bb() -> str:
+    """Row-form dynamic banding CTE chain ending in bb(vec_id, band,
+    bucket) — the dynamic-oracle pattern (`plans/behavior.py::
+    _o_corr_auto_sketch`): a static per-band column list can't depend on
+    data, but a (band, plane, dim) sign relation filtered by the knobs
+    can. Signs are md5-parity of 'band{b}:plane{p}#dim{i}' — byte-0
+    parity = parity of the SECOND hex digit — exactly
+    `operators/similarity.py::plane_signs`; buckets are sign bits of the
+    QUANTIZED projection Σ floor(x·FX)·s (order-free int64), matching
+    `lsh_buckets_batches` bit-for-bit. Assumes ``el`` (1-based i) from
+    _O_ELEMENTS is already in scope."""
+    sign = (
+        "CASE WHEN substr(md5('band' || b.b || ':plane' || p.p"
+        " || '#dim' || i.i), 2, 1)"
+        " IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END"
+    )
+    return f"""
+    nknob AS (
+      SELECT {o_auto_band_bits("SELECT count(*) FROM embeddings",
+                               lo=ND_RPB_LO, hi=ND_RPB_HI, load=ND_LOAD)}
+               AS rpb
+    ),
+    bknob AS (
+      SELECT {ND_BANDS} + 2 * (k.rpb - {ND_RPB_LO}) AS bands FROM nknob k
+    ),
+    ndpl AS (
+      SELECT b.b, p.p, i.i, {sign} AS sign
+      FROM range(0, {ND_BANDS_MAX}) b(b), range(0, {ND_RPB_HI}) p(p),
+           range(0, {DIM}) i(i), nknob k, bknob bx
+      WHERE b.b < bx.bands AND p.p < k.rpb
+    ),
+    ndproj AS (
+      SELECT e.vec_id, pl.b, pl.p,
+             sum(cast(floor(e.x * {FIXED_POINT}.0) AS bigint) * pl.sign)
+               AS s
+      FROM el e JOIN ndpl pl ON pl.i = e.i - 1
+      GROUP BY 1, 2, 3
+    ),
+    bb AS (
+      SELECT vec_id, cast(b AS int) AS band,
+             cast(sum(CASE WHEN s >= 0 THEN (1::BIGINT << p)
+                           ELSE 0 END) AS bigint) AS bucket
+      FROM ndproj GROUP BY 1, 2
+    )"""
 
 
 def _neardup_oracle() -> str:
-    per_band = []
-    for b in range(ND_BANDS):
-        bucket = o_bucket_expr("embedding", plane_signs(ND_PLANES, DIM, f"band{b}:"))
-        per_band.append(
-            f"SELECT vec_id, {b} AS band, {bucket} AS bucket FROM embeddings"
-        )
-    bb = " UNION ALL ".join(per_band)
     return f"""
     WITH {_O_ELEMENTS},
-    bb AS ({bb}),
+    {_o_nd_bb()},
     cand AS (
       SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
       FROM bb x JOIN bb y
@@ -176,13 +238,19 @@ def _neardup_oracle() -> str:
 @register("embedding_neardup_pairs", oracle=_neardup_oracle())
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-band hyperplane LSH
-    (8 bands × 6 planes) + exact fixed-point cosine verify of candidates
-    only — the vector-space member of the dedup family (exact / Jaccard /
-    MinHash / SimHash / cosine). Candidates come from one (band, bucket)
-    equi-self-join; the all-pairs product is never built."""
+    + exact fixed-point cosine verify of candidates only — the
+    vector-space member of the dedup family (exact / Jaccard / MinHash /
+    SimHash / cosine). Candidates come from one (band, bucket)
+    equi-self-join; the all-pairs product is never built, and BOTH
+    banding knobs follow the corpus (`nd_knobs`: bucket count tracks
+    n/load, band count restores recall — derived identically in the
+    oracle's nknob/bknob CTEs), so bucket population is load-bounded at
+    any corpus size instead of going quadratic past the fixed-knob
+    design point."""
     emb = load_table(spark, sf_dir, "embeddings")
+    rpb, bands = nd_knobs(emb.count())
     return neardup_pairs_lsh(
-        emb, ND_THRESHOLD, bands=ND_BANDS, planes_per_band=ND_PLANES, dim=DIM
+        emb, ND_THRESHOLD, bands=bands, planes_per_band=rpb, dim=DIM
     )
 
 
@@ -424,8 +492,9 @@ def vector_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .corpus import label_centroid_dist
 
     emb = load_table(spark, sf_dir, "embeddings")
+    rpb, bands = nd_knobs(emb.count())
     pairs = neardup_pairs_lsh(
-        emb, ND_THRESHOLD, bands=ND_BANDS, planes_per_band=ND_PLANES, dim=DIM
+        emb, ND_THRESHOLD, bands=bands, planes_per_band=rpb, dim=DIM
     )
     dropped = pairs.select(F.col("b").alias("vec_id")).distinct()
     surv = emb.join(dropped, "vec_id", "left_anti")
@@ -656,12 +725,7 @@ def _paraphrase_oracle() -> str:
     sh AS (SELECT DISTINCT doc_id AS id, {shingle_expr} AS shingle
            FROM idx),
     sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-    bb AS ({" UNION ALL ".join(
-        f"SELECT vec_id, {b} AS band, "
-        + o_bucket_expr("embedding", plane_signs(ND_PLANES, DIM, f"band{b}:"))
-        + " AS bucket FROM embeddings"
-        for b in range(ND_BANDS)
-    )}),
+    {_o_nd_bb()},
     cand AS (
       SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
       FROM bb x JOIN bb y
@@ -725,8 +789,9 @@ def paraphrase_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
+    rpb, bands = nd_knobs(emb.count())
     close = neardup_pairs_lsh(
-        emb, ND_THRESHOLD, bands=ND_BANDS, planes_per_band=ND_PLANES, dim=DIM
+        emb, ND_THRESHOLD, bands=bands, planes_per_band=rpb, dim=DIM
     )
     sh = shingles(docs, "doc_id", "text", SHINGLE_N)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
