@@ -407,3 +407,38 @@ def test_semantic_dedup_pair_mass_subquadratic(spark):
         ]
         pts.append((n, sum(s * s for s in sizes)))
     assert _alpha(pts) <= 1.75, pts
+
+
+def test_nd_knobs_candidate_mass_subquadratic(spark):
+    """Pins the r9 100x-probe fix (`plans/vectors.py::nd_knobs`): with
+    BOTH banding knobs derived from the corpus (planes-per-band from the
+    load=8 rule, bands +2/bit for recall) the banded candidate mass must
+    stay subquadratic. The fixed 8x6 banding this replaced measured
+    alpha ~ 2 past its design point (est. ~2.5e9 candidates at 200k
+    vectors, DNF at the 100x probe); a regression to fixed knobs fails
+    this at the first decade."""
+    from eth_dspa_2019_spark.plans.vectors import nd_knobs
+
+    pts = []
+    for n, e in _emb_slices(spark):
+        rpb, bands = nd_knobs(n)
+        bucketed = e.select(
+            "vec_id", F.col("embedding").alias("emb")
+        ).mapInPandas(
+            lsh_buckets_batches(bands, rpb, 64),
+            schema="vec_id long, band int, bucket long",
+        )
+        x, y = bucketed.alias("x"), bucketed.alias("y")
+        c = (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.vec_id") < F.col("y.vec_id")),
+            )
+            .select("x.vec_id", "y.vec_id")
+            .distinct()
+            .count()
+        )
+        pts.append((n, c))
+    assert _alpha(pts) <= 1.40, pts
