@@ -1520,3 +1520,151 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.col("n_feats") * F.col("slw")
         ).cast("int").alias("selected"),
     )
+
+
+# Token-budget waterfilling: spend TB_BUDGET_NUM/TB_BUDGET_DEN of the
+# corpus's total tokens, sharing the budget across domains by the target
+# mixture weight (the MIX even/odd "curated vs crawl" stand-in) but
+# never allocating a domain more than it HAS (cap = one epoch). The
+# classic mixture-planning step between "count what you have" and "draw
+# the sample": capped domains keep their full supply and their unused
+# share redistributes to the uncapped ones — exact waterfilling, not a
+# proportional approximation.
+TB_BUDGET_NUM, TB_BUDGET_DEN = 6, 10
+
+
+@register(
+    "token_budget_allocation",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, len(string_split(text, ' ')) AS t FROM documents
+    ),
+    dom AS (
+      SELECT source, cast(sum(t) AS bigint) AS c,
+             CASE WHEN cast(substring(source, 4) AS bigint) % 2 = 0
+                  THEN {MIX_W_EVEN} ELSE {MIX_W_ODD} END AS w
+      FROM toks GROUP BY source
+    ),
+    tot AS (
+      SELECT ({TB_BUDGET_NUM} * sum(c)) // {TB_BUDGET_DEN} AS b,
+             sum(w) AS wt
+      FROM dom
+    ),
+    ord AS (
+      SELECT d.source, d.c, d.w, t.b, t.wt,
+             coalesce(sum(d.c) OVER (ORDER BY d.c // d.w, d.source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumc,
+             coalesce(sum(d.w) OVER (ORDER BY d.c // d.w, d.source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumw
+      FROM dom d, tot t
+    ),
+    flag AS (
+      SELECT *, CASE WHEN c * (wt - cumw) <= (b - cumc) * w
+                     THEN 1 ELSE 0 END AS cond
+      FROM ord
+    ),
+    pfx AS (
+      SELECT *, min(cond) OVER (ORDER BY c // w, source
+                  ROWS UNBOUNDED PRECEDING) AS capped
+      FROM flag
+    ),
+    fin AS (
+      SELECT sum(CASE WHEN capped = 1 THEN c ELSE 0 END) AS capc,
+             sum(CASE WHEN capped = 1 THEN w ELSE 0 END) AS capw
+      FROM pfx
+    )
+    SELECT p.source, p.c AS supply_tokens, cast(p.w AS bigint) AS weight,
+           cast(p.capped AS bigint) AS capped,
+           cast(CASE WHEN p.capped = 1 THEN p.c
+                     ELSE ((p.b - f.capc) * p.w) // (p.wt - f.capw)
+                END AS bigint) AS alloc_tokens
+    FROM pfx p, fin f
+    ORDER BY p.source
+    """,
+    doc="epoch-capped token-budget waterfilling across domains",
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate a corpus-wide token budget (TB_BUDGET = 6/10 of total
+    tokens) across domains by target-mixture weight with a one-epoch cap
+    — exact integer waterfilling, the mixture-PLANNING step whose output
+    feeds a sampler like ``domain_mixture_sample``. Domains are processed
+    in ascending cap-to-weight order with exclusive running sums; a
+    domain is capped iff its full supply fits under the water level of
+    the budget remaining after every smaller-ratio domain took its cap
+    (c·W_rem ≤ B_rem·w, all BIGINT cross-multiplications — the prefix
+    condition is monotone in the sorted order, enforced engine-agnostic
+    by the running MIN of the flag); uncapped domains split the final
+    remainder proportionally by floor division. Both engines run the
+    identical integer arithmetic, so the gate checks the allocation
+    law itself.
+
+    Scale shape: one map-side-combined groupBy to a ROW-PER-DOMAIN
+    relation (thousands at most, after a corpus scan that only projects
+    source + token count); every window below it is over that bounded
+    domain relation, never the corpus — the single-partition WindowExec
+    is domain-count-sized by construction (plan-hygiene whitelisted with
+    that bound). At 100 TB the corpus scan dominates and is map-only."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    dom = (
+        docs.select(
+            "source", F.size(F.split("text", " ")).alias("t")
+        )
+        .groupBy("source")
+        .agg(F.sum("t").cast("bigint").alias("c"))
+        .withColumn(
+            "w",
+            F.when(
+                F.expr("cast(substring(source, 4) AS bigint)") % 2 == 0,
+                F.lit(MIX_W_EVEN),
+            ).otherwise(F.lit(MIX_W_ODD)),
+        )
+    )
+    tot = dom.agg(
+        F.expr(
+            f"({TB_BUDGET_NUM} * sum(c)) DIV {TB_BUDGET_DEN}"
+        ).alias("b"),
+        F.sum("w").alias("wt"),
+    )
+    ordw = Window.orderBy(F.expr("c DIV w"), "source")
+    excl = ordw.rowsBetween(Window.unboundedPreceding, -1)
+    pfxw = ordw.rowsBetween(Window.unboundedPreceding, 0)
+    ordd = (
+        dom.crossJoin(F.broadcast(tot))
+        .withColumn("cumc", F.coalesce(F.sum("c").over(excl), F.lit(0)))
+        .withColumn("cumw", F.coalesce(F.sum("w").over(excl), F.lit(0)))
+    )
+    flag = ordd.withColumn(
+        "cond",
+        F.when(
+            F.col("c") * (F.col("wt") - F.col("cumw"))
+            <= (F.col("b") - F.col("cumc")) * F.col("w"),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    pfx = flag.withColumn("capped", F.min("cond").over(pfxw))
+    fin = pfx.agg(
+        F.sum(F.when(F.col("capped") == 1, F.col("c")).otherwise(0))
+        .alias("capc"),
+        F.sum(F.when(F.col("capped") == 1, F.col("w")).otherwise(0))
+        .alias("capw"),
+    )
+    return (
+        pfx.crossJoin(F.broadcast(fin))
+        .select(
+            "source",
+            F.col("c").alias("supply_tokens"),
+            F.col("w").cast("bigint").alias("weight"),
+            F.col("capped").cast("bigint").alias("capped"),
+            F.when(F.col("capped") == 1, F.col("c"))
+            .otherwise(
+                F.expr("((b - capc) * w) DIV (wt - capw)")
+            )
+            .cast("bigint")
+            .alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -44,6 +44,7 @@ SINGLE_PARTITION_OK = {
     "doc_nb_quality",  # two 1-row training funnels (totals + calibration)
     "perplexity_mixture_sample",  # cum-window over the <=few-hundred-bin histogram + 1-row thresholds
     "dsir_importance_weights",  # 1-row target/raw feature-total funnel
+    "token_budget_allocation",  # windows over the row-per-domain relation (bounded by domain count)
 }
 
 # broadcast side provably tiny: 1-row scalars, the query set, the sketch
@@ -67,6 +68,7 @@ BNLJ_OK = {
     "doc_nb_quality",  # 1-row totals + 1-row calibration cross joins
     "perplexity_mixture_sample",  # 1-row corpus-total + tercile-threshold cross joins
     "dsir_importance_weights",  # 1-row feature-totals cross join
+    "token_budget_allocation",  # 1-row budget + capped-totals cross joins
 }
 
 
