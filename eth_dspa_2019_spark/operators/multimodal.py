@@ -111,7 +111,15 @@ def png_decode(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     RGB, no interlace), inflates the concatenated IDATs and de-filters
     every scanline — all five filter types (None/Sub/Up/Average/Paeth),
     so any spec-conformant RGB8 PNG decodes, not just the fixture.
-    Raises ValueError with a diagnostic message on malformed input."""
+    Raises ValueError with a diagnostic message on malformed input.
+
+    Performance note: None/Sub/Up de-filter vectorized (numpy); Average
+    and Paeth carry a left-pixel recurrence, so they fall back to a
+    per-byte Python loop — O(w*h*3) interpreter iterations per image.
+    The fixture encoder emits only None/Sub/Up; feeding real-world PNGs
+    (commonly Paeth-heavy) through this path is correct but orders of
+    magnitude slower, and would warrant a C-level codec on a real
+    cluster (ADVICE r9 receipt)."""
     if buf[:8] != _PNG_SIG:
         raise ValueError("bad PNG signature")
     pos, w, h, idat = 8, None, None, []
@@ -127,6 +135,11 @@ def png_decode(buf: bytes) -> tuple[int, int, int, np.ndarray]:
         if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {typ!r}")
         if typ == b"IHDR":
+            # A CRC-valid IHDR whose data length != 13 would make
+            # struct.unpack raise struct.error, escaping the ValueError
+            # quarantine contract — validate length first (ADVICE r9).
+            if len(data) != 13:
+                raise ValueError(f"IHDR length {len(data)} != 13")
             w, h, depth, ctype, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", data
             )
@@ -228,7 +241,7 @@ def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 rows["pix_sum"].append(int(px.astype(np.int64).sum()))
                 rows["ok"].append(True)
                 rows["err"].append(None)
-            except ValueError as ex:  # quarantine, never a stage failure
+            except (ValueError, struct.error) as ex:  # quarantine, never a stage failure
                 rows["width"].append(0)
                 rows["height"].append(0)
                 rows["channels"].append(0)
@@ -273,7 +286,7 @@ def _frame_sample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, buf in zip(pdf["doc_id"], pdf["image"]):
             try:
                 w, h, c, _px = png_decode(bytes(buf))
-            except ValueError:
+            except (ValueError, struct.error):
                 continue  # quarantined payloads produce no frames
             n_frames = h % 7 + 1
             row_stride = max(h // n_frames, 1)
@@ -314,7 +327,7 @@ def _resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, buf in zip(pdf["doc_id"], pdf["image"]):
             try:
                 w, h, _c, _px = png_decode(bytes(buf))
-            except ValueError:
+            except (ValueError, struct.error):
                 continue
             m = max(w, h)
             rows["doc_id"].append(int(doc_id))
@@ -358,7 +371,7 @@ def _pixel_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         for doc_id, buf in zip(pdf["doc_id"], pdf["image"]):
             try:
                 _w, _h, _c, px = png_decode(bytes(buf))
-            except ValueError:
+            except (ValueError, struct.error):
                 continue
             ids.append(int(doc_id))
             feats.append(

@@ -1218,7 +1218,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup-count-sized, far smaller than the corpus) plus a map-side
     projection. Zero-leakage is structural — no audit pass needed — and
     is regression-asserted against the pair relation in
-    tests/test_pipeline_ops.py.
+    tests/test_kernels.py (test_leakage_safe_split_zero_cross_pairs).
     """
     clusters = dd.dedup_clusters(_lsh_pairs(spark, sf_dir))
     docs = load_table(spark, sf_dir, "documents").select("doc_id")

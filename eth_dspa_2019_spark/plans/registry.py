@@ -253,7 +253,10 @@ def _stale_greens(
 # re-certification (VERDICT r8 #1: the task2 family had no gate row
 # since r4 because groups 0-2 alone kept filling all 50 slots)
 GATE_SLOTS = 50
-STALEST_QUOTA = 12
+# 12 → 16 (VERDICT r9 #5): the never-green group is empty and new
+# registrations run ~5/round, so 16 reserved slots drain the r6 cohort
+# in 2 rounds instead of 3 without starving new-query certification.
+STALEST_QUOTA = 16
 
 
 def _ordered_names(

@@ -117,6 +117,14 @@ def test_png_decode_rejects_corruption():
             png_decode(bad)
 
 
+def test_png_decode_short_ihdr_is_valueerror():
+    """ADVICE r9: a CRC-valid IHDR whose data length != 13 must raise
+    ValueError (quarantine contract), not struct.error (stage killer)."""
+    bad = _PNG_SIG + _chunk(b"IHDR", b"\x00" * 9) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IHDR length"):
+        png_decode(bad)
+
+
 def test_decode_quarantine_routes_errors_to_rows(spark):
     """Corrupt payloads land in the quarantine columns (ok=false, err
     set) while clean rows decode — the stage itself never fails."""

@@ -98,18 +98,21 @@ def test_live_order_is_a_permutation_of_registry():
 
 def test_stalest_green_quota_survives_crowding():
     """VERDICT r8 #1: with 60 priority entries (never-green + stale),
-    the 50-slot gate window must still carry the 12 stalest untouched
-    greens — re-certification cannot be starved indefinitely."""
+    the 50-slot gate window must still carry the STALEST_QUOTA stalest
+    untouched greens — re-certification cannot be starved
+    indefinitely. (Quota raised 12 → 16 in r10 per VERDICT r9 #5; the
+    test keys off the constant, not a literal.)"""
+    q = R.STALEST_QUOTA
     pri = [f"new{i}" for i in range(60)]            # never green
     unt = [f"old{i}" for i in range(20)]            # untouched greens
     names = pri + unt
     last_green = {n: 1 + (i % 7) for i, n in enumerate(unt)}
     got = R._ordered_names(names, last_green, set())
     window = got[:50]
-    # 38 priority slots, then the 12 stalest untouched greens
-    assert window[:38] == pri[:38]
+    # (50 - quota) priority slots, then the quota stalest greens
+    assert window[: 50 - q] == pri[: 50 - q]
     expect_unt = sorted(unt, key=lambda n: (last_green[n], names.index(n)))
-    assert window[38:] == expect_unt[:12]
+    assert window[50 - q :] == expect_unt[:q]
     # nothing lost: still a permutation
     assert sorted(got) == sorted(names)
 

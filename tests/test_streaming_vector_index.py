@@ -71,6 +71,8 @@ def test_streamed_index_crash_restart(spark, sf_dir, tmp_path):
             spark, rglob, emb.schema, ck, st, _fail_at_batch=1
         )
         raise AssertionError("injected crash did not surface")
+    except AssertionError:
+        raise  # the guard itself must not be swallowed (ADVICE r9)
     except Exception:
         pass
     idx = vector_index_stream(spark, rglob, emb.schema, ck, st)
