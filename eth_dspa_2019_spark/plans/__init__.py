@@ -17,6 +17,7 @@ from . import task2  # noqa: E402,F401
 from . import task3  # noqa: E402,F401
 from . import cleaning  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
+from . import audio  # noqa: E402,F401
 from . import misc  # noqa: E402,F401
 from . import intervals  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
