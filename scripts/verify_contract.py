@@ -38,14 +38,21 @@ def main() -> int:
             if any(p in n.lower() for p in pats)
         }
     fails = []
+    import time
+
     for name in sorted(qs):
+        t0 = time.monotonic()
         try:
             compare(qs[name](spark, sf), os_[name], sf)
             status = "ok"
         except Exception as ex:  # pragma: no cover - diagnostic path
             status = f"FAIL {type(ex).__name__}: {str(ex)[:160]}"
             fails.append((name, status))
-        print(f"{'ok  ' if status == 'ok' else 'FAIL'} {name}", flush=True)
+        dt = time.monotonic() - t0
+        print(
+            f"{'ok  ' if status == 'ok' else 'FAIL'} {name} ({dt:.1f}s)",
+            flush=True,
+        )
     print(f"==== {len(qs)} queries, {len(fails)} failures")
     for n, s in fails:
         print("FAIL:", n, s)

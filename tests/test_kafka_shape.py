@@ -79,3 +79,92 @@ def test_kafka_sink_options_shape():
     assert opts["kafka.bootstrap.servers"] == "broker:9092"
     assert opts["topic"] == "recs"
     assert opts["checkpointLocation"] == "/tmp/ck"
+
+
+# ---------------------------------------------------------------------------
+# Byte-level wire protocol (VERDICT r9 #7): v2 RecordBatch framing round-trip
+# through segment files — the produce→consume path with no broker.
+
+from eth_dspa_2019_spark.streaming.kafka_wire import (  # noqa: E402
+    crc32c,
+    encode_record_batch,
+    iter_records,
+    read_log_segments,
+    write_log_segments,
+)
+
+
+def test_crc32c_known_answer():
+    # the public CRC-32C check value — proves Castagnoli, not zlib CRC-32
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+
+
+def test_record_batch_bytes_round_trip():
+    recs = [
+        (None, b"P|1|7|2019-05-01T12:00:00|x", 1000),
+        (b"k1", b"C|2|8|2019-05-01T12:00:01|1|", 1005),
+        (None, None, 1010),  # kafka-native tombstone: null value
+    ]
+    seg = encode_record_batch(5, recs) + encode_record_batch(
+        8, [(None, b"L|9|1|2019-05-01T12:01:00", 2000)]
+    )
+    got = list(iter_records(seg))
+    assert got == [
+        (5, 1000, None, recs[0][1]),
+        (6, 1005, b"k1", recs[1][1]),
+        (7, 1010, None, None),
+        (8, 2000, None, b"L|9|1|2019-05-01T12:01:00"),
+    ]
+
+
+def test_record_batch_crc_detects_corruption():
+    import pytest
+
+    seg = bytearray(encode_record_batch(0, [(None, b"P|1|x", 0)]))
+    seg[40] ^= 0x01  # flip one payload byte
+    with pytest.raises(ValueError, match="CRC"):
+        list(iter_records(bytes(seg)))
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_records(bytes(seg[:-2])))
+
+
+def test_segment_produce_consume_equals_direct_load(spark, sf_dir, tmp_path):
+    """Full S8→S1 byte path: pipe-format toString() values → v2 record
+    batches in per-partition segment files → binaryFile scan + batch
+    decode → connector wire schema → parse → equals the direct load;
+    tombstone EOS markers route to the control side output."""
+    from eth_dspa_2019_spark.sources.activity import split_side_outputs
+
+    seg_dir = str(tmp_path / "kafka-log")
+    stats = write_log_segments(
+        synth_activity_lines(spark, sf_dir), seg_dir, n_partitions=4,
+        batch_records=97,  # deliberately not a divisor: multi-batch tails
+    ).collect()
+    assert sorted(r["partition"] for r in stats) == [0, 1, 2, 3]
+    assert all(r["n_batches"] >= 1 for r in stats)
+
+    frames = read_log_segments(spark, seg_dir)
+    assert dict(frames.dtypes)["value"] == "binary"
+    n_lines = synth_activity_lines(spark, sf_dir).count()
+    assert frames.count() == n_lines + 4  # + one tombstone per partition
+
+    # offsets are dense per partition (consumer ordering contract)
+    per_part = {
+        r["partition"]: (r["n"], r["lo"], r["hi"])
+        for r in frames.groupBy("partition")
+        .agg(F.count("*").alias("n"), F.min("offset").alias("lo"),
+             F.max("offset").alias("hi"))
+        .collect()
+    }
+    for _p, (n, lo, hi) in per_part.items():
+        assert (lo, hi) == (0, n - 1)
+
+    outs = split_side_outputs(
+        frames.select(F.col("value").cast("string").alias("value"))
+    )
+    assert outs["errors"].count() == 0
+    assert sorted(
+        r["partition_id"] for r in outs["tombstones"].collect()
+    ) == [0, 1, 2, 3]
+    assert _canon(outs["main"]) == _canon(load_activities(spark, sf_dir))
