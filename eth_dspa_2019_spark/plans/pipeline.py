@@ -1668,3 +1668,333 @@ def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture drift (corpus monitoring for mixture rebalancing)
+
+
+@register(
+    "source_token_kl_drift",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cv AS (SELECT tok, count(*) AS ccnt FROM tok GROUP BY 1),
+    ct AS (SELECT count(*) AS ctot FROM tok),
+    sv AS (SELECT source, tok, count(*) AS scnt FROM tok GROUP BY 1, 2),
+    st AS (SELECT source, count(*) AS stot FROM tok GROUP BY 1)
+    SELECT sv.source,
+           cast(sum(scnt) AS bigint) AS n_tokens,
+           cast(sum(length(bin(ctot // ccnt)) * scnt) AS bigint)
+             AS corpus_bits,
+           cast(sum(length(bin(stot // scnt)) * scnt) AS bigint)
+             AS source_bits,
+           cast((sum(length(bin(ctot // ccnt)) * scnt)
+                 - sum(length(bin(stot // scnt)) * scnt)
+                 + 64 * sum(scnt)) * 1000000 // sum(scnt)
+                - 64000000 AS bigint) AS drift_bits_fx
+    FROM sv JOIN cv USING (tok)
+            JOIN st ON sv.source = st.source
+            CROSS JOIN ct
+    GROUP BY 1
+    """,
+    doc="per-source code-length drift vs the corpus unigram LM",
+)
+def source_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-drift monitor: per source, the mean extra bits a token
+    costs under the CORPUS unigram code vs that source's OWN unigram
+    code — the idealized-code estimate of KL(source ‖ corpus), the
+    number a mixture rebalancer (or an ingest canary that alarms when a
+    crawl snapshot shifts) watches per slice. A source whose token
+    distribution matches the corpus drifts ≈0; a divergent one pays the
+    full cross-entropy gap.
+
+    Exact-integer discipline: per-token bits are
+    ``bit_length(total // cnt)`` (the integer ceil-log2 of the inverse
+    frequency, same trick as `doc_unigram_surprisal`), so both codes are
+    bit-identical across engines. The fixed-point mean drift divides a
+    POSSIBLY-NEGATIVE numerator, where Spark's ``DIV`` (truncate) and
+    DuckDB's ``//`` (floor) disagree — neutralized by the non-negative
+    shift (+64 bits/token, the max possible gap, subtracted back after
+    the divide), the same guard as `kmeans_lloyd_sizes`.
+
+    Scale shape: one token explode feeding four partial-agg-friendly
+    grouped counts (Zipf collapses most mass map-side), then an
+    equi-join on the token key that co-partitions with the vocabulary
+    exchange; per-source totals and the corpus scalar broadcast. No
+    windows, no UDFs, linear in corpus tokens.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tok = docs.select("source", F.explode(tokens("text")).alias("tok"))
+    cv = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("ccnt"))
+    ct = tok.agg(F.count(F.lit(1)).alias("ctot"))
+    sv = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("scnt"))
+    st = tok.groupBy("source").agg(F.count(F.lit(1)).alias("stot"))
+    j = (
+        sv.join(cv, "tok")
+        .join(st, "source")
+        .crossJoin(F.broadcast(ct))
+    )
+    cbits = F.length(F.bin(F.expr("ctot div ccnt"))) * F.col("scnt")
+    sbits = F.length(F.bin(F.expr("stot div scnt"))) * F.col("scnt")
+    agg = j.groupBy("source").agg(
+        F.sum("scnt").cast("bigint").alias("n_tokens"),
+        F.sum(cbits).cast("bigint").alias("corpus_bits"),
+        F.sum(sbits).cast("bigint").alias("source_bits"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "corpus_bits",
+        "source_bits",
+        (
+            F.expr(
+                "((corpus_bits - source_bits + 64 * n_tokens) * 1000000)"
+                " DIV n_tokens"
+            )
+            - F.lit(64000000)
+        ).cast("bigint").alias("drift_bits_fx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative sampling (hard-negative mining for embedding training)
+
+#: bucket count for the negative-sampling universe; at 100 TB this is the
+#: knob that sizes the broadcastable representative table (B rows).
+NEG_BUCKETS = 64
+#: negatives drawn per document.
+NEG_PROBES = 3
+
+
+@register(
+    "negative_sampling_pairs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, md5(substring(text, 1, 64)) AS dkey,
+             cast(('0x' || substring(md5(cast(doc_id AS varchar)), 1, 15))
+                  AS bigint) AS hv
+      FROM documents WHERE text IS NOT NULL
+    ),
+    db AS (SELECT *, hv % {NEG_BUCKETS} AS bucket FROM d),
+    mh AS (SELECT bucket, min(hv) AS mhv FROM db GROUP BY 1),
+    rep0 AS (
+      SELECT db.bucket, min(db.doc_id) AS rep_doc_id
+      FROM db JOIN mh ON db.bucket = mh.bucket AND db.hv = mh.mhv
+      GROUP BY 1
+    ),
+    rep AS (
+      SELECT rep0.bucket, rep0.rep_doc_id, d.dkey AS rep_dkey
+      FROM rep0 JOIN d ON d.doc_id = rep0.rep_doc_id
+    ),
+    pr AS (
+      SELECT doc_id, dkey, j AS probe
+      FROM db CROSS JOIN (SELECT unnest({list(range(NEG_PROBES))}) AS j)
+    ),
+    cand AS (
+      SELECT pr.*,
+             cast(('0x' || substring(md5(cast(doc_id AS varchar) || ':'
+                                         || cast(probe AS varchar)), 1, 15))
+                  AS bigint) % {NEG_BUCKETS} AS tb
+      FROM pr
+    )
+    SELECT doc_id, cast(probe AS bigint) AS probe,
+           rep_doc_id AS neg_doc_id
+    FROM cand JOIN rep ON cand.tb = rep.bucket
+    WHERE rep.rep_doc_id != cand.doc_id AND rep.rep_dkey != cand.dkey
+    """,
+    doc="deterministic bucket-representative negatives per document",
+)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative sampling: give every document
+    {NEG_PROBES} pseudo-random negatives drawn from the whole corpus,
+    excluding itself and its exact-duplicate mates (a near-dup used as a
+    "negative" poisons a contrastive objective — the same exclusion
+    rule a production miner applies with the dedup-cluster relation,
+    here the `exact_dedup_prefix64` key).
+
+    Scale design — why bucket representatives, not a global index: the
+    naive "hash to a row number" join needs a DENSE global rank over
+    the corpus (a single-partition window at 100 TB, banned by the plan
+    hygiene sweep). Instead the corpus hashes into {NEG_BUCKETS}
+    buckets; each bucket elects a deterministic representative (argmin
+    by the doc-id hash, doc-id tie-break — two grouped MINs, no
+    window), and a probe draws bucket ``h64(doc_id:probe) % B``. The
+    representative table is B rows → broadcast; the whole operator is
+    one explode ({NEG_PROBES}× map-side) + one broadcast join, zero
+    data-sized shuffles beyond the B-row election. Raising B trades
+    negative diversity for representative-table size — still broadcast
+    at B=10⁶. Every choice is an md5/modulo the DuckDB oracle replays
+    bit-for-bit (`functions/hashing.py::h64` twin pair).
+
+    Streaming twin: representatives are a standing B-row dimension a
+    micro-batch job refreshes per epoch; probes stay map-only.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    # Narrow metadata barrier (no text column): without it, predicate
+    # pushdown clones the md5 chains behind hv/tb into a scan Filter and
+    # the doubled tree falls out of whole-stage codegen — the round-8 bug
+    # class test_plan_hygiene sweeps for. At 100 TB this is the per-doc
+    # (id, dup-key, hash, bucket) silver table a miner persists anyway.
+    d = (
+        docs.select(
+            "doc_id",
+            F.md5(F.substring("text", 1, 64)).alias("dkey"),
+            h64(F.col("doc_id").cast("string")).alias("hv"),
+        )
+        .withColumn("bucket", F.pmod("hv", F.lit(NEG_BUCKETS)))
+        .localCheckpoint(eager=True)
+    )
+    mh = d.groupBy("bucket").agg(F.min("hv").alias("mhv"))
+    rep0 = (
+        d.join(mh, ["bucket"])
+        .filter(F.col("hv") == F.col("mhv"))
+        .groupBy("bucket")
+        .agg(F.min("doc_id").alias("rep_doc_id"))
+    )
+    rep = rep0.join(
+        d.select(F.col("doc_id").alias("rep_doc_id"),
+                 F.col("dkey").alias("rep_dkey")),
+        "rep_doc_id",
+    )
+    pr = d.select(
+        "doc_id",
+        "dkey",
+        F.explode(
+            F.array([F.lit(j) for j in range(NEG_PROBES)])
+        ).alias("probe"),
+    )
+    cand = pr.withColumn(
+        "tb",
+        F.pmod(
+            h64(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("probe").cast("string"),
+                )
+            ),
+            F.lit(NEG_BUCKETS),
+        ),
+    )
+    return (
+        cand.join(F.broadcast(rep), cand["tb"] == rep["bucket"])
+        .filter(
+            (F.col("rep_doc_id") != F.col("doc_id"))
+            & (F.col("rep_dkey") != F.col("dkey"))
+        )
+        .select(
+            "doc_id",
+            F.col("probe").cast("bigint").alias("probe"),
+            F.col("rep_doc_id").alias("neg_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# At-least-once ingest dedup audit (exactly-once semantics at the batch layer)
+
+
+@register(
+    "event_ingest_dedup",
+    oracle="""
+    WITH feed AS (
+      SELECT event_id, event_type, ts,
+             cast(floor(value * 100) AS bigint) AS cents
+      FROM events
+      UNION ALL
+      SELECT event_id, event_type, ts + INTERVAL 90 SECOND,
+             cast(floor(value * 100) AS bigint) + 1
+      FROM events WHERE event_id % 7 = 0
+    ),
+    mins AS (SELECT event_id, min(ts) AS mts FROM feed GROUP BY 1),
+    kept AS (
+      SELECT f.* FROM feed f
+      JOIN mins m ON f.event_id = m.event_id AND f.ts = m.mts
+    ),
+    del AS (
+      SELECT event_type, count(*) AS n_delivered FROM feed GROUP BY 1
+    ),
+    k AS (
+      SELECT event_type, count(*) AS n_unique,
+             cast(sum(cents) AS bigint) AS kept_cents
+      FROM kept GROUP BY 1
+    )
+    SELECT del.event_type,
+           cast(n_delivered AS bigint) AS n_delivered,
+           cast(n_unique AS bigint) AS n_unique,
+           cast(n_delivered - n_unique AS bigint) AS n_dropped,
+           kept_cents
+    FROM del JOIN k USING (event_type)
+    """,
+    doc="at-least-once redelivery dedup audit, first-delivery-wins",
+)
+def event_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once at the batch layer: an at-least-once transport
+    redelivers a deterministic 1/7th of events 90 s late with a
+    corrupted retry payload (+1 cent — so only FIRST-delivery-wins
+    semantics reproduces the true totals); the audit dedups by event id
+    keeping the earliest delivery and reports, per event type, how many
+    rows arrived, how many were unique, how many the dedup dropped, and
+    the kept-payload cents total (equal to the uncorrupted source sum —
+    the invariant that proves the winner really was the first copy).
+
+    The float→cents conversion is ``floor(value*100)`` on BOTH engines:
+    a bare ``cast`` truncates in Spark but rounds half-even in DuckDB —
+    the cross-engine trap the typed comparator exists to catch.
+
+    Scale shape: keep-first is one grouped MIN on the id key plus an
+    equi-join back on (id, ts) that co-partitions with the MIN's
+    exchange — no windows, no single partitions; the per-type counts
+    partial-aggregate map-side. At 100 TB the id-keyed exchange is the
+    unavoidable dedup shuffle; everything else rides it.
+
+    Streaming twin (the production shape): bounded-state
+    `streaming/windows.py::dedup_stream` — watermarked
+    ``dropDuplicatesWithinWatermark`` holding each id only for the
+    out-of-orderness horizon (tests/test_streaming_dedup.py pins both
+    the first-wins and the state-eviction contracts).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    feed = ev.select(
+        "event_id", "event_type", "ts", cents.alias("cents")
+    ).unionByName(
+        ev.filter(F.col("event_id") % 7 == 0).select(
+            "event_id",
+            "event_type",
+            F.expr("ts + INTERVAL 90 SECONDS").alias("ts"),
+            (cents + 1).alias("cents"),
+        )
+    )
+    mins = (
+        feed.groupBy("event_id")
+        .agg(F.min("ts").alias("mts"))
+        .withColumnRenamed("event_id", "mid")
+    )
+    kept = feed.join(
+        mins,
+        (F.col("event_id") == F.col("mid")) & (F.col("ts") == F.col("mts")),
+    ).select("event_type", "cents")
+    delivered = feed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_delivered")
+    )
+    kept_agg = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        F.sum("cents").cast("bigint").alias("kept_cents"),
+    )
+    return delivered.join(kept_agg, "event_type").select(
+        "event_type",
+        "n_delivered",
+        "n_unique",
+        (F.col("n_delivered") - F.col("n_unique"))
+        .cast("bigint")
+        .alias("n_dropped"),
+        "kept_cents",
+    )

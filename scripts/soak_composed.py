@@ -19,6 +19,14 @@ retention bounded.
 
 Writes /tmp/soak_composed_results.json; summarized in SCALE.md.
 Needs /tmp/sf1synth (scripts/gen_scale.py 10 /tmp/sf1synth).
+
+Env knobs (VERDICT r9 #3 — the data-dominated variant):
+  SOAK_SRC (dataset dir), SOAK_ROOT (scratch), SOAK_K (batches),
+  SOAK_CRASH_AT (injected-crash batch), SOAK_OUT (results json).
+E.g. the ~180k-events/batch data-dominated profile:
+  SOAK_SRC=/tmp/sf1synth SOAK_K=6 SOAK_CRASH_AT=3 \
+  SOAK_ROOT=/tmp/soak_dd SOAK_OUT=/tmp/soak_dd.json \
+  python scripts/soak_composed.py
 """
 import json
 import os
@@ -32,10 +40,11 @@ from pyspark.sql import functions as F
 
 from eth_dspa_2019_spark.session import get_spark
 
-SRC = "/tmp/sf1synth"
-ROOT = "/tmp/soak_composed"
-K = 56
-CRASH_AT = 25
+SRC = os.environ.get("SOAK_SRC", "/tmp/sf1synth")
+ROOT = os.environ.get("SOAK_ROOT", "/tmp/soak_composed")
+K = int(os.environ.get("SOAK_K", "56"))
+CRASH_AT = int(os.environ.get("SOAK_CRASH_AT", "25"))
+OUT = os.environ.get("SOAK_OUT", "/tmp/soak_composed_results.json")
 
 spark = get_spark(app_name="soak_composed")
 spark.sparkContext.setLogLevel("ERROR")
@@ -104,12 +113,13 @@ def rows(df):
 t_all = time.time()
 ldir = f"{ROOT}/lines"
 tape_marker = f"{ROOT}/_TAPE_DONE"
-if os.path.exists(tape_marker):
+marker = open(tape_marker).read().split() if os.path.exists(tape_marker) else None
+if marker and len(marker) == 2 and int(marker[1]) == K:
     # reuse the (expensive) tape from a prior run; wipe all state/hops
     for d in os.listdir(ROOT):
         if d not in ("lines", "_TAPE_DONE"):
             shutil.rmtree(f"{ROOT}/{d}", ignore_errors=True)
-    n_lines = int(open(tape_marker).read())
+    n_lines = int(marker[0])
     print(f"tape: reused ({n_lines} lines in {K} chunks)", flush=True)
 else:
     # ---- stage 0: the wire tape as K event-time-ordered chunks
@@ -131,7 +141,7 @@ else:
         )
     n_lines = lines.count()
     with open(tape_marker, "w") as fh:
-        fh.write(str(n_lines))
+        fh.write(f"{n_lines} {K}")
     print(f"tape: {n_lines} lines in {K} chunks ({time.time()-t_all:.0f}s)",
           flush=True)
 
@@ -300,6 +310,15 @@ out = {
     "n_lines": n_lines,
     "walls": {"resolve": round(wall_A, 1), "task1": round(wall_B1, 1),
               "task2": round(wall_B2, 1), "task3": round(wall_B3, 1)},
+    # per-stage throughput over the whole tape (the data-dominated
+    # companion to the latency percentiles, VERDICT r9 #3)
+    "rows_per_sec": {
+        "resolve": round(n_lines / wall_A, 1),
+        "task1": round(n_lines / wall_B1, 1),
+        "task2": round(n_lines / wall_B2, 1),
+        "task3": round(n_lines / wall_B3, 1),
+    },
+    "lines_per_batch": n_lines // K,
     "checks": checks,
     "latency": latency,
     "stages": {
@@ -310,7 +329,7 @@ out = {
     },
     "total_sec": round(time.time() - t_all, 1),
 }
-with open("/tmp/soak_composed_results.json", "w") as f:
+with open(OUT, "w") as f:
     json.dump(out, f, indent=1)
 print("CHECKS:", checks, flush=True)
 print("LATENCY:", latency, flush=True)

@@ -6,6 +6,11 @@ Optional name-substring args restrict the sweep to matching queries
 (case-insensitive) for fast iteration on one family; exit status and
 the unexpected-failure report work the same.
 
+Set SPARK_GRAFT_SHARD="i/n" (0-based) to sweep every n-th query of the
+sorted registry — lets the 10x certification sweep run as 4 parallel
+shards on the 32-CPU box while each shard keeps the vanilla local[8]
+session the driver uses.
+
 Creates a VANILLA SparkSession (no engine configs — the driver won't have
 them), runs `__spark_entry__.entry`, then every `queries()` entry against
 its `oracle_sql()` in DuckDB using the TYPED comparator the test suite
@@ -22,9 +27,18 @@ import sys
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     sys.path.insert(0, ".")
+    import os
+
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    b = SparkSession.builder.master("local[8]")
+    # The sf0.01 gate mirror stays vanilla (1g heap, like the driver);
+    # the 10x certification sweep needs a bigger driver heap — values,
+    # not session shape, are what is being certified at that scale.
+    mem = os.environ.get("SPARK_GRAFT_SWEEP_MEM")
+    if mem:
+        b = b.config("spark.driver.memory", mem)
+    spark = b.getOrCreate()
     import __spark_entry__ as e
     from tests.oracle import compare
 
@@ -37,10 +51,15 @@ def main() -> int:
             for n, q in qs.items()
             if any(p in n.lower() for p in pats)
         }
+    shard = os.environ.get("SPARK_GRAFT_SHARD")
+    names = sorted(qs)
+    if shard:
+        i, n = (int(x) for x in shard.split("/"))
+        names = names[i::n]
     fails = []
     import time
 
-    for name in sorted(qs):
+    for name in names:
         t0 = time.monotonic()
         try:
             compare(qs[name](spark, sf), os_[name], sf)
@@ -53,7 +72,7 @@ def main() -> int:
             f"{'ok  ' if status == 'ok' else 'FAIL'} {name} ({dt:.1f}s)",
             flush=True,
         )
-    print(f"==== {len(qs)} queries, {len(fails)} failures")
+    print(f"==== {len(names)} queries, {len(fails)} failures")
     for n, s in fails:
         print("FAIL:", n, s)
     return 1 if fails else 0

@@ -15,6 +15,7 @@ driver-red in round 4 while the local mirror stayed green.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 import duckdb
@@ -25,8 +26,15 @@ from eth_dspa_2019_spark.io.readers import TESTDATA_TABLES
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
+        # Driver testdata ships single parquet FILES; the synthetic scale
+        # dirs (scripts/gen_scale.py) are Spark-written DIRECTORIES of
+        # part files — glob those so the 10x certification sweep can run
+        # the same oracles over them.
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 

@@ -45,6 +45,7 @@ SINGLE_PARTITION_OK = {
     "perplexity_mixture_sample",  # cum-window over the <=few-hundred-bin histogram + 1-row thresholds
     "dsir_importance_weights",  # 1-row target/raw feature-total funnel
     "token_budget_allocation",  # windows over the row-per-domain relation (bounded by domain count)
+    "source_token_kl_drift",  # corpus-total scalar (1-row ctot aggregate)
 }
 
 # broadcast side provably tiny: 1-row scalars, the query set, the sketch
@@ -69,6 +70,7 @@ BNLJ_OK = {
     "perplexity_mixture_sample",  # 1-row corpus-total + tercile-threshold cross joins
     "dsir_importance_weights",  # 1-row feature-totals cross join
     "token_budget_allocation",  # 1-row budget + capped-totals cross joins
+    "source_token_kl_drift",  # 1-row corpus-total cross join
 }
 
 
