@@ -426,3 +426,83 @@ def test_dsir_weights_favor_target_language(spark, sf_dir):
         .collect()
     }
     assert rates[True] > rates[False] + 0.3, rates
+
+
+def test_negative_sampling_contract(spark, sf_dir):
+    """Semantic contract beyond the oracle equivalence: no document is
+    ever its own negative, no negative shares the exact-dup prefix key
+    with its anchor, at most NEG_PROBES negatives per doc, and coverage
+    is near-total (a doc misses a probe only when it lands on its own
+    or a dup-mate's bucket)."""
+    from pyspark.sql import functions as F
+
+    from eth_dspa_2019_spark.io.readers import load_table
+    from eth_dspa_2019_spark.plans.pipeline import (
+        NEG_PROBES,
+        negative_sampling_pairs,
+    )
+
+    pairs = negative_sampling_pairs(spark, sf_dir).collect()
+    assert pairs, "sampler produced no negatives"
+    docs = {
+        r["doc_id"]: r["k"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.md5(F.substring("text", 1, 64)).alias("k"))
+        .collect()
+    }
+    per_doc: dict[int, int] = {}
+    for r in pairs:
+        assert r["neg_doc_id"] != r["doc_id"]
+        assert docs[r["neg_doc_id"]] != docs[r["doc_id"]]
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+    assert max(per_doc.values()) <= NEG_PROBES
+    # coverage: nearly every doc draws at least one valid negative
+    assert len(per_doc) >= 0.9 * len(docs)
+
+
+def test_ingest_dedup_reproduces_source_totals(spark, sf_dir):
+    """First-delivery-wins must reproduce the uncorrupted source sums:
+    kept_cents per type equals the original events' floor-cents total,
+    and exactly the 1-in-7 redeliveries are dropped."""
+    from pyspark.sql import functions as F
+
+    from eth_dspa_2019_spark.io.readers import load_table
+    from eth_dspa_2019_spark.plans.pipeline import event_ingest_dedup
+
+    got = {
+        r["event_type"]: r for r in event_ingest_dedup(spark, sf_dir).collect()
+    }
+    src = {
+        r["event_type"]: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("cents"),
+            F.sum(
+                F.when(F.col("event_id") % 7 == 0, 1).otherwise(0)
+            ).alias("redelivered"),
+        )
+        .collect()
+    }
+    assert set(got) == set(src)
+    for t, s in src.items():
+        assert got[t]["n_unique"] == s["n"]
+        assert got[t]["n_dropped"] == s["redelivered"]
+        assert got[t]["kept_cents"] == s["cents"]
+
+
+def test_kl_drift_zero_for_corpus_identical_source(spark, sf_dir):
+    """A synthetic source whose token distribution IS the corpus must
+    drift to ~0 fixed-point bits, and every drift is bounded by the
+    64-bit shift window."""
+    from eth_dspa_2019_spark.plans.pipeline import source_token_kl_drift
+
+    rows = source_token_kl_drift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -64_000_000 <= r["drift_bits_fx"] <= 64_000_000
+        # code-length identity: per-source bits never exceed corpus bits
+        # by more than the integer-log rounding (1 bit/token)
+        assert r["source_bits"] <= r["corpus_bits"] + r["n_tokens"]
