@@ -56,16 +56,56 @@ def main() -> int:
     if shard:
         i, n = (int(x) for x in shard.split("/"))
         names = names[i::n]
+    # Documented wall-clock exclusions (comma-separated names) and a
+    # per-query watchdog for scale sweeps: on timeout, cancel the Spark
+    # jobs and interrupt the DuckDB oracle, record the query as a
+    # TIMEOUT failure, and move on instead of wedging the shard.
+    skip = {
+        s for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",") if s
+    }
+    timeout_s = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT_S", "0"))
     fails = []
+    import threading
     import time
 
+    from tests.oracle import interrupt_current_oracle
+
+    def run_one(name: str) -> str:
+        compare(qs[name](spark, sf), os_[name], sf)
+        return "ok"
+
     for name in names:
+        if name in skip:
+            print(f"skip {name} (SPARK_GRAFT_SKIP)", flush=True)
+            continue
         t0 = time.monotonic()
-        try:
-            compare(qs[name](spark, sf), os_[name], sf)
-            status = "ok"
-        except Exception as ex:  # pragma: no cover - diagnostic path
-            status = f"FAIL {type(ex).__name__}: {str(ex)[:160]}"
+        if timeout_s:
+            box: dict[str, str] = {}
+
+            def worker(n=name):
+                try:
+                    box["status"] = run_one(n)
+                except Exception as ex:
+                    box["status"] = (
+                        f"FAIL {type(ex).__name__}: {str(ex)[:160]}"
+                    )
+
+            th = threading.Thread(target=worker, daemon=True)
+            th.start()
+            th.join(timeout_s)
+            if th.is_alive():
+                spark.sparkContext.cancelAllJobs()
+                interrupt_current_oracle()
+                th.join(120)
+                status = f"FAIL Timeout: > {timeout_s:.0f}s (cancelled)"
+            else:
+                status = box.get("status", "FAIL worker died")
+        else:
+            try:
+                status = run_one(name)
+            except Exception as ex:  # pragma: no cover - diagnostic path
+                status = f"FAIL {type(ex).__name__}: {str(ex)[:160]}"
+        if status != "ok":
             fails.append((name, status))
         dt = time.monotonic() - t0
         print(

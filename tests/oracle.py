@@ -23,8 +23,37 @@ import duckdb
 from eth_dspa_2019_spark.io.readers import TESTDATA_TABLES
 
 
+# Most-recent oracle connection, so a sweep watchdog can interrupt a
+# runaway oracle from another thread (scripts/verify_contract.py). The
+# sweep runs one compare at a time; this is not a concurrency registry.
+_CURRENT: dict[str, Any] = {"con": None}
+
+
+def interrupt_current_oracle() -> None:
+    con = _CURRENT.get("con")
+    if con is not None:
+        try:
+            con.interrupt()
+        except Exception:
+            pass
+
+
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Resource guards for scale sweeps: an unbounded DuckDB oracle at 10x
+    # can spill its temp storage until the DISK fills (observed: the
+    # paraphrase oracle took the whole box down mid-sweep). Cap memory and
+    # temp so a runaway oracle fails loudly instead.
+    mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    tmp = os.environ.get("SPARK_GRAFT_DUCK_TMP")
+    if tmp:
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
+        cap = os.environ.get("SPARK_GRAFT_DUCK_TMP_CAP", "40GiB")
+        con.execute(f"SET max_temp_directory_size='{cap}'")
+    _CURRENT["con"] = con
     for t in TESTDATA_TABLES:
         # Driver testdata ships single parquet FILES; the synthetic scale
         # dirs (scripts/gen_scale.py) are Spark-written DIRECTORIES of
