@@ -268,7 +268,7 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sh b ON b.id = c.doc_b AND b.shingle = a.shingle
       GROUP BY 1, 2
     ),
-    pairs AS ({_o_jaccard_select('common')}),
+    pairs AS MATERIALIZED ({_o_jaccard_select('common')}),
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION
@@ -1170,7 +1170,7 @@ SPLIT_VALID_PCT = 10
       JOIN sh b ON b.id = c.doc_b AND b.shingle = a.shingle
       GROUP BY 1, 2
     ),
-    pairs AS ({_o_jaccard_select('common')}),
+    pairs AS MATERIALIZED ({_o_jaccard_select('common')}),
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION

@@ -267,7 +267,7 @@ def _ivf_oracle() -> str:
       FROM el a JOIN el b ON a.i = b.i AND b.vec_id % {IVF_STRIDE} = 0
       GROUP BY 1, 2
     ),
-    cscored AS (
+    cscored AS MATERIALIZED (
       SELECT c.vec_id, c.cid,
              cast(c.dp AS double)
                / (sqrt(cast(na.n2 AS double)) * sqrt(cast(nb.n2 AS double)))
@@ -612,7 +612,7 @@ def _ivf_sq8_oracle() -> str:
       FROM el a JOIN el b ON a.i = b.i AND b.vec_id % {IVF_STRIDE} = 0
       GROUP BY 1, 2
     ),
-    cscored AS (
+    cscored AS MATERIALIZED (
       SELECT c.vec_id, c.cid,
              cast(c.dp AS double)
                / (sqrt(cast(na.n2 AS double)) * sqrt(cast(nb.n2 AS double)))
@@ -739,7 +739,11 @@ def _paraphrase_oracle() -> str:
       JOIN el eb ON eb.vec_id = cd.b AND eb.i = ea.i
       GROUP BY 1, 2
     ),
-    close_pairs AS (
+    -- MATERIALIZED: close_pairs is referenced twice (common + final
+    -- select); DuckDB otherwise inlines and RE-EXECUTES the whole
+    -- banded dots pipeline per reference, doubling temp spill — at the
+    -- 10x certification scale that alone exceeded a 55GiB temp cap.
+    close_pairs AS MATERIALIZED (
       SELECT d.a, d.b,
              cast(d.dp AS double)
                / (sqrt(cast(na.n2 AS double)) * sqrt(cast(nb.n2 AS double)))
@@ -849,7 +853,7 @@ def _pq_oracle() -> str:
       SELECT vec_id AS cid, m, i, qx AS cx
       FROM sub WHERE vec_id % {PQ_STRIDE} = 0
     ),
-    encd AS (
+    encd AS MATERIALIZED (
       SELECT s.vec_id, s.m, c.cid,
              cast(sum((s.qx - c.cx) * (s.qx - c.cx)) AS bigint) AS d2
       FROM sub s JOIN cb c ON c.m = s.m AND c.i = s.i
@@ -942,7 +946,7 @@ def _ivf_pq_oracle() -> str:
       SELECT vec_id AS cid, m, i, qx AS cx
       FROM sub WHERE vec_id % {PQ_STRIDE} = 0
     ),
-    encd AS (
+    encd AS MATERIALIZED (
       SELECT s.vec_id, s.m, c.cid,
              cast(sum((s.qx - c.cx) * (s.qx - c.cx)) AS bigint) AS d2
       FROM sub s JOIN cb c ON c.m = s.m AND c.i = s.i
@@ -966,7 +970,7 @@ def _ivf_pq_oracle() -> str:
       FROM el a JOIN el b ON a.i = b.i AND b.vec_id % {IVF_STRIDE} = 0
       GROUP BY 1, 2
     ),
-    cscored AS (
+    cscored AS MATERIALIZED (
       SELECT c.vec_id, c.cid,
              cast(c.dp AS double)
                / (sqrt(cast(na.n2 AS double)) * sqrt(cast(nb.n2 AS double)))
