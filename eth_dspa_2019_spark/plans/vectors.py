@@ -254,8 +254,46 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_STRIDE = 31  # K = ceil(N/31) coarse centroids
+IVF_STRIDE = 31  # floor stride: K = ceil(N/31) coarse centroids at fixture N
 IVF_NPROBE = 3
+#: FAISS-style nlist cap: past N > IVF_STRIDE * IVF_NLIST_CAP the stride
+#: grows with the corpus so the coarse codebook stops growing linearly —
+#: the 10x certification sweep caught the fixed stride turning the
+#: assignment join quadratic (N x N/31 centroid dots). Production FAISS
+#: sizes nlist ~ sqrt(N) and k-means-refines (`kmeans_refine`); the cap
+#: keeps the registered query oracle-checkable with the same modulo seed.
+IVF_NLIST_CAP = 512
+#: FAISS-style per-subspace PQ codebook cap (real PQ uses 256 entries =
+#: one code byte). Same cliff class: the stride-7 seed made K ~ N/7, so
+#: the encode join grew as N^2/7 — caught at 10x, capped here.
+PQ_CB_CAP = 256
+
+
+def ivf_stride(n_vecs: int) -> int:
+    """Knob-derived coarse-centroid stride: the fixture floor until the
+    nlist cap binds, then ceil(n/cap) — integer-exact, mirrored in SQL
+    by `_O_IVFS` (same greatest/ceil-div arithmetic)."""
+    return max(IVF_STRIDE, -(-n_vecs // IVF_NLIST_CAP))
+
+
+def pq_stride(n_vecs: int) -> int:
+    """Knob-derived PQ codebook stride: K <= PQ_CB_CAP + 1 entries per
+    subspace, FAISS's one-byte-code regime. SQL mirror: `_O_PQS`."""
+    return max(PQ_STRIDE, -(-n_vecs // PQ_CB_CAP))
+
+
+#: scalar-subquery SQL mirrors of the stride knobs (dynamic-oracle
+#: pattern, like `o_auto_band_bits`): ceil-div via (n + cap - 1) // cap.
+_O_IVFS = (
+    f"(SELECT greatest({IVF_STRIDE},"
+    f" (count(*) + {IVF_NLIST_CAP - 1}) // {IVF_NLIST_CAP})"
+    " FROM embeddings)"
+)
+_O_PQS = (
+    f"(SELECT greatest({PQ_STRIDE},"
+    f" (count(*) + {PQ_CB_CAP - 1}) // {PQ_CB_CAP})"
+    " FROM embeddings)"
+)
 
 
 def _ivf_oracle() -> str:
@@ -264,7 +302,7 @@ def _ivf_oracle() -> str:
     cdots AS (
       SELECT a.vec_id AS vec_id, b.vec_id AS cid,
              sum(cast(floor(a.x * b.x * {FIXED_POINT}.0) AS bigint)) AS dp
-      FROM el a JOIN el b ON a.i = b.i AND b.vec_id % {IVF_STRIDE} = 0
+      FROM el a JOIN el b ON a.i = b.i AND b.vec_id % {_O_IVFS} = 0
       GROUP BY 1, 2
     ),
     cscored AS MATERIALIZED (
@@ -331,7 +369,7 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids (`kmeans_refine`)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    cents = stride_centroids(emb, IVF_STRIDE)
+    cents = stride_centroids(emb, ivf_stride(emb.count()))
     df = ivf_topk(emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE)
     return df.withColumn("rank", F.col("rank").cast("int"))
 
@@ -421,9 +459,9 @@ def _o_vec_e2e() -> str:
     from .corpus import CENT_FX
 
     return f"""
-    WITH pairs AS ({_neardup_oracle()}),
+    WITH pairs AS MATERIALIZED ({_neardup_oracle()}),
     dropped AS (SELECT DISTINCT b AS vec_id FROM pairs),
-    surv AS (SELECT * FROM embeddings
+    surv AS MATERIALIZED (SELECT * FROM embeddings
              WHERE vec_id NOT IN (SELECT vec_id FROM dropped)),
     spos AS (SELECT vec_id, label, unnest(embedding) AS val,
                     unnest(range(1, len(embedding) + 1)) AS pos
@@ -609,7 +647,7 @@ def _ivf_sq8_oracle() -> str:
     cdots AS (
       SELECT a.vec_id AS vec_id, b.vec_id AS cid,
              sum(cast(floor(a.x * b.x * {FIXED_POINT}.0) AS bigint)) AS dp
-      FROM el a JOIN el b ON a.i = b.i AND b.vec_id % {IVF_STRIDE} = 0
+      FROM el a JOIN el b ON a.i = b.i AND b.vec_id % {_O_IVFS} = 0
       GROUP BY 1, 2
     ),
     cscored AS MATERIALIZED (
@@ -700,7 +738,7 @@ def ivf_sq8_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    cents = stride_centroids(emb, IVF_STRIDE)
+    cents = stride_centroids(emb, ivf_stride(emb.count()))
     df = ivf_sq8_topk(
         emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE, cand_k=SQ8_CAND_K
     )
@@ -849,15 +887,15 @@ def _pq_oracle() -> str:
       SELECT vec_id, cast((i - 1) // {PQ_SUB_DIM} AS bigint) AS m, i, qx
       FROM pqel
     ),
-    cb AS (
-      SELECT vec_id AS cid, m, i, qx AS cx
-      FROM sub WHERE vec_id % {PQ_STRIDE} = 0
+    subl AS (
+      SELECT vec_id, m, list(qx ORDER BY i) AS ql FROM sub GROUP BY 1, 2
     ),
     encd AS MATERIALIZED (
-      SELECT s.vec_id, s.m, c.cid,
-             cast(sum((s.qx - c.cx) * (s.qx - c.cx)) AS bigint) AS d2
-      FROM sub s JOIN cb c ON c.m = s.m AND c.i = s.i
-      GROUP BY 1, 2, 3
+      SELECT s.vec_id, s.m, c.vec_id AS cid,
+             cast(list_sum(list_transform(range(1, {PQ_SUB_DIM} + 1),
+                  i -> (s.ql[i] - c.ql[i]) * (s.ql[i] - c.ql[i])))
+                  AS bigint) AS d2
+      FROM subl s JOIN subl c ON c.m = s.m AND c.vec_id % {_O_PQS} = 0
     ),
     codes AS (
       SELECT vec_id, m, cid AS code FROM (
@@ -914,14 +952,18 @@ def ann_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT, SQ8 cuts bytes-per-coordinate 4x, PQ cuts the whole vector to
     {PQ_SUBS} codebook indices and replaces the scan's dot products with
     {PQ_SUBS} integer table lookups. Codebooks are stride-seeded per
-    subspace (K ~ N/{PQ_STRIDE} entries), distances are exact int64 at
+    subspace with the knob-derived `pq_stride` (K <= {PQ_CB_CAP} entries,
+    FAISS's one-byte-code regime — the fixed stride-7 seed grew K ~ N/7
+    and made the encode join quadratic; caught by the 10x certification
+    sweep, capped, regression-pinned), distances are exact int64 at
     every step (global-scale quantization -> squared-L2 in the quantized
     domain), and the oracle replays the identical
     quantize -> encode -> lookup-scan -> refine algorithm. Recall vs
     brute force is asserted in pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    df = pq_topk(emb, queries, k=TOP_K, cand_k=PQ_CAND_K)
+    df = pq_topk(emb, queries, k=TOP_K, cand_k=PQ_CAND_K,
+                 stride=pq_stride(emb.count()))
     return df.withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -942,15 +984,15 @@ def _ivf_pq_oracle() -> str:
       SELECT vec_id, cast((i - 1) // {PQ_SUB_DIM} AS bigint) AS m, i, qx
       FROM pqel
     ),
-    cb AS (
-      SELECT vec_id AS cid, m, i, qx AS cx
-      FROM sub WHERE vec_id % {PQ_STRIDE} = 0
+    subl AS (
+      SELECT vec_id, m, list(qx ORDER BY i) AS ql FROM sub GROUP BY 1, 2
     ),
     encd AS MATERIALIZED (
-      SELECT s.vec_id, s.m, c.cid,
-             cast(sum((s.qx - c.cx) * (s.qx - c.cx)) AS bigint) AS d2
-      FROM sub s JOIN cb c ON c.m = s.m AND c.i = s.i
-      GROUP BY 1, 2, 3
+      SELECT s.vec_id, s.m, c.vec_id AS cid,
+             cast(list_sum(list_transform(range(1, {PQ_SUB_DIM} + 1),
+                  i -> (s.ql[i] - c.ql[i]) * (s.ql[i] - c.ql[i])))
+                  AS bigint) AS d2
+      FROM subl s JOIN subl c ON c.m = s.m AND c.vec_id % {_O_PQS} = 0
     ),
     codes AS (
       SELECT vec_id, m, cid AS code FROM (
@@ -967,7 +1009,7 @@ def _ivf_pq_oracle() -> str:
     cdots AS (
       SELECT a.vec_id AS vec_id, b.vec_id AS cid,
              sum(cast(floor(a.x * b.x * {FIXED_POINT}.0) AS bigint)) AS dp
-      FROM el a JOIN el b ON a.i = b.i AND b.vec_id % {IVF_STRIDE} = 0
+      FROM el a JOIN el b ON a.i = b.i AND b.vec_id % {_O_IVFS} = 0
       GROUP BY 1, 2
     ),
     cscored AS MATERIALIZED (
@@ -1038,8 +1080,7 @@ def _ivf_pq_oracle() -> str:
 def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FAISS ``IVF,PQ`` production compose, completing the quantized
     family (LSH / multiprobe / IVF / SQ8 / IVF,SQ8 / PQ): coarse inverted
-    lists prune WHICH vectors are scanned (top-{IVF_NPROBE} of ~N/
-    {IVF_STRIDE} lists), PQ codes shrink the scan to {PQ_SUBS} integer
+    lists prune WHICH vectors are scanned (top-{IVF_NPROBE} of <= {IVF_NLIST_CAP} knob-derived lists, `ivf_stride`), PQ codes shrink the scan to {PQ_SUBS} integer
     table lookups per candidate, and {PQ_CAND_K} survivors per query are
     re-ranked exactly. PQ encodes raw vectors (``by_residual=false``) so
     ONE broadcastable codebook serves every list. The oracle replays the
@@ -1049,9 +1090,10 @@ def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    cents = stride_centroids(emb, IVF_STRIDE)
+    cents = stride_centroids(emb, ivf_stride(emb.count()))
     df = ivf_pq_topk(
-        emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE, cand_k=PQ_CAND_K
+        emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE, cand_k=PQ_CAND_K,
+        stride=pq_stride(emb.count()),
     )
     return df.withColumn("rank", F.col("rank").cast("int"))
 

@@ -49,6 +49,10 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
         con.execute(f"SET memory_limit='{mem}'")
     tmp = os.environ.get("SPARK_GRAFT_DUCK_TMP")
     if tmp:
+        # per-process subdir: parallel sweep shards sharing one temp dir
+        # remove each other's spill files (DuckDB then aborts the whole
+        # process from its destructor)
+        tmp = f"{tmp}/{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
         con.execute(f"SET temp_directory='{tmp}'")
         cap = os.environ.get("SPARK_GRAFT_DUCK_TMP_CAP", "40GiB")

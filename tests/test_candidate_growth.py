@@ -442,3 +442,40 @@ def test_nd_knobs_candidate_mass_subquadratic(spark):
         )
         pts.append((n, c))
     assert _alpha(pts) <= 1.40, pts
+
+
+def test_codebook_stride_knobs_cap_growth():
+    """The 10x certification cliff class, pinned: stride-seeded IVF/PQ
+    codebooks must stop growing linearly once the cap binds (encode /
+    assign cost is N*K — a fixed stride makes it N^2/stride), and the
+    Python knob must equal its SQL mirror's integer arithmetic at every
+    scale, including both cap boundaries."""
+    import duckdb
+
+    from eth_dspa_2019_spark.plans.vectors import (
+        IVF_NLIST_CAP,
+        IVF_STRIDE,
+        PQ_CB_CAP,
+        ivf_stride,
+        pq_stride,
+    )
+    from eth_dspa_2019_spark.operators.similarity import PQ_STRIDE
+
+    con = duckdb.connect()
+    for n in (1, 200, 2000, PQ_STRIDE * PQ_CB_CAP, PQ_STRIDE * PQ_CB_CAP + 1,
+              IVF_STRIDE * IVF_NLIST_CAP, IVF_STRIDE * IVF_NLIST_CAP + 1,
+              20_000, 200_000, 10_000_000):
+        # knob == ceil-div form == SQL mirror arithmetic
+        assert pq_stride(n) == max(PQ_STRIDE, -(-n // PQ_CB_CAP))
+        assert ivf_stride(n) == max(IVF_STRIDE, -(-n // IVF_NLIST_CAP))
+        sql_pq, sql_ivf = con.execute(
+            f"SELECT greatest({PQ_STRIDE}, ({n} + {PQ_CB_CAP - 1}) // {PQ_CB_CAP}),"
+            f" greatest({IVF_STRIDE}, ({n} + {IVF_NLIST_CAP - 1}) // {IVF_NLIST_CAP})"
+        ).fetchone()
+        assert pq_stride(n) == sql_pq and ivf_stride(n) == sql_ivf, n
+        # the caps actually bind: codebook size is bounded at every N
+        assert -(-n // pq_stride(n)) <= PQ_CB_CAP + 1
+        assert -(-n // ivf_stride(n)) <= IVF_NLIST_CAP + 1
+    # fixture scales keep the floor strides -> gate values unchanged
+    assert pq_stride(200) == PQ_STRIDE and pq_stride(2000) == 8
+    assert ivf_stride(200) == IVF_STRIDE and ivf_stride(2000) == IVF_STRIDE
