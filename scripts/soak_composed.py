@@ -131,6 +131,9 @@ else:
             parse_creation_date(F.element_at(F.split("value", r"\|", -1), 4))
         ),
     )
+    # materialize once: each chunk filter below otherwise re-runs the
+    # whole synth lineage (K full scans of the activity build)
+    lines = lines.localCheckpoint(eager=True)
     lo, hi = lines.agg(F.min("ts_ms"), F.max("ts_ms")).collect()[0]
     cuts = [lo + (hi - lo) * i // K for i in range(K)] + [hi + 1]
     for i, (clo, chi) in enumerate(zip(cuts[:-1], cuts[1:])):
