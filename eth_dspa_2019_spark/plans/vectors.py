@@ -295,16 +295,37 @@ _O_PQS = (
     " FROM embeddings)"
 )
 
+#: List-form centroid-assign dot products (VERDICT r10 #1). The row-form
+#: `el a JOIN el b ON a.i = b.i AND b.vec_id % stride = 0` pushed
+#: N×K×64 rows through a hash join plus a 64-wide GROUP BY and was the
+#: 670–760 s/query slow tail of the 10× certification sweep
+#: (SCALE.md:948) — all oracle-side cost; the Spark twins run in
+#: seconds. Same fix pattern the round proved on PQ-encode: keep each
+#: vector as its list, cross-join the N rows against the K ≤ 512
+#: centroid rows (`_O_IVFS` keeps K capped), and fold the fixed-point
+#: products with list_sum/list_transform. Each term is bit-identical to
+#: the row form — floor(x·y·FP) AS BIGINT, summed — so `assign`/`probe`
+#: and everything downstream see the exact same dp values.
+_O_CDOTS_LIST = f"""
+    cents AS MATERIALIZED (
+      SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+      WHERE vec_id % {_O_IVFS} = 0
+    ),
+    cdots AS (
+      SELECT a.vec_id AS vec_id, c.cid AS cid,
+             cast(list_sum(list_transform(range(1, {DIM} + 1),
+                  i -> cast(floor(cast(a.embedding[i] AS double)
+                                  * cast(c.cemb[i] AS double)
+                                  * {FIXED_POINT}.0) AS bigint)))
+                  AS bigint) AS dp
+      FROM embeddings a CROSS JOIN cents c
+    )"""
+
 
 def _ivf_oracle() -> str:
     return f"""
     WITH {_O_ELEMENTS},
-    cdots AS (
-      SELECT a.vec_id AS vec_id, b.vec_id AS cid,
-             sum(cast(floor(a.x * b.x * {FIXED_POINT}.0) AS bigint)) AS dp
-      FROM el a JOIN el b ON a.i = b.i AND b.vec_id % {_O_IVFS} = 0
-      GROUP BY 1, 2
-    ),
+{_O_CDOTS_LIST},
     cscored AS MATERIALIZED (
       SELECT c.vec_id, c.cid,
              cast(c.dp AS double)
@@ -644,12 +665,7 @@ def _ivf_sq8_oracle() -> str:
       FROM el JOIN mx m ON el.vec_id = m.vec_id
     ),
     qn AS (SELECT vec_id, sum(qx * qx) AS qn2 FROM qel GROUP BY vec_id),
-    cdots AS (
-      SELECT a.vec_id AS vec_id, b.vec_id AS cid,
-             sum(cast(floor(a.x * b.x * {FIXED_POINT}.0) AS bigint)) AS dp
-      FROM el a JOIN el b ON a.i = b.i AND b.vec_id % {_O_IVFS} = 0
-      GROUP BY 1, 2
-    ),
+{_O_CDOTS_LIST},
     cscored AS MATERIALIZED (
       SELECT c.vec_id, c.cid,
              cast(c.dp AS double)
@@ -1006,12 +1022,7 @@ def _ivf_pq_oracle() -> str:
       SELECT vec_id AS query_id, m, cid, d2 FROM encd
       WHERE vec_id < {N_QUERIES}
     ),
-    cdots AS (
-      SELECT a.vec_id AS vec_id, b.vec_id AS cid,
-             sum(cast(floor(a.x * b.x * {FIXED_POINT}.0) AS bigint)) AS dp
-      FROM el a JOIN el b ON a.i = b.i AND b.vec_id % {_O_IVFS} = 0
-      GROUP BY 1, 2
-    ),
+{_O_CDOTS_LIST},
     cscored AS MATERIALIZED (
       SELECT c.vec_id, c.cid,
              cast(c.dp AS double)
@@ -1090,10 +1101,11 @@ def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    cents = stride_centroids(emb, ivf_stride(emb.count()))
+    n = emb.count()  # one count job feeds both stride knobs (r10 ADVICE)
+    cents = stride_centroids(emb, ivf_stride(n))
     df = ivf_pq_topk(
         emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE, cand_k=PQ_CAND_K,
-        stride=pq_stride(emb.count()),
+        stride=pq_stride(n),
     )
     return df.withColumn("rank", F.col("rank").cast("int"))
 

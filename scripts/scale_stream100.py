@@ -102,7 +102,30 @@ print(f"tape: {n_lines} lines in {K} chunks ({time.time()-t0:.0f}s)",
       flush=True)
 
 rdir, ck1, sd1 = f"{ROOT}/resolved", f"{ROOT}/ck1", f"{ROOT}/sd1"
-timings = []
+
+
+class _StateSnapTimings(list):
+    """Timings sink that snapshots the durable-state delta AT APPEND TIME
+    (the resolver appends right after each batch's state commit) — the
+    post-hoc loop the r10 ADVICE flagged enumerated version dirs only
+    after the whole run, so the per-batch deltas it promised were never
+    captured (retention had already pruned them)."""
+
+    def __init__(self):
+        super().__init__()
+        self._seen: set = set()
+
+    def append(self, item):  # (batch_id, seconds) from the resolver
+        b, s = item
+        new = [d for d in vdirs(sd1) if d not in self._seen]
+        self._seen.update(new)
+        super().append(dict(
+            batch=b, sec=round(s, 2), new_version_dirs=len(new),
+            new_state_bytes=sum(du(f"{sd1}/{d}") for d in new),
+        ))
+
+
+timings = _StateSnapTimings()
 t0 = time.time()
 resolver = resolve_activities_stream(
     spark, f"{ldir}/chunk*", rdir, ck1, state_dir=sd1, sink_parts=4,
@@ -110,12 +133,7 @@ resolver = resolve_activities_stream(
 )
 wall = time.time() - t0
 pending = resolver.pending.count()
-seen = []
-rows = []
-for b, s in timings:
-    new = [d for d in vdirs(sd1) if d not in seen]
-    seen += new
-    rows.append(dict(batch=b, sec=round(s, 2)))
+rows = list(timings)
 results["resolver"] = {
     "wall_sec": round(wall, 1),
     "n_lines": n_lines,

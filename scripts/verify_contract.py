@@ -65,6 +65,7 @@ def main() -> int:
     }
     timeout_s = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT_S", "0"))
     fails = []
+    zombies: list = []
     import threading
     import time
 
@@ -95,8 +96,20 @@ def main() -> int:
             th.join(timeout_s)
             if th.is_alive():
                 spark.sparkContext.cancelAllJobs()
-                interrupt_current_oracle()
+                # Interrupt THIS worker's oracle connection (per-thread
+                # slot in tests/oracle.py — r10 ADVICE: a zombie that
+                # later re-connects must not hijack the interrupt target).
+                interrupt_current_oracle(th.ident)
                 th.join(120)
+                if th.is_alive():
+                    # The worker survived the grace join: it keeps running
+                    # concurrently with later queries, so its Spark jobs
+                    # may be killed by an unrelated cancelAllJobs. Record
+                    # it so the log explains any such casualty.
+                    zombies.append(name)
+                    print(f"ZOMBIE worker for {name} still running — "
+                          "later cancelAllJobs may hit its jobs",
+                          flush=True)
                 status = f"FAIL Timeout: > {timeout_s:.0f}s (cancelled)"
             else:
                 status = box.get("status", "FAIL worker died")
@@ -112,6 +125,8 @@ def main() -> int:
             f"{'ok  ' if status == 'ok' else 'FAIL'} {name} ({dt:.1f}s)",
             flush=True,
         )
+    if zombies:
+        print(f"==== zombie workers (timed out, never died): {zombies}")
     print(f"==== {len(names)} queries, {len(fails)} failures")
     for n, s in fails:
         print("FAIL:", n, s)

@@ -23,14 +23,23 @@ import duckdb
 from eth_dspa_2019_spark.io.readers import TESTDATA_TABLES
 
 
-# Most-recent oracle connection, so a sweep watchdog can interrupt a
-# runaway oracle from another thread (scripts/verify_contract.py). The
-# sweep runs one compare at a time; this is not a concurrency registry.
-_CURRENT: dict[str, Any] = {"con": None}
+# Per-thread oracle connections, so a sweep watchdog can interrupt a
+# runaway oracle from another thread (scripts/verify_contract.py).
+# Keyed by thread ident (r10 ADVICE): a timed-out worker that survives
+# the grace join keeps running, and when IT later reaches duck_connect
+# a single "current" slot would be overwritten — a later watchdog
+# interrupt would then target the zombie's connection instead of the
+# active query's. Per-thread slots make the interrupt precise.
+_CURRENT: dict[int, Any] = {}
 
 
-def interrupt_current_oracle() -> None:
-    con = _CURRENT.get("con")
+def interrupt_current_oracle(thread_ident: int | None = None) -> None:
+    """Interrupt the oracle connection opened by ``thread_ident`` (or by
+    the calling thread when None)."""
+    import threading
+
+    key = thread_ident if thread_ident is not None else threading.get_ident()
+    con = _CURRENT.get(key)
     if con is not None:
         try:
             con.interrupt()
@@ -57,7 +66,9 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
         con.execute(f"SET temp_directory='{tmp}'")
         cap = os.environ.get("SPARK_GRAFT_DUCK_TMP_CAP", "40GiB")
         con.execute(f"SET max_temp_directory_size='{cap}'")
-    _CURRENT["con"] = con
+    import threading
+
+    _CURRENT[threading.get_ident()] = con
     for t in TESTDATA_TABLES:
         # Driver testdata ships single parquet FILES; the synthetic scale
         # dirs (scripts/gen_scale.py) are Spark-written DIRECTORIES of
@@ -185,6 +196,9 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
         tbl = con.execute(oracle_sql).fetch_arrow_table()
     finally:
         con.close()
+        import threading
+
+        _CURRENT.pop(threading.get_ident(), None)
     duck_cols = list(tbl.column_names)
     duck_types = {
         name: _canon_arrow_type(tbl.schema.field(i).type)
