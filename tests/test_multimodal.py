@@ -149,3 +149,93 @@ def test_synth_column_is_real_png(spark, sf_dir):
     for r in synth_png_column(docs).collect():
         w, h, c, px = png_decode(bytes(r["image"]))
         assert np.array_equal(px, fixture_pixels(r["doc_id"]))
+
+
+def _scalar_defilter(stream: bytes, w: int, h: int) -> np.ndarray:
+    """Reference scalar de-filter (per-byte loop over the PNG spec) —
+    the golden the vectorized wavefront must match bit-for-bit."""
+    bpp = 3
+    stride = 1 + w * bpp
+    out = np.zeros((h, w * bpp), dtype=np.int64)
+    for y in range(h):
+        ft = stream[y * stride]
+        line = np.frombuffer(
+            stream, np.uint8, w * bpp, y * stride + 1
+        ).astype(np.int64)
+        prior = out[y - 1] if y else np.zeros_like(line)
+        rec = line.copy()
+        for i in range(w * bpp):
+            a = rec[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (
+                    a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                )
+            rec[i] = (line[i] + pred) % 256
+        out[y] = rec
+    return out.reshape(h, w, bpp).astype(np.uint8)
+
+
+def test_wavefront_matches_scalar_defilter_on_random_patterns():
+    """The anti-diagonal wavefront (Average/Paeth runs) is an exact
+    reimplementation of the scalar recurrence: pin it against the
+    per-byte reference on random pixels with random PER-ROW filter
+    mixes, including adjacent Average/Paeth rows of every run shape."""
+    rng = np.random.default_rng(1234)
+    for _ in range(25):
+        w = int(rng.integers(1, 40))
+        h = int(rng.integers(1, 30))
+        pix = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        fts = rng.integers(0, 5, h)
+        # forward-filter with the chosen per-row types (scalar, spec form)
+        bpp = 3
+        dec = pix.reshape(h, w * bpp).astype(np.int64)
+        stream = bytearray()
+        for y in range(h):
+            row = dec[y]
+            prior = dec[y - 1] if y else np.zeros_like(row)
+            ft = int(fts[y])
+            stream.append(ft)
+            for i in range(w * bpp):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a
+                        if (pa <= pb and pa <= pc)
+                        else (b if pb <= pc else c)
+                    )
+                stream.append(int((row[i] - pred) % 256))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        buf = (
+            _PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + _chunk(b"IEND", b"")
+        )
+        _, _, _, got = png_decode(buf)
+        ref = _scalar_defilter(bytes(stream), w, h)
+        assert np.array_equal(got, ref)
+        assert np.array_equal(got, pix)
