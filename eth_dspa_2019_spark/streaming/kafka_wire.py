@@ -8,7 +8,9 @@ Layers:
 - **Bytes**: :func:`encode_record_batch` / :func:`iter_records` — the
   exact framing a broker stores and the consumer fetch returns:
   CRC32C (Castagnoli, table-driven — Kafka does NOT use zlib's CRC32),
-  zigzag-varint record fields, batch header (baseOffset, batchLength,
+  zigzag-varint record fields, gzip codec via the attribute bits
+  (compressed records array, CRC over the compressed bytes — the form
+  real brokers ship; snappy/lz4/zstd are rejected loudly), batch header (baseOffset, batchLength,
   partitionLeaderEpoch, magic, crc, attributes, lastOffsetDelta,
   base/maxTimestamp, producerId/Epoch, baseSequence, recordsCount).
   Corruption fails CRC → ValueError (consumer-visible, never silent).
@@ -123,13 +125,25 @@ def _encode_record(
     return bytes(out + body)
 
 
+#: attribute-bit codec ids from the Kafka protocol spec (bits 0-2 of the
+#: batch ``attributes`` field). Only gzip is implemented here (stdlib);
+#: snappy/lz4/zstd segments are rejected loudly, never mis-decoded.
+_CODEC_NONE, _CODEC_GZIP = 0, 1
+_CODEC_NAMES = {0: "none", 1: "gzip", 2: "snappy", 3: "lz4", 4: "zstd"}
+_CODEC_IDS = {"none": _CODEC_NONE, "gzip": _CODEC_GZIP}
+
+
 def encode_record_batch(
     base_offset: int,
     records: Iterable[tuple[bytes | None, bytes | None, int]],
+    codec: str = "none",
 ) -> bytes:
     """One v2 batch: ``records`` is (key, value, timestamp_ms) in offset
-    order. No compression (attributes=0), no producer state (idempotence
-    fields -1) — the plain produce path."""
+    order. ``codec`` = ``"none"`` or ``"gzip"`` — per the spec, a
+    compressed batch gzips the concatenated records array (everything
+    after recordsCount) and sets attribute bits 0-2 to the codec id; the
+    CRC covers the COMPRESSED bytes, exactly what a broker stores. No
+    producer state (idempotence fields -1) — the plain produce path."""
     recs = list(records)
     if not recs:
         raise ValueError("empty record batch")
@@ -138,11 +152,19 @@ def encode_record_batch(
     payload = bytearray()
     for i, (k, v, ts) in enumerate(recs):
         payload += _encode_record(i, ts - base_ts, k, v)
+    attrs = _CODEC_IDS[codec]
+    body = bytes(payload)
+    if attrs == _CODEC_GZIP:
+        import gzip
+
+        # mtime=0 → deterministic bytes (the gzip header embeds a
+        # timestamp otherwise, which would break golden comparisons)
+        body = gzip.compress(body, mtime=0)
     # part covered by the CRC: attributes .. records
     post_crc = (
         struct.pack(
             ">hiqqqhii",
-            0,                  # attributes
+            attrs,              # attributes (codec in bits 0-2)
             len(recs) - 1,      # lastOffsetDelta
             base_ts,
             max_ts,
@@ -151,7 +173,7 @@ def encode_record_batch(
             -1,                 # baseSequence
             len(recs),
         )
-        + bytes(payload)
+        + body
     )
     crc = crc32c(post_crc)
     # batchLength counts bytes after the batchLength field itself
@@ -184,8 +206,19 @@ def iter_records(buf: bytes) -> Iterator[tuple[int, int, bytes | None, bytes | N
         attrs, _last_delta, base_ts, _max_ts, _pid, _pep, _bseq, n = (
             struct.unpack(">hiqqqhii", post_crc[:40])
         )
-        if attrs & 0x07:
-            raise ValueError("compressed batches not supported")
+        codec = attrs & 0x07
+        if codec == _CODEC_GZIP:
+            import gzip
+
+            try:
+                post_crc = post_crc[:40] + gzip.decompress(post_crc[40:])
+            except OSError as ex:
+                raise ValueError(f"gzip batch inflate failed: {ex}") from ex
+        elif codec:
+            raise ValueError(
+                "unsupported codec "
+                f"{_CODEC_NAMES.get(codec, codec)} in batch @{pos}"
+            )
         p = 40
         for _ in range(n):
             rec_len, p = read_varint(post_crc, p)
@@ -227,6 +260,7 @@ def write_log_segments(
     n_partitions: int = 4,
     batch_records: int = 200,
     tombstone_date: str = "2019-06-01T00:00:00",
+    codec: str = "none",
 ) -> DataFrame:
     """Produce: keyless round-robin over ``n_partitions``, each partition's
     records framed into v2 batches of ``batch_records`` and written as one
@@ -260,6 +294,7 @@ def write_log_segments(
                         start,
                         [(None, v, 1556668800000 + start + i)
                          for i, v in enumerate(chunk)],
+                        codec=codec,
                     )
                 )
                 n_batches += 1

@@ -168,3 +168,76 @@ def test_segment_produce_consume_equals_direct_load(spark, sf_dir, tmp_path):
         r["partition_id"] for r in outs["tombstones"].collect()
     ) == [0, 1, 2, 3]
     assert _canon(outs["main"]) == _canon(load_activities(spark, sf_dir))
+
+
+def test_gzip_batch_round_trip_and_crc():
+    """Codec attribute bits (VERDICT r10 #8): a gzip-compressed v2 batch
+    (attributes codec id 1, records array gzipped, CRC over the
+    COMPRESSED bytes) round-trips record-for-record with the plain
+    encoding; a flipped compressed byte is caught by the CRC, a
+    truncated gzip stream by inflate; snappy/lz4/zstd ids are rejected
+    by name, never silently mis-decoded."""
+    import struct
+
+    import pytest
+
+    recs = [
+        (None, b"P|1|7|2019-05-01T12:00:00|x" * 20, 1000),
+        (b"k1", b"C|2|8|2019-05-01T12:00:01|1|" * 20, 1005),
+        (None, None, 1010),
+    ]
+    plain = encode_record_batch(5, recs)
+    gz = encode_record_batch(5, recs, codec="gzip")
+    assert gz != plain
+    assert len(gz) < len(plain)  # repetitive payload actually compresses
+    assert list(iter_records(gz)) == list(iter_records(plain))
+    # attributes field carries codec id 1
+    (attrs,) = struct.unpack(">h", gz[21:23])
+    assert attrs & 0x07 == 1
+
+    bad = bytearray(gz)
+    bad[50] ^= 0x01  # flip a byte inside the compressed records array
+    with pytest.raises(ValueError, match="CRC"):
+        list(iter_records(bytes(bad)))
+
+    # valid CRC but truncated/garbled gzip stream → inflate error:
+    # rebuild a batch whose "compressed" payload is not gzip at all
+    head = gz[:21]
+    post = bytearray(gz[21:])
+    post[40:] = b"not-a-gzip-stream"
+    from eth_dspa_2019_spark.streaming.kafka_wire import crc32c as _crc
+
+    crc = _crc(bytes(post))
+    batch_len = 4 + 1 + 4 + len(post)
+    head = struct.pack(">qiibI", 5, batch_len, -1, 2, crc)
+    with pytest.raises(ValueError, match="inflate"):
+        list(iter_records(head + bytes(post)))
+
+    # unsupported codec ids fail by name
+    for cid, name in [(2, "snappy"), (3, "lz4"), (4, "zstd")]:
+        post2 = bytearray(gz[21:])
+        a = struct.unpack(">h", post2[:2])[0] & ~0x07 | cid
+        post2[:2] = struct.pack(">h", a)
+        crc2 = _crc(bytes(post2))
+        h2 = struct.pack(">qiibI", 5, 4 + 1 + 4 + len(post2), -1, 2, crc2)
+        with pytest.raises(ValueError, match=name):
+            list(iter_records(h2 + bytes(post2)))
+
+
+def test_gzip_segment_produce_consume(spark, sf_dir, tmp_path):
+    """The S8→S1 Spark path with gzip-compressed segments equals the
+    uncompressed path record-for-record (same wire schema out)."""
+    seg_p = str(tmp_path / "plain-log")
+    seg_z = str(tmp_path / "gzip-log")
+    lines = synth_activity_lines(spark, sf_dir)
+    write_log_segments(lines, seg_p, n_partitions=2, batch_records=97).collect()
+    stats = write_log_segments(
+        lines, seg_z, n_partitions=2, batch_records=97, codec="gzip"
+    ).collect()
+    assert sorted(r["partition"] for r in stats) == [0, 1]
+    plain = read_log_segments(spark, seg_p)
+    gz = read_log_segments(spark, seg_z)
+    cols = ["partition", "offset", "timestamp", "value"]
+    assert sorted(map(tuple, plain.select(cols).collect())) == sorted(
+        map(tuple, gz.select(cols).collect())
+    )
