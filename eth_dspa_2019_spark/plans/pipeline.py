@@ -1841,8 +1841,11 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at B=10⁶. Every choice is an md5/modulo the DuckDB oracle replays
     bit-for-bit (`functions/hashing.py::h64` twin pair).
 
-    Streaming twin: representatives are a standing B-row dimension a
-    micro-batch job refreshes per epoch; probes stay map-only.
+    Streaming twin: `streaming/negative_sampling.py` — representatives
+    are a standing B-row dimension min-merged per micro-batch (the
+    election argmin is associative), probes stay map-only in the
+    `close_epoch()` serving pass; golden-tested streamed == batch with
+    crash-restart in `tests/test_streaming_negative_sampling.py`.
     """
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
