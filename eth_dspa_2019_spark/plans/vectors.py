@@ -889,6 +889,44 @@ def paraphrase_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_CAND_K = 25  # 5x oversample before the exact re-rank
 PQ_SUB_DIM = DIM // PQ_SUBS  # 4 dims per subspace on the 64-d fixture
 
+#: Explicit squared-L2 between the subvector lists of relations ``s``
+#: and ``c`` — unrolled over the {PQ_SUB_DIM} dims so the encode join
+#: evaluates plain integer arithmetic instead of a per-row
+#: list_transform lambda (~10x fewer DuckDB ops per joined row).
+_O_SUBD2 = " + ".join(
+    f"(s.ql[{i}] - c.ql[{i}]) * (s.ql[{i}] - c.ql[{i}])"
+    for i in range(1, PQ_SUB_DIM + 1)
+)
+#: d2 fits 2^18 (4 dims x 254^2), so min(d2·2^44 + cid) is the exact
+#: lexicographic argmin by (d2, cid) — the same tie-break as the old
+#: row_number ORDER BY d2, cid — packed into one streaming grouped MIN.
+_O_PACK = 1 << 44
+
+#: Shared PQ-encode CTE block (r11): the old MATERIALIZED ``encd``
+#: (every (vec, m, cid) distance) was N·K·16 rows — 822M rows / >24 GB
+#: at the 100x scale, where it hit the DuckDB memory cap and failed the
+#: certification sweep. Only the per-(vec, m) ARGMIN and the 10 query
+#: rows are ever consumed, so: ``codes`` streams the join straight into
+#: a grouped packed-MIN (no materialization), and ``qtab`` re-joins just
+#: the query subvectors (10·16·K rows). Bit-identical outputs.
+_O_PQ_CODES = f"""
+    cb AS MATERIALIZED (
+      SELECT vec_id AS cid, m, ql FROM subl WHERE vec_id % {_O_PQS} = 0
+    ),
+    codes AS (
+      SELECT s.vec_id, s.m,
+             cast(min(({_O_SUBD2}) * {_O_PACK} + c.cid) % {_O_PACK}
+                  AS bigint) AS code
+      FROM subl s JOIN cb c ON c.m = s.m
+      GROUP BY 1, 2
+    ),
+    qtab AS (
+      SELECT s.vec_id AS query_id, s.m, c.cid,
+             cast({_O_SUBD2} AS bigint) AS d2
+      FROM subl s JOIN cb c ON c.m = s.m
+      WHERE s.vec_id < {N_QUERIES}
+    )"""
+
 
 def _pq_oracle() -> str:
     return f"""
@@ -906,25 +944,7 @@ def _pq_oracle() -> str:
     subl AS (
       SELECT vec_id, m, list(qx ORDER BY i) AS ql FROM sub GROUP BY 1, 2
     ),
-    encd AS MATERIALIZED (
-      SELECT s.vec_id, s.m, c.vec_id AS cid,
-             cast(list_sum(list_transform(range(1, {PQ_SUB_DIM} + 1),
-                  i -> (s.ql[i] - c.ql[i]) * (s.ql[i] - c.ql[i])))
-                  AS bigint) AS d2
-      FROM subl s JOIN subl c ON c.m = s.m AND c.vec_id % {_O_PQS} = 0
-    ),
-    codes AS (
-      SELECT vec_id, m, cid AS code FROM (
-        SELECT vec_id, m, cid,
-               row_number() OVER (PARTITION BY vec_id, m
-                                  ORDER BY d2, cid) AS rn
-        FROM encd
-      ) WHERE rn = 1
-    ),
-    qtab AS (
-      SELECT vec_id AS query_id, m, cid, d2 FROM encd
-      WHERE vec_id < {N_QUERIES}
-    ),
+{_O_PQ_CODES},
     adc AS (
       SELECT t.query_id, v.vec_id, cast(sum(t.d2) AS bigint) AS ad2
       FROM codes v
@@ -1003,25 +1023,7 @@ def _ivf_pq_oracle() -> str:
     subl AS (
       SELECT vec_id, m, list(qx ORDER BY i) AS ql FROM sub GROUP BY 1, 2
     ),
-    encd AS MATERIALIZED (
-      SELECT s.vec_id, s.m, c.vec_id AS cid,
-             cast(list_sum(list_transform(range(1, {PQ_SUB_DIM} + 1),
-                  i -> (s.ql[i] - c.ql[i]) * (s.ql[i] - c.ql[i])))
-                  AS bigint) AS d2
-      FROM subl s JOIN subl c ON c.m = s.m AND c.vec_id % {_O_PQS} = 0
-    ),
-    codes AS (
-      SELECT vec_id, m, cid AS code FROM (
-        SELECT vec_id, m, cid,
-               row_number() OVER (PARTITION BY vec_id, m
-                                  ORDER BY d2, cid) AS rn
-        FROM encd
-      ) WHERE rn = 1
-    ),
-    qtab AS (
-      SELECT vec_id AS query_id, m, cid, d2 FROM encd
-      WHERE vec_id < {N_QUERIES}
-    ),
+{_O_PQ_CODES},
 {_O_CDOTS_LIST},
     cscored AS MATERIALIZED (
       SELECT c.vec_id, c.cid,
