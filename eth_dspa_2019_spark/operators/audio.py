@@ -61,6 +61,15 @@ AUDIO_FEAT_SCHEMA = (
     "clip_count bigint, dc_sum bigint"
 )
 
+#: tumbling frame size for the frame-window stage (the audio analog of
+#: the video frame-sample hop; real pipelines use 10-30 ms hops — at the
+#: fixture's 8-16 kHz rates 256 samples is 16-32 ms).
+FRAME_N = 256
+AUDIO_FRAME_SCHEMA = (
+    "doc_id bigint, n_frames int, loud_frame int, loud_energy bigint, "
+    "loud_peak int"
+)
+
 
 def fixture_samples(doc_id: int) -> tuple[int, np.ndarray, int]:
     """(sample_rate, clamped int16 samples, clip_count) for a doc —
@@ -238,3 +247,56 @@ def _feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def audio_features(audio: DataFrame) -> DataFrame:
     """mapInPandas PCM feature extraction over (doc_id, audio)."""
     return audio.mapInPandas(_feature_batches, schema=AUDIO_FEAT_SCHEMA)
+
+
+def _frame_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Tumbling FRAME_N-sample windows over the decoded waveform,
+    reduced per frame with np.add/maximum.reduceat (one pass, no Python
+    per-frame loop), then the loudest frame elected per payload
+    (max energy, smallest index on ties). The last partial frame
+    counts — a trailing transient must not be droppable by framing.
+    Quarantined payloads produce no row."""
+    for pdf in it:
+        rows = {k: [] for k in (
+            "doc_id", "n_frames", "loud_frame", "loud_energy", "loud_peak",
+        )}
+        for doc_id, buf in zip(pdf["doc_id"], pdf["audio"]):
+            try:
+                _sr, v16 = wav_decode(bytes(buf))
+            except (ValueError, struct.error):
+                continue
+            v = v16.astype(np.int64)
+            n = len(v)
+            nf = max(1, -(-n // FRAME_N)) if n else 0
+            if n == 0:
+                rows["doc_id"].append(int(doc_id))
+                rows["n_frames"].append(0)
+                rows["loud_frame"].append(0)
+                rows["loud_energy"].append(0)
+                rows["loud_peak"].append(0)
+                continue
+            starts = np.arange(0, n, FRAME_N)
+            energy = np.add.reduceat(v * v, starts)
+            peak = np.maximum.reduceat(np.abs(v), starts)
+            f = int(np.argmax(energy))  # argmax takes the FIRST maximum
+            rows["doc_id"].append(int(doc_id))
+            rows["n_frames"].append(nf)
+            rows["loud_frame"].append(f)
+            rows["loud_energy"].append(int(energy[f]))
+            rows["loud_peak"].append(int(peak[f]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_frames": pd.Series(rows["n_frames"], dtype="int32"),
+                "loud_frame": pd.Series(rows["loud_frame"], dtype="int32"),
+                "loud_energy": pd.Series(
+                    rows["loud_energy"], dtype="int64"
+                ),
+                "loud_peak": pd.Series(rows["loud_peak"], dtype="int32"),
+            }
+        )
+
+
+def audio_frame_windows(audio: DataFrame) -> DataFrame:
+    """mapInPandas tumbling-frame analysis over (doc_id, audio)."""
+    return audio.mapInPandas(_frame_batches, schema=AUDIO_FRAME_SCHEMA)

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..io.readers import load_table
 from ..operators.audio import (
+    FRAME_N,
     N_MOD,
     N_OFF,
     PCM_MAX,
@@ -30,6 +31,7 @@ from ..operators.audio import (
     SR_MOD,
     SR_STEP,
     audio_features,
+    audio_frame_windows,
     decode_audio_meta,
     synth_wav_column,
 )
@@ -108,3 +110,56 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the fixture overdrives int16 so clipping is non-trivial)."""
     docs = load_table(spark, sf_dir, "documents")
     return audio_features(synth_wav_column(docs))
+
+
+@register(
+    "multimodal_audio_frames",
+    oracle=f"""
+    WITH sp AS (
+      SELECT doc_id, cast({_N} AS bigint) AS n FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, n, unnest(range(0, n)) AS i FROM sp
+    ),
+    pv AS (
+      SELECT doc_id, i // {FRAME_N} AS f, {_clamped("i")} AS val
+      FROM idx
+    ),
+    fr AS (
+      SELECT doc_id, f,
+             cast(sum(val * val) AS bigint) AS energy,
+             cast(max(abs(val)) AS int) AS peak
+      FROM pv GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT doc_id, f, energy, peak,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY energy DESC, f) AS rn
+      FROM fr
+    )
+    SELECT doc_id,
+           cast((n + {FRAME_N} - 1) // {FRAME_N} AS int) AS n_frames,
+           cast(f AS int) AS loud_frame,
+           energy AS loud_energy,
+           peak AS loud_peak
+    FROM top JOIN sp USING (doc_id) WHERE rn = 1
+    """,
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling frame windows over the DECODED waveform — the audio
+    analog of the video frame-sample stage (`multimodal_frame_sample`):
+    {FRAME_N}-sample frames (16-32 ms at the fixture rates, last
+    partial frame included), per-frame energy/peak reduced with
+    np.reduceat inside Arrow mapInPandas, and the LOUDEST frame elected
+    per payload (max energy, first frame on ties) — the
+    transient-picking primitive a training pipeline uses to crop a
+    representative window from each clip. The oracle regenerates every
+    sample in closed form, frames by i // {FRAME_N}, and replays the
+    same election (row_number energy DESC, f) — it matches only if the
+    RIFF walk + framing recovered the exact per-frame boundaries.
+
+    Scale shape: one mapInPandas pass, zero shuffle — frames never
+    leave the executor; per-payload output is ONE row regardless of
+    clip length."""
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_frame_windows(synth_wav_column(docs))

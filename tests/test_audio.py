@@ -106,3 +106,39 @@ def test_features_match_fixture_math(spark):
         assert got[d]["zero_cross"] == int((v[:-1] * v[1:] < 0).sum())
         assert got[d]["clip_count"] == clips
         assert got[d]["dc_sum"] == int(v.sum())
+
+
+def test_frame_windows_match_fixture_math(spark):
+    """Per-payload loudest-frame election equals a straightforward
+    per-frame recompute from the closed-form samples (first frame wins
+    energy ties), and the torn payload is quarantined, not fatal."""
+    from eth_dspa_2019_spark.operators.audio import (
+        FRAME_N,
+        audio_frame_windows,
+    )
+
+    docs = spark.range(8).withColumnRenamed("id", "doc_id")
+    wav = synth_wav_column(docs)
+    got = {r["doc_id"]: r for r in audio_frame_windows(wav).collect()}
+    assert len(got) == 8
+    for d in range(8):
+        _sr, v16, _ = fixture_samples(d)
+        v = v16.astype(np.int64)
+        frames = [v[s : s + FRAME_N] for s in range(0, len(v), FRAME_N)]
+        energies = [int((f * f).sum()) for f in frames]
+        loud = energies.index(max(energies))
+        assert got[d]["n_frames"] == len(frames)
+        assert got[d]["loud_frame"] == loud
+        assert got[d]["loud_energy"] == energies[loud]
+        assert got[d]["loud_peak"] == int(np.abs(frames[loud]).max())
+
+    import pyspark.sql.functions as F
+
+    torn = wav.withColumn(
+        "audio",
+        F.when(F.col("doc_id") == 5, F.expr("substring(audio, 1, 20)"))
+        .otherwise(F.col("audio")),
+    )
+    assert sorted(
+        r["doc_id"] for r in audio_frame_windows(torn).collect()
+    ) == [0, 1, 2, 3, 4, 6, 7]
