@@ -1727,15 +1727,34 @@ def source_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the token key that co-partitions with the vocabulary
     exchange; per-source totals and the corpus scalar broadcast. No
     windows, no UDFs, linear in corpus tokens.
+
+    Streaming twin: `streaming/source_drift.py` — the ingest canary this
+    docstring names: per-(source, token) counts are additive sufficient
+    statistics, so a micro-batch job folds them into a standing table
+    (O(batch + vocab)/fold) and the same reduction
+    (`drift_from_source_vocab`) reports drift per epoch; golden-tested
+    streamed == batch with crash-restart in
+    `tests/test_streaming_source_drift.py`.
     """
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
     tok = docs.select("source", F.explode(tokens("text")).alias("tok"))
-    cv = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("ccnt"))
-    ct = tok.agg(F.count(F.lit(1)).alias("ctot"))
     sv = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("scnt"))
-    st = tok.groupBy("source").agg(F.count(F.lit(1)).alias("stot"))
+    return drift_from_source_vocab(sv)
+
+
+def drift_from_source_vocab(sv: DataFrame) -> DataFrame:
+    """The drift reduction from its sufficient statistics: the
+    per-(source, token) count table ``sv`` — everything else (corpus
+    vocabulary, per-source totals, corpus total) re-derives from it by
+    summation, which is what makes the monitor streamable: counts are
+    additive, so a micro-batch fold keeps ONLY this table as standing
+    state and calls this at epoch close
+    (`streaming/source_drift.py`)."""
+    cv = sv.groupBy("tok").agg(F.sum("scnt").alias("ccnt"))
+    ct = sv.agg(F.sum("scnt").alias("ctot"))
+    st = sv.groupBy("source").agg(F.sum("scnt").alias("stot"))
     j = (
         sv.join(cv, "tok")
         .join(st, "source")
