@@ -506,14 +506,20 @@ _O_CORR_KNOB = f"""
 
 
 def _o_corr_auto_sketch() -> str:
-    """Row-form (one row per user×plane) DuckDB sign sketch whose plane
-    count 12·rpb follows the knob CTE — the dynamic-oracle pattern
-    (VERDICT r6 #6): a static per-plane column list can't depend on
-    data, but a plane INDEX relation filtered by the knob can. Plane
-    signs bit-extract from the per-hour md5 words in cent (word
-    p div 60, bit p mod 60) exactly like the Spark side. Bands fall out
-    as p div rpb with bit weight 2^(p mod rpb), matching the Spark
-    side's [b·rpb, (b+1)·rpb) column layout exactly."""
+    """Dynamic-knob DuckDB sign sketch whose plane count 12·rpb follows
+    the knob CTE (VERDICT r6 #6): a static per-plane column list can't
+    depend on data, but a plane INDEX relation filtered by the knob
+    can. Plane signs bit-extract from the per-hour md5 words in cent
+    (word p div 60, bit p mod 60) exactly like the Spark side. Bands
+    fall out as p div rpb with bit weight 2^(p mod rpb), matching the
+    Spark side's [b·rpb, (b+1)·rpb) column layout exactly.
+
+    The projection is LIST-FORM (r11): the old cent×planes row join
+    pushed series_rows·planes rows (~3e9 at 100x) through a GROUP BY
+    and blew the DuckDB temp cap; aggregating each user's centered
+    series + hash words into lists first keeps the cross join at
+    users·planes rows with the identical integer sum per (user, plane)
+    (order-free adds, same bit extraction)."""
     sign = (
         "(((CASE WHEN pl.p < 60 THEN c.hw0"
         " WHEN pl.p < 120 THEN c.hw1 ELSE c.hw2 END"
@@ -524,12 +530,24 @@ def _o_corr_auto_sketch() -> str:
       SELECT t.p FROM range(0, {CORR_AUTO_BANDS * 15}) t(p), knobs k
       WHERE t.p < {CORR_AUTO_BANDS} * k.rpb
     ),
+    centl AS MATERIALIZED (
+      SELECT user_id, count(*) AS nh,
+             list(w ORDER BY hour) AS wl,
+             list(hw0 ORDER BY hour) AS h0,
+             list(hw1 ORDER BY hour) AS h1,
+             list(hw2 ORDER BY hour) AS h2
+      FROM cent GROUP BY user_id
+    ),
     sig AS (
       SELECT c.user_id, pl.p,
-             CASE WHEN sum(c.w * {sign}) > 0
+             CASE WHEN list_sum(list_transform(range(1, c.nh + 1),
+                  j -> c.wl[j]
+                       * (((CASE WHEN pl.p < 60 THEN c.h0[j]
+                                 WHEN pl.p < 120 THEN c.h1[j]
+                                 ELSE c.h2[j] END
+                            >> (pl.p % 60)) & 1) * 2 - 1))) > 0
                   THEN 1 ELSE 0 END AS bit
-      FROM cent c CROSS JOIN planes pl
-      GROUP BY 1, 2
+      FROM centl c CROSS JOIN planes pl
     ),
     bands AS (
       SELECT user_id, cast(p // k.rpb AS int) AS band_id,

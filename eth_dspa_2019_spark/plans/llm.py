@@ -57,14 +57,24 @@ SIMHASH_MAX_HAMMING = 7
 FINGERPRINT_GRAM = 8
 DEDUP_PREFIX = 64
 
-# DuckDB-side shingle relation (id, shingle), mirroring operators.dedup.shingles
+# DuckDB-side shingle relation (id, shingle), mirroring operators.dedup.shingles.
+# List-form extraction (r11): the old ``idx`` CTE unnested the position
+# range while CARRYING the whole token array per row — ~1 KB × 26M rows
+# at the 100x scale, where its spill blew the DuckDB temp cap and failed
+# every shingle-family oracle. list_transform builds the shingle strings
+# INSIDE the row, so the unnest emits only (id, shingle) — identical
+# strings (same 1-based window), O(corpus-shingles) width.
 _O_SHINGLES = f"""
     toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    idx AS (SELECT doc_id, t, unnest(range(1, len(t) - {SHINGLE_N - 2})) AS i
-            FROM toks WHERE len(t) >= {SHINGLE_N}),
-    sh AS (SELECT DISTINCT doc_id AS id,
-                  {" || ' ' || ".join(f"t[i + {k}]" for k in range(SHINGLE_N))} AS shingle
-           FROM idx),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT id, shingle FROM (
+        SELECT doc_id AS id,
+               unnest(list_transform(range(1, len(t) - {SHINGLE_N - 2}),
+                      i -> {" || ' ' || ".join(f"t[i + {k}]" for k in range(SHINGLE_N))}))
+                 AS shingle
+        FROM toks WHERE len(t) >= {SHINGLE_N}
+      )
+    ),
     sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id)
 """
 
@@ -197,7 +207,7 @@ def _o_minhash_band_rows() -> str:
         for b in range(BANDS)
     )
     return f"""
-    sigs AS (
+    sigs AS MATERIALIZED (
       SELECT id, {mins}
       FROM (SELECT id, {o_h64('shingle')} % {MERSENNE31} AS hb FROM sh)
       GROUP BY id
@@ -260,7 +270,7 @@ def _o_simhash_sims() -> str:
             FROM documents),
     th AS (SELECT id, {o_h64('tokstr')} AS h FROM tok),
     votes AS (SELECT id, {votes} FROM th GROUP BY id),
-    sims AS (SELECT id, cast({sim} AS bigint) AS simhash FROM votes)"""
+    sims AS MATERIALIZED (SELECT id, cast({sim} AS bigint) AS simhash FROM votes)"""
 
 
 def _o_simhash() -> str:

@@ -168,8 +168,12 @@ def _o_nd_bb() -> str:
     parity = parity of the SECOND hex digit — exactly
     `operators/similarity.py::plane_signs`; buckets are sign bits of the
     QUANTIZED projection Σ floor(x·FX)·s (order-free int64), matching
-    `lsh_buckets_batches` bit-for-bit. Assumes ``el`` (1-based i) from
-    _O_ELEMENTS is already in scope."""
+    `lsh_buckets_batches` bit-for-bit. The projection is LIST-FORM
+    (r11): the old el×(band,plane,dim) row join emitted n·bands·rpb·64
+    rows (5e9 at 100x) into a GROUP BY and blew the DuckDB memory cap;
+    aggregating the sign relation into per-(band,plane) lists and
+    unrolling the 64-term dot keeps the intermediate at n·bands·rpb
+    rows with identical int64 sums."""
     sign = (
         "CASE WHEN substr(md5('band' || b.b || ':plane' || p.p"
         " || '#dim' || i.i), 2, 1)"
@@ -190,12 +194,22 @@ def _o_nd_bb() -> str:
            range(0, {DIM}) i(i), nknob k, bknob bx
       WHERE b.b < bx.bands AND p.p < k.rpb
     ),
+    ndpll AS MATERIALIZED (
+      SELECT b, p, list(sign ORDER BY i) AS sgn FROM ndpl GROUP BY 1, 2
+    ),
+    ndqel AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+                  x -> cast(floor(cast(x AS double) * {FIXED_POINT}.0)
+                            AS bigint)) AS q
+      FROM embeddings
+    ),
     ndproj AS (
-      SELECT e.vec_id, pl.b, pl.p,
-             sum(cast(floor(e.x * {FIXED_POINT}.0) AS bigint) * pl.sign)
-               AS s
-      FROM el e JOIN ndpl pl ON pl.i = e.i - 1
-      GROUP BY 1, 2, 3
+      SELECT qe.vec_id, pl.b, pl.p,
+             cast({" + ".join(f"qe.q[{i}] * pl.sgn[{i}]"
+                              for i in range(1, DIM + 1))}
+                  AS bigint) AS s
+      FROM ndqel qe CROSS JOIN ndpll pl
     ),
     bb AS (
       SELECT vec_id, cast(b AS int) AS band,
@@ -216,11 +230,14 @@ def _neardup_oracle() -> str:
     ),
     dots AS (
       SELECT cd.a, cd.b,
-             sum(cast(floor(ea.x * eb.x * {FIXED_POINT}.0) AS bigint)) AS dp
+             cast(list_sum(list_transform(range(1, {DIM} + 1),
+                  i -> cast(floor(cast(ea.embedding[i] AS double)
+                                  * cast(eb.embedding[i] AS double)
+                                  * {FIXED_POINT}.0) AS bigint)))
+                  AS bigint) AS dp
       FROM cand cd
-      JOIN el ea ON ea.vec_id = cd.a
-      JOIN el eb ON eb.vec_id = cd.b AND eb.i = ea.i
-      GROUP BY 1, 2
+      JOIN embeddings ea ON ea.vec_id = cd.a
+      JOIN embeddings eb ON eb.vec_id = cd.b
     )
     SELECT d.a, d.b,
            cast(d.dp AS double)
@@ -765,20 +782,14 @@ PARA_MAX_JACCARD = 0.2  # lexically distinct: below the near-dup threshold
 
 
 def _paraphrase_oracle() -> str:
-    from .llm import SHINGLE_N
+    # list-form shingles + MATERIALIZED (same r11 fix as _O_SHINGLES:
+    # the row-form idx carried the token array per row and the CTE was
+    # re-executed per reference — both blow the temp cap at 100x)
+    from .llm import _O_SHINGLES
 
-    shingle_expr = " || ' ' || ".join(
-        f"t[i + {k}]" for k in range(SHINGLE_N)
-    )
     return f"""
     WITH {_O_ELEMENTS},
-    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    idx AS (SELECT doc_id, t,
-                   unnest(range(1, len(t) - {SHINGLE_N - 2})) AS i
-            FROM toks WHERE len(t) >= {SHINGLE_N}),
-    sh AS (SELECT DISTINCT doc_id AS id, {shingle_expr} AS shingle
-           FROM idx),
-    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    {_O_SHINGLES},
     {_o_nd_bb()},
     cand AS (
       SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
@@ -787,11 +798,14 @@ def _paraphrase_oracle() -> str:
     ),
     dots AS (
       SELECT cd.a, cd.b,
-             sum(cast(floor(ea.x * eb.x * {FIXED_POINT}.0) AS bigint)) AS dp
+             cast(list_sum(list_transform(range(1, {DIM} + 1),
+                  i -> cast(floor(cast(ea.embedding[i] AS double)
+                                  * cast(eb.embedding[i] AS double)
+                                  * {FIXED_POINT}.0) AS bigint)))
+                  AS bigint) AS dp
       FROM cand cd
-      JOIN el ea ON ea.vec_id = cd.a
-      JOIN el eb ON eb.vec_id = cd.b AND eb.i = ea.i
-      GROUP BY 1, 2
+      JOIN embeddings ea ON ea.vec_id = cd.a
+      JOIN embeddings eb ON eb.vec_id = cd.b
     ),
     -- MATERIALIZED: close_pairs is referenced twice (common + final
     -- select); DuckDB otherwise inlines and RE-EXECUTES the whole
@@ -1369,11 +1383,14 @@ def _o_semdedup() -> str:
     ),
     dots AS (
       SELECT cd.a, cd.b,
-             sum(cast(floor(ea.x * eb.x * {FIXED_POINT}.0) AS bigint)) AS dp
+             cast(list_sum(list_transform(range(1, {DIM} + 1),
+                  i -> cast(floor(cast(ea.embedding[i] AS double)
+                                  * cast(eb.embedding[i] AS double)
+                                  * {FIXED_POINT}.0) AS bigint)))
+                  AS bigint) AS dp
       FROM cand cd
-      JOIN el ea ON ea.vec_id = cd.a
-      JOIN el eb ON eb.vec_id = cd.b AND eb.i = ea.i
-      GROUP BY 1, 2
+      JOIN embeddings ea ON ea.vec_id = cd.a
+      JOIN embeddings eb ON eb.vec_id = cd.b
     ),
     dup AS (
       SELECT DISTINCT d.a AS vec_id
