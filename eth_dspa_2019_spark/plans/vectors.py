@@ -1155,10 +1155,23 @@ def _o_kmeans() -> str:
     power-of-two K with K² ≥ N via the coalesce-min-range pattern, then
     stride = max(1, N // K) — all integer comparisons, matching
     :func:`km_stride_for` exactly (N ≥ 1 keeps // == div)."""
-    dist = "sum((a.xf * {S} - c.cel) * (a.xf * {S} - c.cel))".format(S=KM_S)
     upd = (
         f"cast(({KM_S} * (sum(e.xf) + count(*) * {KM_Q})) // count(*)"
         f" - {KM_S * KM_Q} AS bigint)"
+    )
+    # List-form assignment (r11): the old el×cent row joins (d1/d2)
+    # pushed N·K·64 rows (6.5e9 at 100x) through GROUP BYs and spilled
+    # past the disk, so the distance is an unrolled 64-term expression
+    # over per-vector/per-centroid lists, streamed into one grouped MIN
+    # per vector. The argmin packs (d, cid) into a HUGEINT
+    # d·2^48 + cid — exact lexicographic (d, cid), the same ORDER BY
+    # d, cid tie-break as the old row_number (d < 2^45 for |x| < 2 at
+    # these scales; hugeint never wraps).
+    pack = 1 << 48
+    d1e = " + ".join(
+        f"(a.q[{i}] * {KM_S} - c.cl[{i}])"
+        f" * (a.q[{i}] * {KM_S} - c.cl[{i}])"
+        for i in range(1, DIM + 1)
     )
     return f"""
     WITH e0 AS (
@@ -1171,48 +1184,57 @@ def _o_kmeans() -> str:
                AS xf
       FROM e0
     ),
+    elq AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+                  x -> cast(floor(cast(x AS double) * {KM_Q}) AS bigint))
+               AS q
+      FROM embeddings
+    ),
     knobs AS (
       SELECT greatest(1, c.n // (1::BIGINT << coalesce(
                (SELECT min(t) FROM range(0, 22) r(t), (SELECT count(DISTINCT vec_id) AS n FROM el) c2
                 WHERE (1::BIGINT << (2 * t)) >= c2.n), 21))) AS stride
       FROM (SELECT count(DISTINCT vec_id) AS n FROM el) c
     ),
-    cent0 AS (
-      SELECT vec_id AS cid, i, xf * {KM_S} AS cel FROM el, knobs
-      WHERE vec_id % knobs.stride = 0
-    ),
-    d1 AS (
-      SELECT a.vec_id, c.cid, {dist} AS d
-      FROM el a JOIN cent0 c ON c.i = a.i
-      GROUP BY 1, 2
+    cent0l AS MATERIALIZED (
+      SELECT vec_id AS cid,
+             list_transform(q, v -> v * {KM_S}) AS cl
+      FROM elq, knobs WHERE vec_id % knobs.stride = 0
     ),
     assign1 AS (
-      SELECT vec_id, cid FROM (
-        SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        FROM d1
-      ) WHERE rn = 1
+      SELECT a.vec_id,
+             cast(min(cast({d1e} AS hugeint) * {pack} + c.cid) % {pack}
+                  AS bigint) AS cid
+      FROM elq a CROSS JOIN cent0l c
+      GROUP BY 1
     ),
     upd1 AS (
       SELECT a.cid, e.i, {upd} AS cel
       FROM assign1 a JOIN el e ON e.vec_id = a.vec_id
       GROUP BY 1, 2
     ),
+    cent0 AS (
+      SELECT vec_id AS cid, i, xf * {KM_S} AS cel FROM el, knobs
+      WHERE vec_id % knobs.stride = 0
+    ),
     cent1 AS (
       SELECT p.cid, p.i, coalesce(u.cel, p.cel) AS cel
       FROM cent0 p LEFT JOIN upd1 u ON u.cid = p.cid AND u.i = p.i
     ),
-    d2 AS (
-      SELECT a.vec_id, c.cid, {dist} AS d
-      FROM el a JOIN cent1 c ON c.i = a.i
-      GROUP BY 1, 2
+    cent1l AS MATERIALIZED (
+      SELECT cid, list(cel ORDER BY i) AS cl FROM cent1 GROUP BY 1
+    ),
+    asg2 AS (
+      SELECT a.vec_id,
+             min(cast({d1e} AS hugeint) * {pack} + c.cid) AS m
+      FROM elq a CROSS JOIN cent1l c
+      GROUP BY 1
     ),
     assign2 AS (
-      SELECT vec_id, cid, d FROM (
-        SELECT vec_id, cid, d,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        FROM d2
-      ) WHERE rn = 1
+      SELECT vec_id, cast(m % {pack} AS bigint) AS cid,
+             cast(m // {pack} AS bigint) AS d
+      FROM asg2
     )
     SELECT cid, count(*) AS n_members,
            cast(sum(d) AS bigint) AS inertia_fx
