@@ -1358,45 +1358,51 @@ def kmeans_lloyd_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEM_THRESHOLD = 0.35  # testdata embeddings are near-random; see ND_THRESHOLD
 
-# knob CTE shared with _o_kmeans: smallest power-of-two K with K² ≥ N,
-# stride = max(1, N // K) — matches km_stride_for exactly
-_O_KNOBS = """
-    knobs AS (
-      SELECT greatest(1, c.n // (1::BIGINT << coalesce(
-               (SELECT min(t) FROM range(0, 22) r(t),
-                    (SELECT count(DISTINCT vec_id) AS n FROM eli) c2
-                WHERE (1::BIGINT << (2 * t)) >= c2.n), 21))) AS stride
-      FROM (SELECT count(DISTINCT vec_id) AS n FROM eli) c
-    )
-"""
-
-
 def _o_semdedup() -> str:
-    dist = f"sum((a.xf * {KM_S} - c.cel) * (a.xf * {KM_S} - c.cel))"
     cos = (
         "cast(d.dp AS double) / (sqrt(cast(na.n2 AS double)) * "
         "sqrt(cast(nb.n2 AS double)))"
     )
+    # List-form assignment (r11, the _o_kmeans pattern): the old row-form
+    # eli×cent0 join on i pushed N·K·64 rows (6.5e9 at 100x — 200k
+    # vectors, K=512 knob-derived seeds) through a GROUP BY and spilled
+    # past a 48 GiB temp cap. Each squared-distance term below is
+    # bit-identical to the row form ((floor(x·Q)·S − xf_c·S)², summed as
+    # BIGINT), and the hugeint-packed MIN is the exact lexicographic
+    # (d, cid) argmin the old row_number ORDER BY d, cid selected
+    # (d < 2^45 for |x| < 2 at these scales; cid = a seed vec_id < 2^48).
+    pack = 1 << 48
+    d1e = " + ".join(
+        f"(a.q[{i}] * {KM_S} - c.cl[{i}])"
+        f" * (a.q[{i}] * {KM_S} - c.cl[{i}])"
+        for i in range(1, DIM + 1)
+    )
     return f"""
     WITH {_O_ELEMENTS},
-    eli AS (SELECT vec_id, i, cast(floor(x * {KM_Q}) AS bigint) AS xf
-            FROM el),
-    {_O_KNOBS},
-    cent0 AS (
-      SELECT vec_id AS cid, i, xf * {KM_S} AS cel FROM eli, knobs
-      WHERE vec_id % knobs.stride = 0
+    elq AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+                  x -> cast(floor(cast(x AS double) * {KM_Q}) AS bigint))
+               AS q
+      FROM embeddings
     ),
-    d1 AS (
-      SELECT a.vec_id, c.cid, {dist} AS d
-      FROM eli a JOIN cent0 c ON c.i = a.i
-      GROUP BY 1, 2
+    knobs AS (
+      SELECT greatest(1, c.n // (1::BIGINT << coalesce(
+               (SELECT min(t) FROM range(0, 22) r(t),
+                    (SELECT count(DISTINCT vec_id) AS n FROM elq) c2
+                WHERE (1::BIGINT << (2 * t)) >= c2.n), 21))) AS stride
+      FROM (SELECT count(DISTINCT vec_id) AS n FROM elq) c
     ),
-    assign1 AS (
-      SELECT vec_id, cid FROM (
-        SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        FROM d1
-      ) WHERE rn = 1
+    cent0l AS MATERIALIZED (
+      SELECT vec_id AS cid, list_transform(q, v -> v * {KM_S}) AS cl
+      FROM elq, knobs WHERE vec_id % knobs.stride = 0
+    ),
+    assign1 AS MATERIALIZED (
+      SELECT a.vec_id,
+             cast(min(cast({d1e} AS hugeint) * {pack} + c.cid) % {pack}
+                  AS bigint) AS cid
+      FROM elq a CROSS JOIN cent0l c
+      GROUP BY 1
     ),
     cand AS (
       SELECT x.vec_id AS a, y.vec_id AS b
