@@ -274,15 +274,34 @@ def _o_simhash_sims() -> str:
 
 
 def _o_simhash() -> str:
+    # Distinct-fingerprint banding (r11, mirroring the Spark side's r8
+    # rewrite): the old row-form band self-join put every DOC row in the
+    # band buckets — Σn_b² candidates ≈ 3.9e9 at 100x (500k docs × 8
+    # bands of 64 buckets), a ~30-min hash join. Band agreement and the
+    # Hamming filter depend only on the FINGERPRINT, so the self-join
+    # runs over DISTINCT simhash values (Σd_b², small on any corpus with
+    # duplicates) and the surviving fingerprint pairs expand back to id
+    # pairs output-sized: least/greatest + DISTINCT reproduces the exact
+    # a.id < b.id pair set (fa = fb covers same-fingerprint groups via
+    # a.simhash <= b.simhash with s1.id <> s2.id).
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = " UNION ALL ".join(
-        f"SELECT id, simhash, {i} AS band_id, "
-        f"(simhash >> {i * SIMHASH_BAND_BITS}) & {mask} AS band_key FROM sims"
+        f"SELECT simhash, {i} AS band_id, "
+        f"(simhash >> {i * SIMHASH_BAND_BITS}) & {mask} AS band_key FROM fps"
         for i in range(n_bands)
     )
     return f"""{_o_simhash_sims()},
-    band_rows AS ({bands})
+    fps AS MATERIALIZED (SELECT DISTINCT simhash FROM sims),
+    band_rows AS ({bands}),
+    fpair AS MATERIALIZED (
+      SELECT DISTINCT a.simhash AS fa, b.simhash AS fb
+      FROM band_rows a
+      JOIN band_rows b ON a.band_id = b.band_id
+                      AND a.band_key = b.band_key
+                      AND a.simhash <= b.simhash
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    )
     """
 
 
@@ -290,12 +309,13 @@ def _o_simhash() -> str:
     "simhash_pairs_q",
     oracle=f"""
     WITH {_o_simhash()}
-    SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM band_rows a
-    JOIN band_rows b ON a.band_id = b.band_id
-                    AND a.band_key = b.band_key AND a.id < b.id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    SELECT DISTINCT least(s1.id, s2.id) AS doc_a,
+           greatest(s1.id, s2.id) AS doc_b,
+           bit_count(xor(p.fa, p.fb)) AS hamming
+    FROM fpair p
+    JOIN sims s1 ON s1.simhash = p.fa
+    JOIN sims s2 ON s2.simhash = p.fb
+    WHERE s1.id <> s2.id
     """,
 )
 def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
