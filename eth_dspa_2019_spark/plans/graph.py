@@ -88,8 +88,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = (
         load_table(spark, sf_dir, "events").select("user_id").distinct()
     )
-    n = users.agg(F.max("user_id")).collect()[0][0] + 1
-    n_nodes = users.count()
+    from ..io.stats import table_stats
+
+    _st = table_stats(spark, sf_dir, "events")
+    n = _st["max_user_id"] + 1
+    n_nodes = _st["n_users"]
     raw = users.select(
         F.col("user_id").alias("u"),
         F.explode(
@@ -221,8 +224,11 @@ def graph_pagerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = (
         load_table(spark, sf_dir, "events").select("user_id").distinct()
     )
-    n = users.agg(F.max("user_id")).collect()[0][0] + 1
-    n_nodes = users.count()
+    from ..io.stats import table_stats
+
+    _st = table_stats(spark, sf_dir, "events")
+    n = _st["max_user_id"] + 1
+    n_nodes = _st["n_users"]
     raw = users.select(
         F.col("user_id").alias("u"),
         F.explode(
@@ -355,7 +361,9 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = (
         load_table(spark, sf_dir, "events").select("user_id").distinct()
     )
-    n = users.agg(F.max("user_id")).collect()[0][0] + 1
+    from ..io.stats import table_stats
+
+    n = table_stats(spark, sf_dir, "events")["max_user_id"] + 1
     raw = users.select(
         F.col("user_id").alias("u"),
         F.explode(
@@ -467,7 +475,9 @@ def graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = (
         load_table(spark, sf_dir, "events").select("user_id").distinct()
     )
-    n = users.agg(F.max("user_id")).collect()[0][0] + 1
+    from ..io.stats import table_stats
+
+    n = table_stats(spark, sf_dir, "events")["max_user_id"] + 1
     raw = users.select(
         F.col("user_id").alias("u"),
         F.explode(

@@ -378,8 +378,10 @@ def simhash_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     differences there disturb no band. The tighter radius is also the
     honest corpus-scale setting — at 10⁹ documents, Hamming ≤ 3 of 48
     is the near-identical regime banded SimHash certifies."""
+    from ..io.stats import table_stats
+
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs = table_stats(spark, sf_dir, "documents")["n"]
     rpb = auto_band_bits(n_docs)
     return dd.simhash_pairs(
         docs,

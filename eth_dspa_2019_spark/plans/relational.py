@@ -796,7 +796,9 @@ def customer_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("delta_cents")
         )
     )
-    maxkey = snap.agg(F.max("c_custkey")).collect()[0][0]
+    from ..io.stats import table_stats
+
+    maxkey = table_stats(spark, sf_dir, "customer")["max_custkey"]
     ins = load_table(spark, sf_dir, "nation").select(
         (F.lit(maxkey) + F.col("n_nationkey") + 1)
         .cast("bigint")

@@ -426,11 +426,11 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("v")
     )
-    st = vals.agg(
-        F.min("v").alias("vmin"), F.max("v").alias("vmax"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    vmin, vrange, n = st.vmin, st.vmax - st.vmin + 1, st.n
+    from ..io.stats import table_stats
+
+    st = table_stats(spark, sf_dir, "events")
+    vmin, n = st["min_value_cents"], st["n"]
+    vrange = st["max_value_cents"] - vmin + 1
     hist = quantile_sketch_histogram(vals, vmin, vrange)
     return quantiles_from_histogram(hist, n, vmin, vrange)
 

@@ -99,9 +99,11 @@ _O_DYNAMIC = """
 
 
 def _users(spark: SparkSession, sf_dir: str):
+    from ..io.stats import table_stats
+
     ev = load_table(spark, sf_dir, "events")
     users = ev.select("user_id").distinct()
-    num_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    num_users = table_stats(spark, sf_dir, "events")["max_user_id"] + 1
     return users, num_users
 
 

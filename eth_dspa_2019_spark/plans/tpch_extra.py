@@ -97,7 +97,9 @@ _O_PARTSUPP = """
 
 
 def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_supp = load_table(spark, sf_dir, "supplier").count()
+    from ..io.stats import table_stats
+
+    n_supp = table_stats(spark, sf_dir, "supplier")["n"]
     part = load_table(spark, sf_dir, "part")
     base = part.select(
         F.col("p_partkey").alias("ps_partkey"),

@@ -32,6 +32,7 @@ from ..operators.similarity import (
     SQ8_MAX,
 )
 from ..functions.hashing import auto_band_bits, o_auto_band_bits
+from ..io.stats import n_rows
 from .registry import register
 
 N_QUERIES = 10  # query set = vec_id < N_QUERIES
@@ -265,7 +266,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     any corpus size instead of going quadratic past the fixed-knob
     design point."""
     emb = load_table(spark, sf_dir, "embeddings")
-    rpb, bands = nd_knobs(emb.count())
+    rpb, bands = nd_knobs(n_rows(spark, sf_dir, "embeddings"))
     return neardup_pairs_lsh(
         emb, ND_THRESHOLD, bands=bands, planes_per_band=rpb, dim=DIM
     )
@@ -407,7 +408,7 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids (`kmeans_refine`)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    cents = stride_centroids(emb, ivf_stride(emb.count()))
+    cents = stride_centroids(emb, ivf_stride(n_rows(spark, sf_dir, "embeddings")))
     df = ivf_topk(emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE)
     return df.withColumn("rank", F.col("rank").cast("int"))
 
@@ -568,7 +569,7 @@ def vector_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .corpus import label_centroid_dist
 
     emb = load_table(spark, sf_dir, "embeddings")
-    rpb, bands = nd_knobs(emb.count())
+    rpb, bands = nd_knobs(n_rows(spark, sf_dir, "embeddings"))
     pairs = neardup_pairs_lsh(
         emb, ND_THRESHOLD, bands=bands, planes_per_band=rpb, dim=DIM
     )
@@ -771,7 +772,7 @@ def ivf_sq8_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    cents = stride_centroids(emb, ivf_stride(emb.count()))
+    cents = stride_centroids(emb, ivf_stride(n_rows(spark, sf_dir, "embeddings")))
     df = ivf_sq8_topk(
         emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE, cand_k=SQ8_CAND_K
     )
@@ -861,7 +862,7 @@ def paraphrase_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
-    rpb, bands = nd_knobs(emb.count())
+    rpb, bands = nd_knobs(n_rows(spark, sf_dir, "embeddings"))
     close = neardup_pairs_lsh(
         emb, ND_THRESHOLD, bands=bands, planes_per_band=rpb, dim=DIM
     )
@@ -1013,7 +1014,7 @@ def ann_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     df = pq_topk(emb, queries, k=TOP_K, cand_k=PQ_CAND_K,
-                 stride=pq_stride(emb.count()))
+                 stride=pq_stride(n_rows(spark, sf_dir, "embeddings")))
     return df.withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -1117,7 +1118,7 @@ def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    n = emb.count()  # one count job feeds both stride knobs (r10 ADVICE)
+    n = n_rows(spark, sf_dir, "embeddings")  # cached stat feeds both stride knobs
     cents = stride_centroids(emb, ivf_stride(n))
     df = ivf_pq_topk(
         emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE, cand_k=PQ_CAND_K,

@@ -135,28 +135,19 @@ def parse_activities(lines: DataFrame, value_col: str = "value") -> DataFrame:
 # ---------------------------------------------------------------------------
 # Deterministic fixture synthesis from the driver testdata
 
-# Catalog-statistics cache: row counts and event_id density per
-# (session, sf_dir). These are immutable properties of the read-only
-# testdata — the analog of catalog/table statistics a real deployment
-# reads from the metastore — so they are NOT cleared by
-# plans.clear_plan_caches (which scopes to materialized DATA, not stats);
-# without this every social-family query paid two scalar jobs just to
-# re-learn the same constants.
-_STATS_CACHE: dict[tuple[str, str], tuple[int, int, int, int]] = {}
+# Catalog statistics (row counts, event_id density) now come from the
+# shared per-table stats cache (io/stats.py) — immutable properties of the
+# read-only testdata, NOT cleared by plans.clear_plan_caches (which scopes
+# to materialized DATA, not stats).
 
 
 def _table_stats(spark: SparkSession, sf_dir: str) -> tuple[int, int, int, int]:
     """(n_docs, n_events, min_event_id, max_event_id), computed once."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _STATS_CACHE:
-        n_docs = load_table(spark, sf_dir, "documents").count()
-        n, mn, mx = (
-            load_table(spark, sf_dir, "events")
-            .agg(F.count(F.lit(1)), F.min("event_id"), F.max("event_id"))
-            .collect()[0]
-        )
-        _STATS_CACHE[key] = (n_docs, n, mn, mx)
-    return _STATS_CACHE[key]
+    from ..io.stats import table_stats
+
+    ev = table_stats(spark, sf_dir, "events")
+    n_docs = table_stats(spark, sf_dir, "documents")["n"]
+    return (n_docs, ev["n"], ev["min_event_id"], ev["max_event_id"])
 
 
 def _pick(options: tuple[str, ...], ix: Column) -> Column:
