@@ -32,26 +32,37 @@ from .readers import load_table
 # (applicationId, sf_dir, table) -> stats Row
 _CACHE: dict[tuple[str, str, str], Row] = {}
 
-# value-cents: the exact fixed-point form every money-typed plan uses
-_VC = (F.col("value").cast("decimal(38,6)") * 100).cast("bigint")
-# hour bucket of the event timestamp (shared by the series queries)
-_HOUR = F.floor(F.col("ts").cast("long") / 3600).cast("bigint")
 
-_STAT_EXPRS = {
-    "events": lambda: [
+def _events_exprs():
+    # Column construction needs an active SparkContext, so these live
+    # inside the (lazily called) expression builder, not at module import.
+    # value-cents: the exact fixed-point form every money-typed plan uses
+    vc = (F.col("value").cast("decimal(38,6)") * 100).cast("bigint")
+    # hour bucket of the event timestamp (shared by the series queries)
+    hour = F.floor(F.col("ts").cast("long") / 3600).cast("bigint")
+    return vc, hour
+
+
+def _events_stat_list():
+    vc, hour = _events_exprs()
+    return [
         F.count(F.lit(1)).alias("n"),
         F.min("event_id").alias("min_event_id"),
         F.max("event_id").alias("max_event_id"),
         F.min("user_id").alias("min_user_id"),
         F.max("user_id").alias("max_user_id"),
         F.countDistinct("user_id").alias("n_users"),
-        F.min(_HOUR).alias("min_hour"),
-        F.max(_HOUR).alias("max_hour"),
-        F.countDistinct(_HOUR).alias("n_hours"),
+        F.min(hour).alias("min_hour"),
+        F.max(hour).alias("max_hour"),
+        F.countDistinct(hour).alias("n_hours"),
         F.countDistinct("user_id", F.to_date("ts")).alias("n_user_days"),
-        F.min(_VC).alias("min_value_cents"),
-        F.max(_VC).alias("max_value_cents"),
-    ],
+        F.min(vc).alias("min_value_cents"),
+        F.max(vc).alias("max_value_cents"),
+    ]
+
+
+_STAT_EXPRS = {
+    "events": _events_stat_list,
     "documents": lambda: [F.count(F.lit(1)).alias("n")],
     "embeddings": lambda: [F.count(F.lit(1)).alias("n")],
     "supplier": lambda: [F.count(F.lit(1)).alias("n")],
