@@ -161,7 +161,9 @@ def synth_wav_column(docs: DataFrame) -> DataFrame:
     """(doc_id, audio binary): real RIFF/WAV PCM16 payloads from the
     closed-form sample spec — born distributed via Arrow-batched
     mapInPandas, exactly how an ingested media table would arrive."""
-    return docs.select("doc_id").mapInPandas(
+    from .multimodal import spread_for_codec
+
+    return spread_for_codec(docs.select("doc_id")).mapInPandas(
         _encode_batches, schema="doc_id bigint, audio binary"
     )
 

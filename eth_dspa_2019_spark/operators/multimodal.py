@@ -300,12 +300,28 @@ def _encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def spread_for_codec(ids: DataFrame) -> DataFrame:
+    """Input-skew fix for the payload codecs (guide §2.5 input skew, §6
+    small files): the fixture id column comes from ONE tiny parquet file,
+    so the scan is a single task — and every ``mapInPandas`` codec stage
+    downstream inherits that partitioning, serializing the per-payload
+    CPU (PNG/WAV encode + decode) onto one core. Repartitioning the
+    8-byte id rows up to the session's parallelism is a trivially cheap
+    shuffle that lets the codec chain use every core. Scale-adaptive: an
+    input that already scans with >= defaultParallelism partitions (any
+    real multi-file payload table) is left untouched."""
+    target = ids.sparkSession.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < target:
+        ids = ids.repartition(target)
+    return ids
+
+
 def synth_png_column(docs: DataFrame) -> DataFrame:
     """(doc_id, image binary): real RGB8 PNG payloads, pixels from the
     closed-form fixture spec. Arrow-batched encode — the binary column
     is born distributed, exactly how a payload-bearing table would be
     ingested."""
-    return docs.select("doc_id").mapInPandas(
+    return spread_for_codec(docs.select("doc_id")).mapInPandas(
         _encode_batches, schema="doc_id bigint, image binary"
     )
 
