@@ -75,12 +75,20 @@ _RAW_CACHE: dict[tuple[str, str], DataFrame] = {}
 _WALK_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+#: The only columns the C1/C2/C3 cleaners read — the checkpoint carries
+#: these 7 narrow fields instead of the full 16-column parse frame with
+#: content strings (guide §2.3 projection, applied at the cache boundary).
+_RAW_COLS = ("kind", "id", "person_id", "post_id", "parent_id", "ts_ms", "raw_ts")
+
+
 def _raw_acts(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _RAW_CACHE:
-        _RAW_CACHE[key] = with_raw_ts(
-            load_activities(spark, sf_dir)
-        ).localCheckpoint(eager=True)
+        _RAW_CACHE[key] = (
+            with_raw_ts(load_activities(spark, sf_dir))
+            .select(*_RAW_COLS)
+            .localCheckpoint(eager=True)
+        )
     return _RAW_CACHE[key]
 
 

@@ -168,7 +168,9 @@ def post_thread_children(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3: a post's activity thread, children time-ordered
     (`BatchPostIdResolver.java:46-52`) — sort_array over collected
     (ts, id) structs, no global sort."""
-    acts = resolved_activities(load_activities(spark, sf_dir))
+    from .social import _resolved
+
+    acts = _resolved(spark, sf_dir)
     kids = acts.filter(F.col("kind").isin("comment", "reply"))
     return (
         kids.groupBy("post_id")

@@ -156,11 +156,21 @@ def reply_post_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RESOLVED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+#: The only columns any _resolved consumer reads (task1 windows, task2
+#: activity counts, post_thread_children). Checkpointing just these makes
+#: the second materialization ~5 narrow columns instead of the full
+#: 16-column parse frame with content strings (guide §2.3 "project before
+#: the exchange" applied to the cache boundary).
+_RESOLVED_COLS = ("kind", "id", "person_id", "ts_ms", "post_id")
+
+
 def _resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _RESOLVED_CACHE:
         df = resolved_activities(load_activities(spark, sf_dir))
-        _RESOLVED_CACHE[key] = df.localCheckpoint(eager=True)
+        _RESOLVED_CACHE[key] = df.select(*_RESOLVED_COLS).localCheckpoint(
+            eager=True
+        )
     return _RESOLVED_CACHE[key]
 
 
