@@ -894,12 +894,16 @@ def prefix_filter_jaccard_pairs(
     if cache_registry is not None:
         cache_registry.append(tokset)
     dfreq = tokset.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    sizes = tokset.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # set size and prefix rank share ONE exchange on id: an unbounded
+    # count window plus the row_number window reuse the same hash
+    # partitioning (guide §2.4 — the former groupBy("id") aggregate and
+    # its re-join paid two extra shuffles for the same number).
     w = Window.partitionBy("id").orderBy("df", "tok")
+    wsz = Window.partitionBy("id")
     ranked = (
         tokset.join(dfreq, "tok")
+        .withColumn("sz", F.count(F.lit(1)).over(wsz))
         .withColumn("r", F.row_number().over(w))
-        .join(sizes, "id")
         # prefix length = sz - ceil(t*sz) + 1, ceil via integer division
         .filter(
             F.col("r")
