@@ -206,9 +206,21 @@ def recommendations(
     )
     srk = Window.partitionBy("eigen_id").orderBy(F.desc("s"), F.asc("user_id"))
     static_rk = static.withColumn("srank", F.row_number().over(srk))
-    max_dc_row = dranges.agg(F.max("dc")).collect()[0][0]
-    max_dc = int(max_dc_row or 0)
-    static_head = static_rk.filter(F.col("srank") <= TOP_N + max_dc)
+    # Displacement bound per eigen: a (window, eigen) top-5 can reach at
+    # most TOP_N + dc(window, eigen) deep into the static ranking, so the
+    # per-eigen max of dc bounds the static head. Joined as a broadcast
+    # (N_EIGEN rows) instead of the former driver collect() — that scalar
+    # job re-executed the whole dynamic-similarity subtree at plan-build
+    # time, before the real job ran it again (guide §1.2: don't compute
+    # things twice; §5: keep data work off the driver).
+    dc_eigen = dranges.groupBy("eigen_id").agg(F.max("dc").alias("dc_max"))
+    static_head = (
+        static_rk.join(F.broadcast(dc_eigen), "eigen_id", "left")
+        .filter(
+            F.col("srank") <= TOP_N + F.coalesce(F.col("dc_max"), F.lit(0))
+        )
+        .drop("dc_max")
+    )
     # (a) the window's dynamic users, with their static similarity attached
     dyn_cand = dynamic.join(static.withColumnRenamed("s", "s2"), ["eigen_id", "user_id"])
     dyn_cand = dyn_cand.select(
