@@ -69,6 +69,26 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Fan a single-task scan out to the session's parallelism before a
+    compute-heavy pipeline (guide §2.5 input skew / §6 small files).
+
+    The driver testdata ships ONE parquet row group per table, and a row
+    group is Spark's atomic split unit — so every scan is a single task
+    and everything that pipelines on top of it (string synthesis,
+    shingling, per-payload kernels, partial aggregation) runs on one core
+    until the first exchange. Repartitioning the small scan output is a
+    trivial shuffle that unlocks all cores. Scale-adaptive: any input
+    that already scans with >= defaultParallelism partitions (multi-file
+    / multi-row-group production tables) passes through untouched, so
+    the call is a no-op exactly when the fan-out would be a pessimation.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def read_pipe_csv(
     spark: SparkSession,
     path: str,

@@ -46,7 +46,14 @@ def _pointer_chase_fixpoint(mapping: DataFrame, resolved_col: str, chase_cols) -
     working set is re-materialized per round (O(working) checkpoint
     volume); danglers (ptr exhausted, still unresolved) split out so the
     fixpoint terminates on dirty inputs with ``resolved_col`` NULL."""
-    mapping = mapping.localCheckpoint(eager=True)
+    # Seed through ONE keyed exchange before materializing: AQE sizes the
+    # partition count to the mapping's bytes (1-2 locally, N at scale),
+    # so every iteration frame checkpointed below inherits a
+    # data-proportional width instead of the input's task count — without
+    # this, each of the ~6-8 unioned lookup parts kept the full session
+    # parallelism and the per-iteration join paid hundreds of empty map
+    # tasks (guide §2.2: fewer, larger partitions).
+    mapping = mapping.repartition(F.col("id")).localCheckpoint(eager=True)
     rcol = F.col(resolved_col)
     parts = [mapping.filter(rcol.isNotNull())]
     working = mapping.filter(rcol.isNull() & F.col("ptr").isNotNull())

@@ -172,7 +172,12 @@ def synth_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    from ..io.readers import spread_scan
+
+    # One row group -> one scan task: without the fan-out the WHOLE
+    # synth+parse pipeline (string formatting, regex, timestamp zoo,
+    # checkpoint write) runs on a single core (guide §2.5).
+    ev = spread_scan(load_table(spark, sf_dir, "events"))
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     e = F.col("event_id")
     m = e % 10
