@@ -69,7 +69,18 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
 
-def spread_scan(df: DataFrame) -> DataFrame:
+# (applicationId, sf_dir, table) -> whether the scan needs the fan-out;
+# the .rdd partition probe costs a plan analysis, so remember it.
+# NOTE (r11, measured): spreading at LOAD for every consumer was tried
+# and reverted — it helps one-pass per-row-heavy kernels but wrecks
+# iterative algorithms over small frames (BPE merge rounds 2.5s->7.3s,
+# kmeans pipeline 2.3s->8.6s: every iteration inherits session-width
+# partitioning and pays empty-task scheduling). Apply spread_scan at the
+# consumer, only in front of one-pass compute-heavy pipelines.
+_SPREAD_DECISION: dict[tuple[str, str, str], bool] = {}
+
+
+def spread_scan(df: DataFrame, _key: tuple | None = None) -> DataFrame:
     """Fan a single-task scan out to the session's parallelism before a
     compute-heavy pipeline (guide §2.5 input skew / §6 small files).
 
@@ -84,7 +95,13 @@ def spread_scan(df: DataFrame) -> DataFrame:
     the call is a no-op exactly when the fan-out would be a pessimation.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _key is not None and _key in _SPREAD_DECISION:
+        narrow = _SPREAD_DECISION[_key]
+    else:
+        narrow = df.rdd.getNumPartitions() < target
+        if _key is not None:
+            _SPREAD_DECISION[_key] = narrow
+    if narrow:
         df = df.repartition(target)
     return df
 
