@@ -154,7 +154,9 @@ def _pick(options: tuple[str, ...], ix: Column) -> Column:
     return F.element_at(F.array(*[F.lit(o) for o in options]), (ix % len(options) + 1).cast("int"))
 
 
-def synth_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_base(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
     """events + per-row synthesis columns (kind selector, latest-post /
     latest-comment references, formatted creationDate, joined content).
 
@@ -172,12 +174,19 @@ def synth_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    from ..io.readers import spread_scan
-
-    # One row group -> one scan task: without the fan-out the WHOLE
+    # One row group -> one scan task: without a fan-out the WHOLE
     # synth+parse pipeline (string formatting, regex, timestamp zoo,
-    # checkpoint write) runs on a single core (guide §2.5).
-    ev = spread_scan(load_table(spark, sf_dir, "events"))
+    # checkpoint write) runs on a single core (guide §2.5). The fan-out is
+    # OPT-IN (load_activities, the batch-parse consumer, requests it):
+    # tape writers need the narrow form — their downstream file streams
+    # consume with maxFilesPerTrigger=1, so fanning the synth out 32-wide
+    # multiplied the written file count and therefore the micro-batch
+    # count ~32x (each with a durable-state commit).
+    ev = load_table(spark, sf_dir, "events")
+    if spread:
+        from ..io.readers import spread_scan
+
+        ev = spread_scan(ev)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     e = F.col("event_id")
     m = e % 10
@@ -239,11 +248,17 @@ def synth_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("doc_id")
 
 
-def synth_activity_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_activity_lines(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
     """Serialize the synthetic activities through the reference wire format,
     as three per-kind streams unioned (posts ∪ comments+replies ∪ likes —
-    the producer's 3-file merge, `SN/Producer.java:23-43`)."""
-    b = synth_base(spark, sf_dir)
+    the producer's 3-file merge, `SN/Producer.java:23-43`).
+
+    ``spread=False`` (default) keeps the single-task scan shape — tape
+    writers depend on the narrow form for file granularity == micro-batch
+    granularity; the batch parse path opts into the core fan-out."""
+    b = synth_base(spark, sf_dir, spread=spread)
     e = F.col("event_id").cast("string")
     person = F.col("user_id").cast("string")
     ip = F.concat(F.lit("10.0."), (F.col("event_id") % 250).cast("string"), F.lit("."), (F.col("event_id") % 100).cast("string"))
@@ -305,7 +320,7 @@ def load_activities(spark: SparkSession, sf_dir: str) -> DataFrame:
         # means synth→parse pipelines into ONE job and one materialization;
         # the synth union's three branches each scan events once inside it.
         _ACTS_CACHE[key] = parse_activities(
-            synth_activity_lines(spark, sf_dir)
+            synth_activity_lines(spark, sf_dir, spread=True)
         ).localCheckpoint(eager=True)
     return _ACTS_CACHE[key]
 
