@@ -431,7 +431,12 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = table_stats(spark, sf_dir, "events")
     vmin, n = st["min_value_cents"], st["n"]
     vrange = st["max_value_cents"] - vmin + 1
-    hist = quantile_sketch_histogram(vals, vmin, vrange)
+    # the <=QS_BINS-row sketch feeds both sides of the cumulative
+    # triangular join — materialize it once so the events aggregation
+    # under it runs once, not twice (guide §5)
+    hist = quantile_sketch_histogram(vals, vmin, vrange).localCheckpoint(
+        eager=True
+    )
     return quantiles_from_histogram(hist, n, vmin, vrange)
 
 
@@ -531,12 +536,18 @@ def event_type_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("v"),
     )
+    # st and hist are SKETCH relations (|groups| and <= |groups|*QS_BINS
+    # rows) but st is consumed twice (histogram build + percentile
+    # selection) and hist three times (both sides of the cumulative join
+    # + the selection) — without a barrier every consumer re-runs the
+    # full events aggregation underneath (guide §5: the subtree is
+    # expensive, the result is tiny). Materialize each once.
     st = vals.groupBy("g").agg(
         F.min("v").alias("vmin"),
         (F.max("v") - F.min("v") + 1).alias("r"),
         F.count(F.lit(1)).alias("n"),
-    )
-    hist = grouped_quantile_histogram(vals, st)
+    ).localCheckpoint(eager=True)
+    hist = grouped_quantile_histogram(vals, st).localCheckpoint(eager=True)
     lo = hist.select(
         F.col("g").alias("lg"),
         F.col("bin").alias("lbin"),

@@ -209,10 +209,25 @@ def task2_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     users, num_users = _users(spark, sf_dir)
     friends = synth_friend_edges(users, num_users)
     grid = candidate_grid(users, friends)
-    static = static_similarity(grid, synth_person_attrs(users))
     from .social import _resolved
 
-    counts = windowed_activity_counts(_resolved(spark, sf_dir))
-    dynamic = dynamic_similarity(counts, friends)
+    # recommendations() consumes static 3x (ranges, ranking, dyn-candidate
+    # join) and dynamic 4x (ranges, per-eigen bound, candidates, anti-join)
+    # — without a barrier Spark re-executes each subtree per consumer
+    # (guide §5 caching / §3.3 materialize reused intermediates: the
+    # r11-baseline plan was 490 nodes with 152 Exchanges and zero reuse).
+    # Materialize each narrow similarity relation once; counts feeds both
+    # dynamic and the window list, so it is materialized first. All three
+    # are small by construction (static: N_EIGEN x users; counts/dynamic:
+    # bounded by per-window co-activity).
+    static = static_similarity(
+        grid, synth_person_attrs(users)
+    ).localCheckpoint(eager=True)
+    counts = windowed_activity_counts(
+        _resolved(spark, sf_dir)
+    ).localCheckpoint(eager=True)
+    dynamic = dynamic_similarity(counts, friends).localCheckpoint(
+        eager=True
+    )
     windows = counts.select("window_end").distinct()
     return recommendations(static, dynamic, windows)

@@ -573,7 +573,18 @@ def vector_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = neardup_pairs_lsh(
         emb, ND_THRESHOLD, bands=bands, planes_per_band=rpb, dim=DIM
     )
-    dropped = pairs.select(F.col("b").alias("vec_id")).distinct()
+    # surv is consumed twice (outlier scoring + the cleaned corpus), and
+    # without a barrier each consumer re-executes the whole LSH pair
+    # subtree through the anti-join (guide §5: cache what is reused and
+    # expensive). Materialize the DROP LIST (a bare vec_id relation, the
+    # lightweight proxy per guide §8) instead of the wide corpus rows —
+    # the two surv re-executions then cost one scan + broadcast anti-join
+    # each while LSH runs exactly once.
+    dropped = (
+        pairs.select(F.col("b").alias("vec_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     surv = emb.join(dropped, "vec_id", "left_anti")
     keep = (
         label_centroid_dist(surv)
