@@ -19,8 +19,16 @@ def test_stream_stream_like_post_join_equals_batch(spark, sf_dir, tmp_path):
     )
     posts_b = acts.filter(F.col("kind") == KIND_POST).select("id", "ts_ms")
     ldir, pdir = str(tmp_path / "likes"), str(tmp_path / "posts")
-    likes_b.write.mode("overwrite").parquet(ldir)
-    posts_b.write.mode("overwrite").parquet(pdir)
+    # one file per side = one trigger per side: the tape must present
+    # BOUNDED disorder to the 30-min watermark. load_activities now
+    # parses session-parallel (32 hash-distributed partitions), so a bare
+    # write would produce 32 files each spanning the full time range —
+    # every trigger after the first would replay the whole range and the
+    # watermark would (correctly) drop it. Late-drop semantics have their
+    # own test (test_late_data); this one checks join == batch on an
+    # in-contract feed.
+    likes_b.coalesce(1).write.mode("overwrite").parquet(ldir)
+    posts_b.coalesce(1).write.mode("overwrite").parquet(pdir)
 
     likes_s = spark.readStream.schema(likes_b.schema).option(
         "maxFilesPerTrigger", 2
