@@ -58,19 +58,43 @@ def _pointer_chase_fixpoint(mapping: DataFrame, resolved_col: str, chase_cols) -
     parts = [mapping.filter(rcol.isNotNull())]
     working = mapping.filter(rcol.isNull() & F.col("ptr").isNotNull())
     parts.append(mapping.filter(rcol.isNull() & F.col("ptr").isNull()))
-    for _ in range(MAX_ITERS):
-        if working.limit(1).count() == 0:
-            break
-        lookup = parts[0]
-        for part in parts[1:]:
-            lookup = lookup.unionByName(part)
-        lookup = lookup.unionByName(working)
-        chased = (
-            working.alias("u")
+
+    def _hop(w: DataFrame, lookup: DataFrame) -> DataFrame:
+        return (
+            w.alias("u")
             .join(lookup.alias("p"), F.col("u.ptr") == F.col("p.id"), "left")
             .select(*chase_cols())
-            .localCheckpoint(eager=True)
         )
+
+    def _union(frames) -> DataFrame:
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    # TWO doubling hops per materialized round (r11): hop2 probes hop1's
+    # still-working rows against parts ∪ hop1 — hop1 is each node's
+    # latest state, so this is the same doubling applied twice; the round
+    # advances pointers 4× instead of 2× and the fixpoint needs half the
+    # rounds (⌈log₄ d⌉ materializations + empty-checks instead of
+    # ⌈log₂ d⌉). Per-round the hop1 subtree is referenced by four
+    # consumers inside ONE job — its exchanges are reused and only the
+    # working-set-sized join CPU repeats, which is what we trade for a
+    # driver-coordinated barrier + checkpoint write per round. Output is
+    # identical: a materialization boundary between two hops was never
+    # semantically relevant.
+    for _ in range(-(-MAX_ITERS // 2)):
+        if working.limit(1).count() == 0:
+            break
+        hop1 = _hop(working, _union([*parts, working]))
+        h1_work = hop1.filter(rcol.isNull() & F.col("ptr").isNotNull())
+        chased = _union(
+            [
+                hop1.filter(rcol.isNotNull()),
+                hop1.filter(rcol.isNull() & F.col("ptr").isNull()),
+                _hop(h1_work, _union([*parts, hop1])),
+            ]
+        ).localCheckpoint(eager=True)
         parts.append(chased.filter(rcol.isNotNull()))
         parts.append(chased.filter(rcol.isNull() & F.col("ptr").isNull()))
         working = chased.filter(rcol.isNull() & F.col("ptr").isNotNull())
