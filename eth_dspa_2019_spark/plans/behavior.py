@@ -10,7 +10,7 @@ table is scanned once per stage and never self-joined row-to-row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import auto_band_bits, h64, o_auto_band_bits, o_h64
@@ -1031,7 +1031,7 @@ def hourly_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Per-user robust outliers (median/MAD) — the grouped-map Arrow surface
+# Per-user robust outliers (median/MAD) — exact integer order statistics
 
 MAD_K2 = 7  # flag |v - med| > 3.5 x MAD, in the doubled-integer domain
 
@@ -1079,7 +1079,7 @@ MAD_K2 = 7  # flag |v - med| > 3.5 x MAD, in the doubled-integer domain
                     THEN 1 ELSE 0 END) AS bigint) AS n_outliers
     FROM dev GROUP BY user_id
     """,
-    doc="per-user robust (median/MAD) outlier counts via grouped-map Arrow",
+    doc="per-user robust (median/MAD) outlier counts, exact integer math",
 )
 def user_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user robust outlier detection — exact median + MAD (median
@@ -1093,52 +1093,58 @@ def user_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 2d > {MAD_K2}·0 rule degenerates to d > 0 — any deviation from
     the median flags, in both engines, by the same inequality.
 
-    This query is the engine's GROUPED-MAP Arrow surface
-    (``applyInPandas`` without state — the batch sibling of
-    `streaming/features.py`'s applyInPandasWithState): exact medians need
-    each user's full value set in one place, which is precisely the
-    grouped-map contract. The group is one user's events — bounded by
-    per-key activity, never corpus-scale — so the pandas kernel's memory
-    is the per-group row count, and Spark shuffles each group to one
-    worker ONCE (the same hash exchange a groupBy would pay).
+    Exact medians need each user's full value set in one place; a group
+    is one user's events — bounded by per-key activity, never
+    corpus-scale — so Spark shuffles each group to one worker ONCE (the
+    same hash exchange a groupBy pays) and the whole fold runs as JVM
+    higher-order functions over the collected array: sort once for the
+    median, transform+sort once for the deviations, filter for the
+    outlier count. r11: this replaced a ``groupBy().applyInPandas``
+    kernel — identical math, but 1 500 per-group Python round-trips cost
+    ~4.3 s at sf0.1 while the codegen'd array form runs in ~0.3 s
+    (guide §4.1: prefer built-ins, including higher-order functions,
+    over grouped-map Python; the grouped-map Arrow surface itself stays
+    exercised by `streaming/features.py` and its tests).
 
-    Scale shape: one hash shuffle on user_id; per-group O(n log n) numpy
-    sorts; output one row per user. A skew-heavy corpus would pre-split
-    hot users with the salting scaffold (`operators/skew.py`) and merge
-    the per-salt order statistics via the two-level median-of-medians
-    refinement; the fixture's groups are uniform."""
-    import numpy as np
-    import pandas as pd
-
+    Scale shape: one hash shuffle on user_id; per-group O(n log n)
+    array sorts; output one row per user. A skew-heavy corpus would
+    pre-split hot users with the salting scaffold (`operators/skew.py`)
+    and merge the per-salt order statistics via the two-level
+    median-of-medians refinement; the fixture's groups are uniform."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         (F.col("value").cast("decimal(38,6)") * 100)
         .cast("bigint")
         .alias("v"),
     )
+    # doubled-median of a sorted array a (1-based element_at): the sum of
+    # the two middle order statistics — lower == upper for odd n
+    def med2(a: Column) -> Column:
+        n = F.size(a)
+        lo = F.element_at(a, ((n + 1) / 2).cast("int"))
+        hi = F.element_at(a, (n / 2 + 1).cast("int"))
+        return lo + hi
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(pdf["v"].to_numpy(np.int64))
-        n = len(v)
-        k1, k2 = (n + 1) // 2 - 1, n // 2
-        med2 = int(v[k1]) + int(v[k2])
-        d = np.abs(2 * v.astype(np.int64) - med2)
-        ds = np.sort(d)
-        mad2 = int(ds[k1]) + int(ds[k2])
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n": [n],
-                "med2_fx": [med2],
-                "mad2_fx": [mad2],
-                "n_outliers": [int((2 * d > MAD_K2 * mad2).sum())],
-            }
-        )
-
-    return ev.groupBy("user_id").applyInPandas(
-        fold,
-        schema="user_id long, n long, med2_fx long, mad2_fx long, "
-        "n_outliers long",
+    vs = F.sort_array(F.collect_list("v"))
+    out = ev.groupBy("user_id").agg(vs.alias("vs"))
+    m2 = med2(F.col("vs"))
+    out = out.select(
+        "user_id",
+        F.size("vs").cast("long").alias("n"),
+        m2.alias("med2_fx"),
+        F.sort_array(
+            F.transform("vs", lambda x: F.abs(2 * x - m2))
+        ).alias("ds"),
+    )
+    mad2 = med2(F.col("ds"))
+    return out.select(
+        "user_id",
+        "n",
+        "med2_fx",
+        mad2.alias("mad2_fx"),
+        F.size(
+            F.filter("ds", lambda d: 2 * d > F.lit(MAD_K2) * mad2)
+        ).cast("long").alias("n_outliers"),
     )
 
 

@@ -506,3 +506,65 @@ def test_kl_drift_zero_for_corpus_identical_source(spark, sf_dir):
         # code-length identity: per-source bits never exceed corpus bits
         # by more than the integer-log rounding (1 bit/token)
         assert r["source_bits"] <= r["corpus_bits"] + r["n_tokens"]
+
+
+def test_mad_outliers_array_fold_order_statistics(spark):
+    """The r11 higher-order-function MAD fold must reproduce the doubled
+    integer order statistics exactly: odd/even group sizes, the MAD==0
+    degenerate rule (any deviation flags), and a group with genuine
+    outliers."""
+    from pyspark.sql import functions as F
+
+    from eth_dspa_2019_spark.plans import all_queries
+    import numpy as np
+
+    rows = []
+    # user 1: odd n, plain spread  -> med2=2*30, mad2=2*10
+    for v in (10, 30, 50):
+        rows.append((1, v))
+    # user 2: even n -> med2 = 20+40
+    for v in (10, 20, 40, 70):
+        rows.append((2, v))
+    # user 3: MAD == 0 (majority identical), one deviant must flag
+    for v in (5, 5, 5, 5, 99):
+        rows.append((3, v))
+    df = spark.createDataFrame(
+        [(u, v / 100.0) for u, v in rows], "user_id long, value double"
+    )
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        # the query loads events.parquet from sf_dir; synthesize a minimal one
+        df.select(
+            F.col("user_id"),
+            F.col("value"),
+            F.lit(1).cast("long").alias("event_id"),
+            F.current_timestamp().alias("ts"),
+            F.lit("x").alias("event_type"),
+            F.lit("p").alias("props"),
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r["user_id"]: r
+            for r in all_queries()["user_value_outliers_mad"]
+            .spark(spark, d)
+            .collect()
+        }
+
+    def ref(vals):
+        v = np.sort(np.array(vals, dtype=np.int64))
+        n = len(v)
+        k1, k2 = (n + 1) // 2 - 1, n // 2
+        med2 = int(v[k1]) + int(v[k2])
+        dd = np.abs(2 * v - med2)
+        ds = np.sort(dd)
+        mad2 = int(ds[k1]) + int(ds[k2])
+        return n, med2, mad2, int((2 * dd > 7 * mad2).sum())
+
+    groups = {1: [10, 30, 50], 2: [10, 20, 40, 70], 3: [5, 5, 5, 5, 99]}
+    for u, vals in groups.items():
+        n, med2, mad2, n_out = ref(vals)
+        r = out[u]
+        assert (r["n"], r["med2_fx"], r["mad2_fx"], r["n_outliers"]) == (
+            n, med2, mad2, n_out,
+        ), (u, dict(r.asDict()))
+    assert out[3]["mad2_fx"] == 0 and out[3]["n_outliers"] == 1
