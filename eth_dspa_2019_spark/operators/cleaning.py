@@ -100,28 +100,55 @@ def _forest_walk(acts: DataFrame, keep_semantics: bool | None = None) -> DataFra
     pending = acts.filter(F.col("kind") == KIND_REPLY).select(
         "id", "kind", "raw_ts", "parent_id"
     ).localCheckpoint(eager=True)
-    for _ in range(MAX_DEPTH):
-        if pending.limit(1).count() == 0:
-            break
-        hit = (
-            pending.alias("c")
-            .join(frontier.alias("p"), F.col("c.parent_id") == F.col("p.id"))
-            .select(
-                F.col("c.id").alias("id"),
-                F.col("c.kind").alias("kind"),
-                F.col("c.raw_ts").alias("raw_ts"),
-                _fix(F.col("c.raw_ts"), F.col("p.ts_fixed")).alias("ts_fixed"),
-                (
-                    F.col("p.valid") & (F.col("c.raw_ts") > F.col("p.raw_ts"))
-                ).alias("valid"),
+    # r11: one LEFT join materialization per level replaces the inner-join
+    # `hit` + anti-join `pending` pair — the matched rows ARE the level's
+    # hits and the unmatched rows ARE the next pending set, so both splits
+    # read the same checkpointed frame (guide §2.4: the anti-join
+    # duplicated a shuffle whose answer the left join already computed).
+    # Per level: 1 checkpoint + 1 count job instead of 2 checkpoints + 1
+    # count; the single count also reads both split sizes, so a forest
+    # with orphaned parents exits after the first no-progress level
+    # instead of spinning MAX_DEPTH empty rounds.
+    if pending.limit(1).count() > 0:
+        for _ in range(MAX_DEPTH):
+            step = (
+                pending.alias("c")
+                .join(
+                    frontier.alias("p"),
+                    F.col("c.parent_id") == F.col("p.id"),
+                    "left",
+                )
+                .select(
+                    F.col("c.id").alias("id"),
+                    F.col("c.kind").alias("kind"),
+                    F.col("c.raw_ts").alias("raw_ts"),
+                    F.col("c.parent_id").alias("parent_id"),
+                    F.col("p.id").isNotNull().alias("hitp"),
+                    _fix(F.col("c.raw_ts"), F.col("p.ts_fixed")).alias(
+                        "ts_fixed"
+                    ),
+                    (
+                        F.col("p.valid")
+                        & (F.col("c.raw_ts") > F.col("p.raw_ts"))
+                    ).alias("valid"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-        pending = pending.join(hit.select("id"), "id", "left_anti").localCheckpoint(
-            eager=True
-        )
-        done = done.unionByName(hit)
-        frontier = hit
+            n_hit, n_all = step.agg(
+                F.sum(F.col("hitp").cast("long")), F.count(F.lit(1))
+            ).first()
+            if not n_hit:
+                break  # orphaned parents only — same output as before
+            hit = step.filter("hitp").select(
+                "id", "kind", "raw_ts", "ts_fixed", "valid"
+            )
+            pending = step.filter(~F.col("hitp")).select(
+                "id", "kind", "raw_ts", "parent_id"
+            )
+            done = done.unionByName(hit)
+            frontier = hit
+            if n_hit == n_all:
+                break  # nothing left pending
     if keep_semantics is True:
         return done.filter(F.col("valid")).select(
             "id", "kind", F.col("raw_ts").alias("ts_ms")
