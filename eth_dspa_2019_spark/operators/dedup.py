@@ -931,16 +931,37 @@ def prefix_filter_jaccard_pairs(
         )
         .distinct()
     )
-    ta, tb = tokset.alias("ta"), tokset.alias("tb")
+    # Verify via per-doc token ARRAYS instead of re-exploding the token
+    # relation under the candidate join (r11, guide §2.3 "shuffle fewer
+    # bytes"/§3.3): the exploded form pushed |cand|·|tokens per doc| rows
+    # (13.5M at sf0.1) through a grouped count; joining the |docs|-row
+    # array relation onto the |cand| pairs and intersecting in one
+    # codegen'd array op moves the same token bytes but 70x fewer rows
+    # and no aggregation hash table. tokset is distinct per id, so
+    # array_intersect is exact set intersection.
+    # (persisted: both verify joins probe it, and collect_list is a
+    # non-codegen ObjectHashAggregate worth computing once; |docs| rows,
+    # bounded by per-doc token counts — same footprint discipline as
+    # tokset above, released through the same cache_registry)
+    tokarr = (
+        tokset.groupBy("id")
+        .agg(F.sort_array(F.collect_list("tok")).alias("toks"))
+        .persist()
+    )
+    if cache_registry is not None:
+        cache_registry.append(tokarr)
     inter = (
-        cand.join(ta, F.col("ta.id") == F.col("doc_a"))
-        .join(
-            tb,
-            (F.col("tb.id") == F.col("doc_b"))
-            & (F.col("tb.tok") == F.col("ta.tok")),
+        cand.join(tokarr.alias("A"), F.col("A.id") == F.col("doc_a"))
+        .join(tokarr.alias("B"), F.col("B.id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "sza",
+            "szb",
+            F.size(F.array_intersect(F.col("A.toks"), F.col("B.toks")))
+            .cast("long")
+            .alias("inter_sz"),
         )
-        .groupBy("doc_a", "doc_b", "sza", "szb")
-        .agg(F.count(F.lit(1)).alias("inter_sz"))
     )
     return (
         inter.withColumn(
