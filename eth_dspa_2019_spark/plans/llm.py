@@ -902,26 +902,36 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.col("pos") + i for i in range(SHINGLE_N)])
         ).alias("pos"),
     )
-    kept = base.select(
-        "doc_id", "n_tokens", F.posexplode("t").alias("pos", "tok")
-    ).join(covered, ["doc_id", "pos"], "left_anti")
-    agg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
+    # r11: re-assembly is a positional array filter, not a second token
+    # explosion. The old form posexploded EVERY token (sum-of-tokens rows),
+    # anti-joined the covered set, and re-collected each doc via
+    # collect_list + array_sort — three shuffles of corpus-token volume to
+    # delete a few spans. The covered set (bounded by hot-gram occurrences,
+    # the text being removed) now folds to one per-doc position array and
+    # a single codegen'd filter-with-index keeps surviving tokens in
+    # document order; docs outside the covered set keep their array
+    # untouched (guide §2.3 shuffle the decision, not the payload).
+    cov = covered.groupBy("doc_id").agg(F.collect_set("pos").alias("cov"))
+    return (
+        base.join(cov, "doc_id", "left")
+        .withColumn(
+            "clean",
+            F.expr(
+                "filter(t, (x, i) -> "
+                "NOT array_contains(coalesce(cov, array()), i))"
             ),
-        ).alias("clean_text"),
-    )
-    return base.join(agg, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
-            "n_removed"
-        ),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("n_tokens")
+                - F.coalesce(F.size("clean").cast("bigint"), F.lit(0))
+            ).alias("n_removed"),
+            F.coalesce(F.concat_ws(" ", "clean"), F.lit("")).alias(
+                "clean_text"
+            ),
+        )
     )
 
 
