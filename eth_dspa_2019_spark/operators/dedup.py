@@ -62,8 +62,8 @@ def _pair_jaccard(sh: DataFrame, candidates: DataFrame | None = None) -> DataFra
     graph is candidates ⋈ sh ⋈ sh, and Catalyst never sees (or builds) the
     all-pairs shingle self-join.
     """
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     if candidates is None:
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
         a, b = sh.alias("a"), sh.alias("b")
         common = (
             a.join(
@@ -75,15 +75,40 @@ def _pair_jaccard(sh: DataFrame, candidates: DataFrame | None = None) -> DataFra
             .agg(F.count(F.lit(1)).alias("common"))
         )
     else:
-        common = (
-            candidates.join(sh.alias("a"), F.col("a.id") == F.col("doc_a"))
-            .join(
-                sh.alias("b"),
-                (F.col("b.id") == F.col("doc_b"))
-                & (F.col("a.shingle") == F.col("b.shingle")),
+        # r11: verify candidates against per-doc shingle ARRAYS instead of
+        # re-exploding the shingle relation under the pair join (same move
+        # as prefix_filter_jaccard_pairs' verify): |cand| rows with one
+        # codegen'd array_intersect each, instead of |cand|·|shingles/doc|
+        # join+aggregate rows. sh is distinct per id, so the intersect is
+        # exact; sizes come from the same arrays, dropping the two
+        # _jaccard_ratio joins. Pairs with zero common shingles are
+        # filtered, matching the old inner-join semantics.
+        tokarr = sh.groupBy("id").agg(
+            F.sort_array(F.collect_list("shingle")).alias("toks")
+        )
+        return (
+            candidates.join(
+                tokarr.alias("A"), F.col("A.id") == F.col("doc_a")
             )
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("common"))
+            .join(tokarr.alias("B"), F.col("B.id") == F.col("doc_b"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(
+                    F.array_intersect(F.col("A.toks"), F.col("B.toks"))
+                ).alias("common"),
+                F.size(F.col("A.toks")).alias("na"),
+                F.size(F.col("B.toks")).alias("nb"),
+            )
+            .filter(F.col("common") > 0)
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.col("common")
+                    / (F.col("na") + F.col("nb") - F.col("common"))
+                ).alias("jaccard"),
+            )
         )
     return _jaccard_ratio(sizes, common)
 
