@@ -390,7 +390,18 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return nodes, e.count()
     trace = [(0, *counts(edges))]
     cur = edges
+    n_edges = trace[0][2]
     for r in range(1, KCORE_ROUNDS + 1):
+        # r11: an empty graph is a fixed point — every remaining round is
+        # (r, 0, 0) by definition, so fill the trace without running
+        # degree/semi-join jobs over empty frames (the fixture empties by
+        # ~round 5 of the fixed unrolled schedule).
+        if n_edges == 0:
+            trace.append((r, 0, 0))
+            continue
+        # keep feeds three consumers (both semi-join sides + the count);
+        # materialize it once instead of re-running the degree aggregate
+        # for the nk count (r11 — the checkpoint is |nodes|-bounded).
         keep = (
             cur.select(F.col("a").alias("node"))
             .unionByName(cur.select(F.col("b").alias("node")))
@@ -398,6 +409,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= KCORE_K)
             .select("node")
+            .localCheckpoint(eager=True)
         )
         cur = (
             cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
@@ -406,7 +418,8 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         nk = keep.count()
-        trace.append((r, nk, cur.count()))
+        n_edges = cur.count()
+        trace.append((r, nk, n_edges))
     return spark.createDataFrame(
         trace, "round bigint, nodes_remaining bigint, edges_remaining bigint"
     )
