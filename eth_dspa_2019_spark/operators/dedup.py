@@ -488,8 +488,14 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    CHECK_EVERY = 2
-    prev = labels
+    # r11: the convergence probe is a CHANGE FLAG carried through the
+    # round's own materialization — each round knows its pre-round label,
+    # so `chg` is a free projection column and the fixpoint check is a
+    # limit(1) scan of the just-checkpointed round instead of a separate
+    # labels⋈prev join every CHECK_EVERY rounds. The scan is cheap enough
+    # to run every round, so the loop exits at the FIRST no-change round
+    # (a no-change round is a fixpoint of deterministic ops — identical
+    # labels, fewer wasted rounds than the batched-check form).
     for rnd in range(64):
         # neighbor-min pass: lbl'(v) = min(lbl(v), min over neighbors lbl(u))
         nbr = (
@@ -499,6 +505,7 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
         )
         nxt = labels.join(nbr, labels.id == nbr.a, "left").select(
             "id",
+            F.col("lbl").alias("old_lbl"),
             F.least(
                 F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
             ).alias("lbl"),
@@ -508,28 +515,21 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
         jump = nxt.select(
             F.col("id").alias("jid"), F.col("lbl").alias("jlbl")
         )
-        nxt = (
+        new_lbl = F.least(
+            F.col("lbl"), F.coalesce(F.col("jlbl"), F.col("lbl"))
+        )
+        step = (
             nxt.join(jump, nxt.lbl == jump.jid, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("jlbl"), F.col("lbl"))
-                ).alias("lbl"),
+                new_lbl.alias("lbl"),
+                (new_lbl != F.col("old_lbl")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        labels = nxt
-        if (rnd + 1) % CHECK_EVERY == 0:
-            changed = (
-                labels.alias("n")
-                .join(prev.alias("o"), "id")
-                .filter(F.col("n.lbl") != F.col("o.lbl"))
-                .limit(1)
-                .count()
-            )
-            if changed == 0:
-                break
-            prev = labels
+        labels = step.select("id", "lbl")
+        if step.filter("chg").limit(1).count() == 0:
+            break
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 
