@@ -663,51 +663,49 @@ def _grid_corr_pruned(
     # one-hash-many-bits discipline as the SimHash votes); sign of plane
     # p = bit (p mod 60) of word p div 60
     n_words = (planes + 59) // 60
-    cent = series.join(stats, "user_id").select(
+    # r11: the three wide builders below (hash words, per-plane sign
+    # aggregates, bit columns, band structs) are SQL strings — one py4j
+    # round-trip per expression instead of ~10 Column-API calls each.
+    # Profiled at sf0.1 the Column form spent 14.3 s of the query's
+    # plan-build in 18 640 py4j round-trips (the SCALE.md "plan-
+    # construction cost" rule, applied to this builder). Same physical
+    # plan, same expressions.
+    cent = series.join(stats, "user_id").selectExpr(
         "user_id",
         "hour",
-        (F.col("v") * F.col("cu") - F.col("su")).alias("w"),
+        "(v * cu - su) AS w",
         *[
-            h64(
-                F.concat(
-                    F.lit(f"corrsketch{wd}#"), F.col("hour").cast("string")
-                )
-            ).alias(f"hw{wd}")
+            f"cast(conv(substring(md5(concat('corrsketch{wd}#', "
+            f"cast(hour as string))), 1, 15), 16, 10) as bigint) AS hw{wd}"
             for wd in range(n_words)
         ],
     )
     sign_aggs = [
-        F.sum(
-            F.col("w")
-            * (
-                F.shiftright(F.col(f"hw{p // 60}"), p % 60)
-                .bitwiseAND(1)
-                * 2
-                - 1
-            )
+        F.expr(
+            f"sum(w * ((shiftright(hw{p // 60}, {p % 60}) & 1) * 2 - 1))"
         ).alias(f"s{p}")
         for p in range(planes)
     ]
-    sig = cent.groupBy("user_id").agg(*sign_aggs).select(
+    sig = cent.groupBy("user_id").agg(*sign_aggs).selectExpr(
         "user_id",
         *[
-            F.when(F.col(f"s{p}") > 0, 1).otherwise(0).alias(f"b{p}")
+            f"(CASE WHEN s{p} > 0 THEN 1 ELSE 0 END) AS b{p}"
             for p in range(planes)
         ],
     )
     rpb = planes // bands
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            sum(
-                (F.col(f"b{b * rpb + r}") * (1 << r) for r in range(1, rpb)),
-                F.col(f"b{b * rpb}"),
-            ).alias("band_key"),
+    band_structs = ", ".join(
+        "named_struct('band_id', {b}, 'band_key', {key})".format(
+            b=b,
+            key=" + ".join(
+                f"b{b * rpb + r} * {1 << r}" if r else f"b{b * rpb}"
+                for r in range(rpb)
+            ),
         )
         for b in range(bands)
-    ]
-    bands_df = sig.select(
-        "user_id", F.explode(F.array(*band_structs)).alias("band")
+    )
+    bands_df = sig.selectExpr(
+        "user_id", f"explode(array({band_structs})) AS band"
     ).select("user_id", "band.band_id", "band.band_key")
     x, y = bands_df.alias("x"), bands_df.alias("y")
     cand = (
