@@ -178,10 +178,26 @@ def global_running_sums(
         aggs.append(F.count(tmp[name]).alias(f"c_{name}"))
     partials = {r[_PID]: r.asDict() for r in part.groupBy(_PID).agg(*aggs).collect()}
 
-    w = Window.partitionBy(_PID).orderBy(*order_cols).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # r11: the per-name offset projection is ONE selectExpr of SQL
+    # strings. The Column form paid ~130 py4j round-trips per name
+    # (two 2·|partitions|-literal create_maps, window spec, when chain),
+    # multiplied by withColumn's plan copy — at 10 names over 32
+    # partitions that was the bulk of task3's 11.7k-round-trip build.
+    # Same expressions, same physical plan, bit-identical offsets.
+    def _sql_map(pairs: dict[int, int]) -> str:
+        if not pairs:
+            return "map()"
+        entries = ", ".join(
+            f"{k}, CAST({v} AS BIGINT)" for k, v in pairs.items()
+        )
+        return f"map({entries})"
+
+    order_sql = ", ".join(f"`{c}`" for c in order_cols)
+    win_frame = (
+        f"OVER (PARTITION BY `{_PID}` ORDER BY {order_sql} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
-    out = part
+    name_exprs = []
     for name in exprs:
         prior_sum: dict[int, int] = {}
         prior_cnt: dict[int, int] = {}
@@ -190,13 +206,12 @@ def global_running_sums(
             prior_sum[pid], prior_cnt[pid] = acc_s, acc_c
             acc_s += partials[pid][f"s_{name}"] or 0
             acc_c += partials[pid][f"c_{name}"]
-        win = F.sum(tmp[name]).over(w)
-        off_s = F.coalesce(_pid_map(prior_sum)[F.col(_PID)], F.lit(0))
-        off_c = F.coalesce(_pid_map(prior_cnt)[F.col(_PID)], F.lit(0))
-        out = out.withColumn(
-            name,
-            F.when(
-                win.isNotNull() | (off_c > 0), F.coalesce(win, F.lit(0)) + off_s
-            ),
+        win = f"sum(`{tmp[name]}`) {win_frame}"
+        off_s = f"coalesce({_sql_map(prior_sum)}[`{_PID}`], 0)"
+        off_c = f"coalesce({_sql_map(prior_cnt)}[`{_PID}`], 0)"
+        name_exprs.append(
+            f"CASE WHEN ({win}) IS NOT NULL OR {off_c} > 0 "
+            f"THEN coalesce({win}, 0) + {off_s} END AS `{name}`"
         )
+    out = part.selectExpr("*", *name_exprs)
     return out.drop(_PID, *tmp.values())
