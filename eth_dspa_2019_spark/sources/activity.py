@@ -150,10 +150,6 @@ def _table_stats(spark: SparkSession, sf_dir: str) -> tuple[int, int, int, int]:
     return (n_docs, ev["n"], ev["min_event_id"], ev["max_event_id"])
 
 
-def _pick(options: tuple[str, ...], ix: Column) -> Column:
-    return F.element_at(F.array(*[F.lit(o) for o in options]), (ix % len(options) + 1).cast("int"))
-
-
 def synth_base(
     spark: SparkSession, sf_dir: str, spread: bool = False
 ) -> DataFrame:
@@ -194,22 +190,22 @@ def synth_base(
     if mn == 0 and mx == n - 1:
         # dense ids: last post before e = the largest e' < e with e'%10<=2;
         # per decade d the posts are 10d..10d+2, comments/replies 10d+3..10d+8
-        d10 = F.floor(e / 10).cast("long")
-        last_post = (
-            F.when(m >= 3, d10 * 10 + 2)
-            .when(m >= 1, e - 1)
-            .otherwise(F.when(d10 > 0, (d10 - 1) * 10 + 2))
-        )
-        last_comment = F.when(m >= 4, e - 1).otherwise(
-            F.when(d10 > 0, (d10 - 1) * 10 + 8)
-        )
-        pre = ev.select(
+        # (SQL strings — one py4j round-trip per column, see the r11 note
+        # in synth_activity_lines)
+        d10 = "floor(event_id / 10)"
+        pre = ev.selectExpr(
             "event_id",
             "user_id",
             "ts",
             "props",
-            last_post.alias("last_post"),
-            last_comment.alias("last_comment"),
+            "CASE WHEN event_id % 10 >= 3 THEN "
+            f"{d10} * 10 + 2 "
+            "WHEN event_id % 10 >= 1 THEN event_id - 1 "
+            f"ELSE (CASE WHEN {d10} > 0 THEN ({d10} - 1) * 10 + 2 END) "
+            "END AS last_post",
+            "CASE WHEN event_id % 10 >= 4 THEN event_id - 1 "
+            f"ELSE (CASE WHEN {d10} > 0 THEN ({d10} - 1) * 10 + 8 END) "
+            "END AS last_comment",
         )
     else:  # pragma: no cover — driver testdata is dense at every sf
         w_prev = Window.orderBy("event_id").rowsBetween(
@@ -225,23 +221,30 @@ def synth_base(
                 "last_comment"
             ),
         )
-    sec = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    fmt = {
+        0: "yyyy-MM-dd'T'HH:mm:ss",
+        1: "yyyy-MM-dd'T'HH:mm:ss.S",
+        2: "yyyy-MM-dd'T'HH:mm:ss.SS'Z'",
+        3: "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
+        4: "yyyy-MM-dd'T'HH:mm:ss.SS'ZZ'",
+    }
     date_str = (
-        F.when(e % 5 == 0, sec)
-        .when(e % 5 == 1, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.S"))
-        .when(e % 5 == 2, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SS'Z'"))
-        .when(e % 5 == 3, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
-        .otherwise(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SS'ZZ'"))
+        "CASE "
+        + " ".join(
+            f'WHEN event_id % 5 = {v} THEN date_format(ts, "{fmt[v]}")'
+            for v in range(4)
+        )
+        + f' ELSE date_format(ts, "{fmt[4]}") END'
     )
-    base = pre.select(
+    base = pre.selectExpr(
         "event_id",
         "user_id",
-        m.alias("m"),
+        "event_id % 10 AS m",
         "last_post",
         "last_comment",
-        date_str.alias("date_str"),
-        (e % n_docs).alias("doc_ref"),
-        F.regexp_extract("props", r"(\d+)", 1).cast("long").alias("k"),
+        f"{date_str} AS date_str",
+        f"event_id % {n_docs} AS doc_ref",
+        r"cast(regexp_extract(props, '(\\d+)', 1) as bigint) AS k",
     )
     return base.join(
         F.broadcast(docs), base.doc_ref == docs.doc_id, "left"
@@ -259,47 +262,49 @@ def synth_activity_lines(
     writers depend on the narrow form for file granularity == micro-batch
     granularity; the batch parse path opts into the core fan-out."""
     b = synth_base(spark, sf_dir, spread=spread)
-    e = F.col("event_id").cast("string")
-    person = F.col("user_id").cast("string")
-    ip = F.concat(F.lit("10.0."), (F.col("event_id") % 250).cast("string"), F.lit("."), (F.col("event_id") % 100).cast("string"))
-    browser = _pick(BROWSERS, F.col("event_id"))
-    posts = b.filter(F.col("m") <= 2).select(
-        F.concat_ws(
-            "|",
-            F.lit("P"),
-            e,
-            person,
-            "date_str",
-            F.when(F.col("event_id") % 2 == 0, F.concat(F.lit("photo"), e, F.lit(".jpg"))).otherwise(F.lit("")),
-            ip,
-            browser,
-            _pick(LANGS, F.col("event_id")),
-            "text",
-            F.concat(F.lit("["), F.col("k").cast("string"), F.lit(", "), (F.col("k") + 100).cast("string"), F.lit("]")),
-            (F.col("event_id") % 100).cast("string"),
-            (F.col("event_id") % 50).cast("string"),
-        ).alias("value")
+    # r11: each branch's wire line is ONE SQL expression string instead
+    # of ~40 Column-API calls — plan construction for the synth was ~0.9s
+    # of py4j round-trips PER QUERY (re-paid by every cold social query;
+    # SCALE.md plan-construction rule). Expressions are 1:1 with the old
+    # Column form; the oracle derives every parsed field independently,
+    # so any drift here fails 16 gate rows.
+    e = "cast(event_id as string)"
+    person = "cast(user_id as string)"
+    ip = (
+        "concat('10.0.', cast(event_id % 250 as string), '.', "
+        "cast(event_id % 100 as string))"
     )
-    comments = b.filter((F.col("m") >= 3) & (F.col("m") <= 8)).select(
-        F.concat_ws(
-            "|",
-            F.lit("C"),
-            e,
-            person,
-            "date_str",
-            ip,
-            browser,
-            "text",
-            # comment → reply_to_postId, reply → empty + reply_to_commentId
-            F.when(F.col("m") <= 6, F.col("last_post").cast("string")).otherwise(F.lit("")),
-            F.when(F.col("m") >= 7, F.col("last_comment").cast("string")).otherwise(F.lit("")),
-            (F.col("event_id") % 50).cast("string"),
-        ).alias("value")
+    browser = (
+        "element_at(array("
+        + ", ".join(f"'{x}'" for x in BROWSERS)
+        + f"), cast(event_id % {len(BROWSERS)} + 1 as int))"
     )
-    likes = b.filter(F.col("m") == 9).select(
-        F.concat_ws(
-            "|", F.lit("L"), person, F.col("last_post").cast("string"), "date_str"
-        ).alias("value")
+    lang = (
+        "element_at(array("
+        + ", ".join(f"'{x}'" for x in LANGS)
+        + f"), cast(event_id % {len(LANGS)} + 1 as int))"
+    )
+    posts = b.filter(F.col("m") <= 2).selectExpr(
+        "concat_ws('|', 'P', "
+        f"{e}, {person}, date_str, "
+        f"CASE WHEN event_id % 2 = 0 THEN concat('photo', {e}, '.jpg') "
+        "ELSE '' END, "
+        f"{ip}, {browser}, {lang}, text, "
+        "concat('[', cast(k as string), ', ', cast(k + 100 as string), ']'), "
+        "cast(event_id % 100 as string), "
+        "cast(event_id % 50 as string)) AS value"
+    )
+    # comment → reply_to_postId, reply → empty + reply_to_commentId
+    comments = b.filter((F.col("m") >= 3) & (F.col("m") <= 8)).selectExpr(
+        "concat_ws('|', 'C', "
+        f"{e}, {person}, date_str, {ip}, {browser}, text, "
+        "CASE WHEN m <= 6 THEN cast(last_post as string) ELSE '' END, "
+        "CASE WHEN m >= 7 THEN cast(last_comment as string) ELSE '' END, "
+        "cast(event_id % 50 as string)) AS value"
+    )
+    likes = b.filter(F.col("m") == 9).selectExpr(
+        f"concat_ws('|', 'L', {person}, cast(last_post as string), "
+        "date_str) AS value"
     )
     return posts.unionByName(comments).unionByName(likes)
 
