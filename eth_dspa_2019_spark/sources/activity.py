@@ -85,50 +85,67 @@ def parse_activities(lines: DataFrame, value_col: str = "value") -> DataFrame:
     (`SN/util/Activity.java`): P|id|person|date|image|ip|browser|lang|
     content|tags|forum|place · C|id|person|date|ip|browser|content|
     reply_to_post|reply_to_comment|place · L|person|post|date."""
-    p = F.split(F.col(value_col), r"\|", -1)
-    tag = F.element_at(p, 1)
-    is_p, is_c, is_l = tag == "P", tag == "C", tag == "L"
-    is_reply = is_c & (F.element_at(p, 8) == "")
+    # r11: the projection is built as SQL strings — one py4j round-trip
+    # per output column instead of ~10 (the same plan-construction diet
+    # as the synth builders; identical expressions, identical plan —
+    # repeated subtrees like the split() are shared by Catalyst's
+    # subexpression elimination exactly as the shared Column node was).
+    p = rf"split(`{value_col}`, '\\|', -1)"
 
-    def pick(post: Column | None, comment: Column | None, like: Column | None, dtype: str) -> Column:
-        nul = F.lit(None).cast(dtype)
+    def e(i: int) -> str:
+        return f"element_at({p}, {i})"
+
+    is_p, is_c = f"{e(1)} = 'P'", f"{e(1)} = 'C'"
+    is_reply = f"({is_c} AND {e(8)} = '')"
+
+    def pick(post: str | None, comment: str | None, like: str | None, dtype: str) -> str:
+        nul = f"CAST(NULL AS {dtype})"
         return (
-            F.when(is_p, post if post is not None else nul)
-            .when(is_c, comment if comment is not None else nul)
-            .otherwise(like if like is not None else nul)
+            f"CASE WHEN {is_p} THEN {post if post is not None else nul} "
+            f"WHEN {is_c} THEN {comment if comment is not None else nul} "
+            f"ELSE {like if like is not None else nul} END"
         )
 
-    e = lambda i: F.element_at(p, i)  # noqa: E731
     raw_date = e(4)  # date is field 4 for all three kinds
-    ts = parse_creation_date(raw_date)
-    return lines.filter(is_p | is_c | is_l).select(
-        F.when(is_p, KIND_POST)
-        .when(is_reply, KIND_REPLY)
-        .when(is_c, KIND_COMMENT)
-        .otherwise(KIND_LIKE)
-        .alias("kind"),
-        pick(e(2), e(2), e(3), "string").cast("long").alias("id"),
-        pick(e(3), e(3), e(2), "string").cast("long").alias("person_id"),
-        raw_date.alias("creation_date"),
-        ts.alias("ts"),
-        F.unix_millis(ts).alias("ts_ms"),
+    norm = f"regexp_replace({raw_date}, 'Z+$', '')"
+    ts = "coalesce(" + ", ".join(
+        f'try_to_timestamp({norm}, "yyyy-MM-dd\'T\'HH:mm:ss{frac}")'
+        for frac in (".SSS", ".SS", ".S", "")
+    ) + ")"
+    tags_inner = rf"regexp_replace({e(10)}, '^\\[|\\]$', '')"
+    tags = (
+        f"CASE WHEN length(trim({tags_inner})) = 0 "
+        "THEN CAST(array() AS ARRAY<BIGINT>) "
+        rf"ELSE transform(split({tags_inner}, ',\\s*'), "
+        "x -> CAST(x AS BIGINT)) END"
+    )
+    return lines.filter(F.expr(f"{e(1)} IN ('P', 'C', 'L')")).selectExpr(
+        f"CASE WHEN {is_p} THEN '{KIND_POST}' "
+        f"WHEN {is_reply} THEN '{KIND_REPLY}' "
+        f"WHEN {is_c} THEN '{KIND_COMMENT}' "
+        f"ELSE '{KIND_LIKE}' END AS kind",
+        f"CAST({pick(e(2), e(2), e(3), 'STRING')} AS BIGINT) AS id",
+        f"CAST({pick(e(3), e(3), e(2), 'STRING')} AS BIGINT) AS person_id",
+        f"{raw_date} AS creation_date",
+        f"{ts} AS ts",
+        f"unix_millis({ts}) AS ts_ms",
         pick(
-            e(2).cast("long"),
-            F.when(is_reply, F.lit(UNRESOLVED)).otherwise(
-                e(8).cast("long")
-            ),
-            e(3).cast("long"),
-            "long",
-        ).alias("post_id"),
-        F.when(is_reply, e(9).cast("long")).alias("parent_id"),
-        pick(e(9), e(7), None, "string").alias("content"),
-        F.when(is_p, _parse_tags(e(10))).alias("tags"),
-        F.when(is_p, e(5)).alias("image_file"),
-        pick(e(6), e(5), None, "string").alias("location_ip"),
-        pick(e(7), e(6), None, "string").alias("browser"),
-        F.when(is_p, e(8)).alias("language"),
-        F.when(is_p, e(11).cast("long")).alias("forum_id"),
-        pick(e(12), e(10), None, "string").cast("long").alias("place_id"),
+            f"CAST({e(2)} AS BIGINT)",
+            f"CASE WHEN {is_reply} THEN CAST({UNRESOLVED} AS BIGINT) "
+            f"ELSE CAST({e(8)} AS BIGINT) END",
+            f"CAST({e(3)} AS BIGINT)",
+            "BIGINT",
+        )
+        + " AS post_id",
+        f"CASE WHEN {is_reply} THEN CAST({e(9)} AS BIGINT) END AS parent_id",
+        f"{pick(e(9), e(7), None, 'STRING')} AS content",
+        f"CASE WHEN {is_p} THEN {tags} END AS tags",
+        f"CASE WHEN {is_p} THEN {e(5)} END AS image_file",
+        f"{pick(e(6), e(5), None, 'STRING')} AS location_ip",
+        f"{pick(e(7), e(6), None, 'STRING')} AS browser",
+        f"CASE WHEN {is_p} THEN {e(8)} END AS language",
+        f"CASE WHEN {is_p} THEN CAST({e(11)} AS BIGINT) END AS forum_id",
+        f"CAST({pick(e(12), e(10), None, 'STRING')} AS BIGINT) AS place_id",
     )
 
 
