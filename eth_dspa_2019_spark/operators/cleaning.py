@@ -97,9 +97,12 @@ def _forest_walk(acts: DataFrame, keep_semantics: bool | None = None) -> DataFra
     )
     done = comments.localCheckpoint(eager=True)
     frontier = done
+    # (no seed checkpoint: callers pass the materialized raw-stream cache,
+    # so level 0 reads this filter straight off that checkpoint; later
+    # levels re-derive pending from their own materialized step — r11)
     pending = acts.filter(F.col("kind") == KIND_REPLY).select(
         "id", "kind", "raw_ts", "parent_id"
-    ).localCheckpoint(eager=True)
+    )
     # r11: one LEFT join materialization per level replaces the inner-join
     # `hit` + anti-join `pending` pair — the matched rows ARE the level's
     # hits and the unmatched rows ARE the next pending set, so both splits
