@@ -160,10 +160,17 @@ def _encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def synth_wav_column(docs: DataFrame) -> DataFrame:
     """(doc_id, audio binary): real RIFF/WAV PCM16 payloads from the
     closed-form sample spec — born distributed via Arrow-batched
-    mapInPandas, exactly how an ingested media table would arrive."""
-    from .multimodal import spread_for_codec
+    mapInPandas, exactly how an ingested media table would arrive.
 
-    return spread_for_codec(docs.select("doc_id")).mapInPandas(
+    NO codec fan-out here (r11): unlike PNG inflate (8-9 s one-core at
+    sf0.1, where `spread_for_codec` is a 7x win), PCM16 encode+decode is
+    sequential-memory trivial — the fixture's whole payload set costs
+    ~0.5 s on one task, while the fan-out's extra exchange plus 32 Arrow
+    worker streams measured +2-3.5 s per audio query in both full-bench
+    runs that carried it. A real audio corpus arrives as a multi-file
+    binary table and scans wide without help (guide §1.1: measure, then
+    undo the "fix" that pessimized)."""
+    return docs.select("doc_id").mapInPandas(
         _encode_batches, schema="doc_id bigint, audio binary"
     )
 
