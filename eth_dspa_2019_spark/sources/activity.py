@@ -199,7 +199,11 @@ def synth_base(
     if spread:
         from ..io.readers import spread_scan
 
-        ev = spread_scan(ev)
+        # keyed: the narrow-or-wide probe (.rdd partition count, a full
+        # plan analysis) runs once per session+table, not once per query
+        ev = spread_scan(
+            ev, (spark.sparkContext.applicationId, sf_dir, "events")
+        )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     e = F.col("event_id")
     m = e % 10
