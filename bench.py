@@ -85,6 +85,11 @@ def main() -> None:
         except Exception:
             df.collect()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # r12 (verdict r11 #2, additive): one compact machine-parseable
+        # line per query so per-query timings survive even when the full
+        # dict overflows the driver's stdout tail capture. The last-line
+        # summary contract below is unchanged.
+        print(json.dumps({"q": name, "sec": timings[name]}), flush=True)
 
     total = round(sum(timings.values()), 4)
 
@@ -152,6 +157,16 @@ def main() -> None:
     )
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
+    # r12 (verdict r11 #2, additive): ALSO write a core-count-stamped copy
+    # so a multi-config driver run (32c then 8c) no longer clobbers the
+    # 32-core per-query dict — both configs stay readable after the run.
+    stamped = os.path.join(
+        os.path.dirname(full_path) or ".",
+        f"BENCH_FULL.{cpus}c.json",
+    )
+    if os.path.abspath(stamped) != os.path.abspath(full_path):
+        with open(stamped, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
     print(json.dumps(full))
     spark.stop()
     # LAST line = compact summary only; must stay well under 2000 chars.
