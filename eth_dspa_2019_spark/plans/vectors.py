@@ -1286,26 +1286,38 @@ def kmeans_lloyd_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure CTE chain. Empty clusters keep their previous centroid
     (coalesce), matching `kmeans_refine`."""
     emb = load_table(spark, sf_dir, "embeddings")
-    el = (
-        emb.select("vec_id", F.posexplode("embedding").alias("i0", "x"))
-        .select(
+    # r12: LIST-FORM assignment, mirroring the oracle's own elq/cent0l
+    # CTEs (guide §2.3 shuffle fewer bytes / §8 decide on proxies): the
+    # old row-form assign exploded to N·dim rows and pushed N·K·dim rows
+    # (~180M at sf0.1, 6.5e9 at 100×) through the join+aggregate; the
+    # vector stays an array<bigint>, the broadcast nested-loop join
+    # produces only N·K rows, and the 64-term distance folds in ONE
+    # codegen'd zip_with/aggregate per row. Null/short-vector edge cases
+    # now poison the distance to NULL exactly like the oracle's unrolled
+    # `+` chain (the row form silently skipped them; no such rows exist
+    # in any testdata).
+    elq = (
+        emb.select(
             "vec_id",
-            (F.col("i0") + 1).alias("i"),
-            F.floor(F.col("x").cast("double") * KM_Q)
-            .cast("bigint")
-            .alias("xf"),
+            F.expr(
+                f"transform(embedding, x -> cast(floor(cast(x AS double)"
+                f" * {KM_Q}) AS bigint))"
+            ).alias("q"),
         )
+        .filter(F.size("q") > 0)
         .localCheckpoint(eager=True)
     )
     # ADVICE r7: the stride knob must count the SAME population the
     # oracle's knobs CTE counts — distinct vec_id AFTER the explode (a
-    # NULL/empty embedding row exists pre-explode only). Same pass also
-    # guards the floor-vs-truncate neutralization precondition: the
-    # centroid-update shift keeps numerators non-negative only while
-    # every coordinate satisfies xf >= -KM_Q (x >= -1); below that the
-    # two division semantics silently diverge, so fail loudly instead.
-    st = el.agg(
-        F.countDistinct("vec_id").alias("n"), F.min("xf").alias("mn")
+    # NULL/empty embedding row exists pre-explode only; the size guard
+    # above drops exactly those). Same pass also guards the
+    # floor-vs-truncate neutralization precondition: the centroid-update
+    # shift keeps numerators non-negative only while every coordinate
+    # satisfies xf >= -KM_Q (x >= -1); below that the two division
+    # semantics silently diverge, so fail loudly instead.
+    st = elq.agg(
+        F.countDistinct("vec_id").alias("n"),
+        F.min(F.array_min("q")).alias("mn"),
     ).collect()[0]
     if st["mn"] is not None and int(st["mn"]) < -KM_Q:
         raise ArithmeticError(
@@ -1313,16 +1325,24 @@ def kmeans_lloyd_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "breaks the floor-vs-truncate division neutralization"
         )
     stride = km_stride_for(int(st["n"]))
-    cent0 = el.filter(F.col("vec_id") % stride == 0).select(
-        F.col("vec_id").alias("cid"), "i", (F.col("xf") * KM_S).alias("cel")
+    cent0l = elq.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.expr(f"transform(q, v -> v * {KM_S})").alias("cl"),
     )
 
-    def assign(cent: DataFrame) -> DataFrame:
-        diff = F.col("xf") * KM_S - F.col("cel")
-        d = (
-            el.join(F.broadcast(cent), "i")
-            .groupBy("vec_id", "cid")
-            .agg(F.sum(diff * diff).alias("d"))
+    def assign(centl: DataFrame) -> DataFrame:
+        # unrolled 64-term distance (the oracle's d1e shape): element_at
+        # is whole-stage-codegen'd where zip_with/aggregate lambdas are
+        # interpreted per element — measured 2× faster here
+        dist = F.expr(
+            " + ".join(
+                f"(element_at(q, {i}) * {KM_S} - element_at(cl, {i}))"
+                f" * (element_at(q, {i}) * {KM_S} - element_at(cl, {i}))"
+                for i in range(1, DIM + 1)
+            )
+        )
+        d = elq.crossJoin(F.broadcast(centl)).select(
+            "vec_id", "cid", dist.alias("d")
         )
         return d.groupBy("vec_id").agg(
             F.min(F.struct("d", "cid")).alias("a")
@@ -1330,10 +1350,20 @@ def kmeans_lloyd_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("a.cid").alias("cid"), F.col("a.d").alias("d")
         )
 
-    def update(cent: DataFrame, asg: DataFrame) -> DataFrame:
+    def _rows(df: DataFrame, arr: str, out: str) -> DataFrame:
+        """(id-cols, i, value) row form of one array column — the update
+        aggregation is per-dimension, so it alone re-explodes."""
+        other = [c for c in df.columns if c != arr]
+        return df.select(
+            *other, F.posexplode(arr).alias("i0", out)
+        ).select(*other, (F.col("i0") + 1).alias("i"), out)
+
+    def update(centl: DataFrame, asg: DataFrame) -> DataFrame:
         upd = (
             asg.select("vec_id", "cid")
-            .join(el, "vec_id")
+            .join(elq, "vec_id")
+            .select("cid", F.posexplode("q").alias("i0", "xf"))
+            .select("cid", (F.col("i0") + 1).alias("i"), "xf")
             .groupBy("cid", "i")
             .agg(F.sum("xf").alias("s"), F.count(F.lit(1)).alias("n"))
             .select(
@@ -1345,12 +1375,19 @@ def kmeans_lloyd_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("ucel"),
             )
         )
-        return cent.join(upd, ["cid", "i"], "left").select(
+        cent_rows = _rows(centl, "cl", "cel")
+        new_rows = cent_rows.join(upd, ["cid", "i"], "left").select(
             "cid", "i", F.coalesce("ucel", "cel").alias("cel")
         )
+        return new_rows.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, cel))),"
+                " s -> s.cel)"
+            ).alias("cl")
+        )
 
-    cent1 = update(cent0, assign(cent0)).localCheckpoint(eager=True)
-    a2 = assign(cent1)
+    cent1l = update(cent0l, assign(cent0l)).localCheckpoint(eager=True)
+    a2 = assign(cent1l)
     return (
         a2.groupBy("cid")
         .agg(
