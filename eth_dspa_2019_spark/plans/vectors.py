@@ -1488,28 +1488,39 @@ def sem_cluster_assign(emb: DataFrame) -> DataFrame:
     the registered query and the growth/recall tests. A second Lloyd
     round moves co-cluster recall < 1 pt on the testdata embeddings
     (measured r9), so the gate query pins the single-round form."""
-    el = (
-        emb.select("vec_id", F.posexplode("embedding").alias("i0", "x"))
-        .select(
+    # r12: same list-form assignment as kmeans_lloyd_sizes (vectors stay
+    # array<bigint>; N·K rows through the broadcast nested-loop join
+    # instead of N·K·dim through a join+aggregate; the 64-term distance
+    # is one codegen'd expression). The size guard drops exactly the
+    # rows the old posexplode dropped (NULL/empty embeddings).
+    elq = (
+        emb.select(
             "vec_id",
-            (F.col("i0") + 1).alias("i"),
-            F.floor(F.col("x").cast("double") * KM_Q)
-            .cast("bigint")
-            .alias("xf"),
+            F.expr(
+                f"transform(embedding, x -> cast(floor(cast(x AS double)"
+                f" * {KM_Q}) AS bigint))"
+            ).alias("q"),
         )
+        .filter(F.size("q") > 0)
         .localCheckpoint(eager=True)
     )
     stride = km_stride_for(
-        int(el.agg(F.countDistinct("vec_id")).collect()[0][0])
+        int(elq.agg(F.countDistinct("vec_id")).collect()[0][0])
     )
-    cent0 = el.filter(F.col("vec_id") % stride == 0).select(
-        F.col("vec_id").alias("cid"), "i", (F.col("xf") * KM_S).alias("cel")
+    cent0l = elq.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.expr(f"transform(q, v -> v * {KM_S})").alias("cl"),
     )
-    diff = F.col("xf") * KM_S - F.col("cel")
+    dist = F.expr(
+        " + ".join(
+            f"(element_at(q, {i}) * {KM_S} - element_at(cl, {i}))"
+            f" * (element_at(q, {i}) * {KM_S} - element_at(cl, {i}))"
+            for i in range(1, DIM + 1)
+        )
+    )
     return (
-        el.join(F.broadcast(cent0), "i")
-        .groupBy("vec_id", "cid")
-        .agg(F.sum(diff * diff).alias("d"))
+        elq.crossJoin(F.broadcast(cent0l))
+        .select("vec_id", "cid", dist.alias("d"))
         .groupBy("vec_id")
         .agg(F.min(F.struct("d", "cid")).alias("a"))
         .select("vec_id", F.col("a.cid").alias("cid"))
