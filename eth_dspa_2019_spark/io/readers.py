@@ -28,6 +28,17 @@ TESTDATA_TABLES = (
 )
 
 
+# (applicationId, path, file fingerprint) -> scan-definition DataFrame.
+# Each spark.read.parquet call runs a ~100 ms single-task schema/footer
+# job; a bench run constructs the same 10 scan definitions hundreds of
+# times. Caching the DEFINITION (resolved schema + file listing — the
+# metastore/catalog analog, guide §6 "file listing cached per session")
+# holds no materialized data, so clear_plan_caches doesn't touch it; the
+# stat fingerprint in the key makes a table rewritten in place within one
+# session miss the cache instead of reusing a stale listing.
+_SCAN_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-testdata parquet table.
 
@@ -41,7 +52,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # nanos-precision events table readable at all.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    import os
+
+    try:
+        stt = os.stat(path)
+        fp = (stt.st_mtime_ns, stt.st_size)
+    except OSError:
+        fp = None
+    key = (spark.sparkContext.applicationId, path, fp)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = spark.read.parquet(path)
     # The driver has shipped two physical layouts across rounds: TIMESTAMP
     # (NANOS) columns (surfaced as int64 nanos via nanosAsLong) and plain
     # micros TIMESTAMP_NTZ. Normalize both to session-UTC TIMESTAMP so every
@@ -62,6 +85,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             and isinstance(field.dataType, LongType)
         ):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _SCAN_CACHE[key] = df
     return df
 
 
