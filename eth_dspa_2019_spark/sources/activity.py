@@ -305,7 +305,7 @@ def synth_activity_lines(
         + ", ".join(f"'{x}'" for x in LANGS)
         + f"), cast(event_id % {len(LANGS)} + 1 as int))"
     )
-    posts = b.filter(F.col("m") <= 2).selectExpr(
+    post_line = (
         "concat_ws('|', 'P', "
         f"{e}, {person}, date_str, "
         f"CASE WHEN event_id % 2 = 0 THEN concat('photo', {e}, '.jpg') "
@@ -313,20 +313,41 @@ def synth_activity_lines(
         f"{ip}, {browser}, {lang}, text, "
         "concat('[', cast(k as string), ', ', cast(k + 100 as string), ']'), "
         "cast(event_id % 100 as string), "
-        "cast(event_id % 50 as string)) AS value"
+        "cast(event_id % 50 as string))"
     )
     # comment → reply_to_postId, reply → empty + reply_to_commentId
-    comments = b.filter((F.col("m") >= 3) & (F.col("m") <= 8)).selectExpr(
+    comment_line = (
         "concat_ws('|', 'C', "
         f"{e}, {person}, date_str, {ip}, {browser}, text, "
         "CASE WHEN m <= 6 THEN cast(last_post as string) ELSE '' END, "
         "CASE WHEN m >= 7 THEN cast(last_comment as string) ELSE '' END, "
-        "cast(event_id % 50 as string)) AS value"
+        "cast(event_id % 50 as string))"
     )
-    likes = b.filter(F.col("m") == 9).selectExpr(
+    like_line = (
         f"concat_ws('|', 'L', {person}, cast(last_post as string), "
-        "date_str) AS value"
+        "date_str)"
     )
+    if spread:
+        # r12: the batch-parse path serializes all three kinds in ONE
+        # per-row CASE projection — the 3-branch union scanned and
+        # synthesized events three times (one single-task map job per
+        # branch) and left the parse checkpoint 3×cores partitions wide,
+        # which every downstream social job re-paid as task count (guide
+        # §2.4 remove passes outright). Line expressions are byte-
+        # identical to the union form below — only the assembly differs.
+        return b.selectExpr(
+            f"CASE WHEN m <= 2 THEN {post_line} "
+            f"WHEN m <= 8 THEN {comment_line} "
+            f"ELSE {like_line} END AS value"
+        )
+    # Tape writers keep the producer's 3-file merge shape (posts ∪
+    # comments ∪ likes): their downstream file streams consume with
+    # maxFilesPerTrigger=1, so branch-per-file granularity is load-bearing.
+    posts = b.filter(F.col("m") <= 2).selectExpr(f"{post_line} AS value")
+    comments = b.filter((F.col("m") >= 3) & (F.col("m") <= 8)).selectExpr(
+        f"{comment_line} AS value"
+    )
+    likes = b.filter(F.col("m") == 9).selectExpr(f"{like_line} AS value")
     return posts.unionByName(comments).unionByName(likes)
 
 
