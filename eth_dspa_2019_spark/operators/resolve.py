@@ -59,7 +59,35 @@ def _pointer_chase_fixpoint(mapping: DataFrame, resolved_col: str, chase_cols) -
     working = mapping.filter(rcol.isNull() & F.col("ptr").isNotNull())
     parts.append(mapping.filter(rcol.isNull() & F.col("ptr").isNull()))
 
+    # r12: checkpointed-RDD unions carry no size statistics, so Catalyst
+    # plans every chase hop as a two-sided shuffle join — ~12 AQE stage
+    # jobs per round for a relation whose size we have just measured.
+    # When the MEASURED mapping bytes (the lookup side is always ⊆ the
+    # seed mapping — rows only move between parts) fit the session's own
+    # broadcast threshold, hint the lookup side broadcast — the
+    # statistics-informed choice Spark would make itself if RDD-backed
+    # relations had stats (guide §3.1). Data-derived knob: huge forests
+    # keep the shuffle join unchanged.
+    try:
+        bthresh = int(
+            mapping.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        )
+    except ValueError:  # size-suffixed form ("10m") — be conservative
+        bthresh = 10 * 1024 * 1024
+    row_bytes = 8 * (len(mapping.columns) + 1)
+    # one scan of the fresh checkpoint yields both the broadcast knob
+    # (total rows) and the loop-exit probe (working rows)
+    n_mapping, n_working = mapping.agg(
+        F.count(F.lit(1)),
+        F.count(F.when(rcol.isNull() & F.col("ptr").isNotNull(), 1)),
+    ).first()
+    bcast_lookup = 0 <= n_mapping * row_bytes < bthresh
+
     def _hop(w: DataFrame, lookup: DataFrame) -> DataFrame:
+        if bcast_lookup:
+            lookup = F.broadcast(lookup)
         return (
             w.alias("u")
             .join(lookup.alias("p"), F.col("u.ptr") == F.col("p.id"), "left")
@@ -84,7 +112,7 @@ def _pointer_chase_fixpoint(mapping: DataFrame, resolved_col: str, chase_cols) -
     # identical: a materialization boundary between two hops was never
     # semantically relevant.
     for _ in range(-(-MAX_ITERS // 2)):
-        if working.limit(1).count() == 0:
+        if n_working == 0:
             break
         hop1 = _hop(working, _union([*parts, working]))
         h1_work = hop1.filter(rcol.isNull() & F.col("ptr").isNotNull())
@@ -98,6 +126,7 @@ def _pointer_chase_fixpoint(mapping: DataFrame, resolved_col: str, chase_cols) -
         parts.append(chased.filter(rcol.isNotNull()))
         parts.append(chased.filter(rcol.isNull() & F.col("ptr").isNull()))
         working = chased.filter(rcol.isNull() & F.col("ptr").isNotNull())
+        n_working = working.count()
     out = parts[0]
     for part in parts[1:]:
         out = out.unionByName(part)
