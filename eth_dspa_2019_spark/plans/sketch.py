@@ -536,18 +536,43 @@ def event_type_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("v"),
     )
-    # st and hist are SKETCH relations (|groups| and <= |groups|*QS_BINS
-    # rows) but st is consumed twice (histogram build + percentile
-    # selection) and hist three times (both sides of the cumulative join
-    # + the selection) — without a barrier every consumer re-runs the
-    # full events aggregation underneath (guide §5: the subtree is
-    # expensive, the result is tiny). Materialize each once.
+    # hist is a SKETCH relation (<= |groups|*QS_BINS rows) consumed three
+    # times (both sides of the cumulative join + the selection) — without
+    # a barrier every consumer re-runs the full events aggregation
+    # underneath (guide §5: the subtree is expensive, the result is
+    # tiny). r12 (verdict r11 #3): st's per-group scalars (vmin, r, n)
+    # are FUNCTIONAL on g, so instead of checkpointing st separately
+    # (which serialized a second driver-coordinated job ahead of the
+    # histogram build and measured net-SLOWER at sf0.1 than the lazy r10
+    # form), carry them through the histogram's group keys — st then has
+    # exactly ONE consumer (the broadcast inside the hist job) and only
+    # hist materializes. One events-scan job instead of two.
     st = vals.groupBy("g").agg(
         F.min("v").alias("vmin"),
         (F.max("v") - F.min("v") + 1).alias("r"),
         F.count(F.lit(1)).alias("n"),
-    ).localCheckpoint(eager=True)
-    hist = grouped_quantile_histogram(vals, st).localCheckpoint(eager=True)
+    )
+    hist = (
+        vals.join(F.broadcast(st), "g")
+        .select(
+            "g",
+            "vmin",
+            "r",
+            "n",
+            F.least(
+                F.lit(QS_BINS - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.expr(f"(v - vmin) * {QS_BINS} div r"),
+                ),
+            )
+            .cast("bigint")
+            .alias("bin"),
+        )
+        .groupBy("g", "vmin", "r", "n", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     lo = hist.select(
         F.col("g").alias("lg"),
         F.col("bin").alias("lbin"),
@@ -558,16 +583,15 @@ def event_type_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(lo),
             (F.col("lg") == F.col("g")) & (F.col("lbin") <= F.col("bin")),
         )
-        .groupBy("g", "bin", "cnt")
+        .groupBy("g", "vmin", "r", "n", "bin", "cnt")
         .agg(F.sum("lcnt").alias("cum"))
     )
     pcts_df = hist.sparkSession.createDataFrame(
         [(p,) for p in QS_PCTS], "pct int"
     )
     sel = (
-        pcts_df.crossJoin(F.broadcast(st))
+        pcts_df.crossJoin(F.broadcast(cum))
         .withColumn("t", F.expr("pct * (n - 1) div 100"))
-        .join(cum, "g")
         .filter(
             (F.col("cum") > F.col("t"))
             & (F.col("cum") - F.col("cnt") <= F.col("t"))
