@@ -83,8 +83,22 @@ def _pair_jaccard(sh: DataFrame, candidates: DataFrame | None = None) -> DataFra
         # exact; sizes come from the same arrays, dropping the two
         # _jaccard_ratio joins. Pairs with zero common shingles are
         # filtered, matching the old inner-join semantics.
-        tokarr = sh.groupBy("id").agg(
-            F.sort_array(F.collect_list("shingle")).alias("toks")
+        # r12 (verdict r11 #3): build arrays ONLY for docs that appear in
+        # a candidate pair — the r11 form collect_list'ed every doc's
+        # shingles (a corpus-volume shuffle) to verify a candidate set
+        # that is orders of magnitude smaller; that overhead made
+        # incremental_dedup_newbatch net-slower at sf0.1. The candidate
+        # subtree now has two consumers (id screen + verify join), but
+        # both need the identical (doc_a, doc_b) distinct exchange, so
+        # ReuseExchange runs it once per job — no materialization barrier
+        # needed (asserted in tests/test_plans.py).
+        cand_ids = candidates.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("id")
+        ).distinct()
+        tokarr = (
+            sh.join(cand_ids, "id", "left_semi")
+            .groupBy("id")
+            .agg(F.sort_array(F.collect_list("shingle")).alias("toks"))
         )
         return (
             candidates.join(
