@@ -646,6 +646,14 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus between them.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # r12 (verdict r11 #6, examined): `red` textually feeds three
+    # branches, but checkpointing it measured SLOWER (A/B medians
+    # 3.5-3.8 s lazy vs 4.1-4.6 s materialized, three windows): the
+    # bench/contam branches carry complementary doc_id % BENCH_MOD
+    # filters that push below the redaction projection, so the lazy form
+    # redacts each doc ~twice in total (qual once + exactly one gram
+    # branch), and one full-text checkpoint write + barrier costs more
+    # than the one regex pass it saves. Left lazy deliberately.
     red = docs.select("doc_id", "lang", _redact(_aug_col()).alias("t"))
     tk = tokens("t")
     # One projection computes every quality signal (heuristic score,
