@@ -84,9 +84,34 @@ def _forest_walk(acts: DataFrame, keep_semantics: bool | None = None) -> DataFra
     filter+project, False → C2 project, None → full frame.
     """
     posts = _posts_ts(acts)
+    # r12: one seed scan yields the reply probe AND the size knobs for
+    # the per-level joins — callers pass frames with no size statistics
+    # (checkpointed RDDs), so Catalyst planned every level as a two-sided
+    # shuffle join; when the MEASURED side fits the session's broadcast
+    # threshold, hint it (the same stats-informed choice as
+    # operators/resolve.py; big forests keep the shuffle joins).
+    n_posts, n_comments, n_replies = acts.agg(
+        F.count(F.when(F.col("kind") == KIND_POST, 1)),
+        F.count(F.when(F.col("kind") == KIND_COMMENT, 1)),
+        F.count(F.when(F.col("kind") == KIND_REPLY, 1)),
+    ).first()
+    try:
+        bthresh = int(
+            acts.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        )
+    except ValueError:  # size-suffixed form — be conservative
+        bthresh = 10 * 1024 * 1024
+
+    def _maybe_bcast(df: DataFrame, n_rows: int, width: int) -> DataFrame:
+        return F.broadcast(df) if 0 <= n_rows * width < bthresh else df
+
     comments = (
         acts.filter(F.col("kind") == KIND_COMMENT)
-        .join(posts, F.col("post_id") == F.col("pid"))
+        .join(
+            _maybe_bcast(posts, n_posts, 24), F.col("post_id") == F.col("pid")
+        )
         .select(
             "id",
             "kind",
@@ -97,6 +122,7 @@ def _forest_walk(acts: DataFrame, keep_semantics: bool | None = None) -> DataFra
     )
     done = comments.localCheckpoint(eager=True)
     frontier = done
+    n_frontier = n_comments
     # (no seed checkpoint: callers pass the materialized raw-stream cache,
     # so level 0 reads this filter straight off that checkpoint; later
     # levels re-derive pending from their own materialized step — r11)
@@ -112,12 +138,12 @@ def _forest_walk(acts: DataFrame, keep_semantics: bool | None = None) -> DataFra
     # count; the single count also reads both split sizes, so a forest
     # with orphaned parents exits after the first no-progress level
     # instead of spinning MAX_DEPTH empty rounds.
-    if pending.limit(1).count() > 0:
+    if n_replies > 0:
         for _ in range(MAX_DEPTH):
             step = (
                 pending.alias("c")
                 .join(
-                    frontier.alias("p"),
+                    _maybe_bcast(frontier.alias("p"), n_frontier, 48),
                     F.col("c.parent_id") == F.col("p.id"),
                     "left",
                 )
@@ -150,6 +176,7 @@ def _forest_walk(acts: DataFrame, keep_semantics: bool | None = None) -> DataFra
             )
             done = done.unionByName(hit)
             frontier = hit
+            n_frontier = n_hit  # the level's hit count sizes the next join
             if n_hit == n_all:
                 break  # nothing left pending
     if keep_semantics is True:
