@@ -31,6 +31,21 @@ from .registry import register
 TRI_FAN = 3  # synthesized neighbors per user
 
 
+def _bcast_thresh(spark: SparkSession) -> int:
+    """The session's broadcast threshold (bytes) for the measured-size
+    join knobs below — checkpointed-RDD relations carry no statistics,
+    so Catalyst cannot make the broadcast choice itself (guide §3.1);
+    the loop operators know their relation sizes (node/edge counts) and
+    hint the broadcast exactly when Spark would have, falling back to
+    shuffle joins on big graphs."""
+    try:
+        return int(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        )
+    except ValueError:  # size-suffixed form — be conservative
+        return 10 * 1024 * 1024
+
+
 def _o_edges() -> str:
     probes = " UNION ALL ".join(
         f"SELECT user_id AS u, (user_id * 7 + {11 * j}) % n AS v "
@@ -135,6 +150,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # three consumers below
     )
+    n_edges = edges.count()
+    # r12: the wedge self-join and the closing-edge lookup both join the
+    # O(E^1.5) wedge stream against an |E|-sized relation — with the
+    # edge count now measured BEFORE the join is planned, broadcast that
+    # side when it fits (guide §3.1): the wedge blowup then streams with
+    # no exchange at all. Big graphs keep the shuffle joins.
+    small = n_edges * 24 < _bcast_thresh(spark)
+
+    def mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     e1 = oriented.select(
         F.col("src").alias("s"), F.col("dst").alias("wb"),
         F.col("dst_k").alias("kb_"),
@@ -143,14 +169,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("s"), F.col("dst").alias("wc"),
         F.col("dst_k").alias("kc_"),
     )
-    wedges = e1.join(e2, "s").filter(F.col("kb_") < F.col("kc_"))
+    wedges = e1.join(mb(e2), "s").filter(F.col("kb_") < F.col("kc_"))
     closing = oriented.select(
         F.col("src").alias("wb"), F.col("dst").alias("wc")
     )
-    tri = wedges.join(closing, ["wb", "wc"]).agg(
+    tri = wedges.join(mb(closing), ["wb", "wc"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
-    n_edges = edges.count()
     return tri.select(
         F.lit(n_nodes).cast("bigint").alias("n_nodes"),
         F.lit(n_edges).cast("bigint").alias("n_edges"),
@@ -258,17 +283,29 @@ def graph_pagerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.lit(PR_Q // n_nodes).cast("bigint").alias("r")
     )
     srcdeg = outdeg.select(F.col("node").alias("u"), F.col("deg"))
+    # r12: the rank/degree relations are |nodes| rows with a known bound
+    # (table stats); when they fit the broadcast threshold, hint them so
+    # each iteration streams the edge list through BroadcastHashJoins
+    # (one exchange per iteration — the contrib aggregation — instead of
+    # 3-4). The per-iteration lineage cut STAYS in both modes: eliding it
+    # was tried and measured slower (the K nested broadcast builds
+    # serialize on the driver and the fused plan pays one big codegen).
+    small = n_nodes * 16 < _bcast_thresh(spark)
+
+    def mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     for _ in range(PR_ITERS):
         contrib = (
-            bi.join(ranks.withColumnRenamed("node", "u"), "u")
-            .join(srcdeg, "u")
+            bi.join(mb(ranks.withColumnRenamed("node", "u")), "u")
+            .join(mb(srcdeg), "u")
             .select("v", F.expr("r div deg").alias("c"))
             .groupBy(F.col("v").alias("node"))
             .agg(F.sum("c").alias("m"))
         )
         ranks = (
             outdeg.select("node")
-            .join(contrib, "node", "left")
+            .join(mb(contrib), "node", "left")
             .select(
                 "node",
                 (
@@ -363,7 +400,9 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..io.stats import table_stats
 
-    n = table_stats(spark, sf_dir, "events")["max_user_id"] + 1
+    _st = table_stats(spark, sf_dir, "events")
+    n = _st["max_user_id"] + 1
+    n_nodes0 = _st["n_users"]
     raw = users.select(
         F.col("user_id").alias("u"),
         F.explode(
@@ -411,9 +450,17 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node")
             .localCheckpoint(eager=True)
         )
+        # r12: keep is bounded by |nodes| (known from stats) — broadcast
+        # the semi-join filters when it fits, so the surviving-edge pass
+        # streams the edge checkpoint with no exchange
+        kb = (
+            F.broadcast(keep)
+            if n_nodes0 * 8 < _bcast_thresh(spark)
+            else keep
+        )
         cur = (
-            cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
-            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            cur.join(kb.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(kb.withColumnRenamed("node", "b"), "b", "left_semi")
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
@@ -517,9 +564,21 @@ def graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = users.filter(F.col("user_id") % BFS_SEED_MOD == 0).select(
         F.col("user_id").alias("node"), F.lit(0).alias("dist")
     )
+    # r12: dist is bounded by |nodes| (known from table stats) — when it
+    # fits the broadcast threshold, hint it so the relaxation join
+    # streams the edge list instead of shuffling it every round (one
+    # exchange per round — the min-groupBy — instead of three). The
+    # per-round checkpoint stays: dist has TWO consumers per round (the
+    # join and the union), so eliding the cut would re-execute the chain
+    # 2^K times.
+    small = n * 16 < _bcast_thresh(spark)
+
+    def mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     for _ in range(BFS_DEPTH):
         expanded = (
-            bi.join(dist.withColumnRenamed("node", "u"), "u")
+            bi.join(mb(dist.withColumnRenamed("node", "u")), "u")
             .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
         )
         dist = (
