@@ -1209,14 +1209,25 @@ def _bpe_chain(
     """The Spark merge chain shared by `bpe_merge_rounds` (induction),
     `bpe_encode_lengths` (application), and the production trainer
     :func:`bpe_train`: returns the per-round 1-row winner frames and the
-    FINAL per-word symbol relation ``(word, wn, pos, sym)``. The
-    gate-checked queries pin ``rounds={BPE_ROUNDS}`` (the oracle is an
-    unrolled CTE chain); production vocabularies run the SAME loop to
-    any K — per round one vocabulary-sized window pass, one tiny
-    pair-count aggregation, and a broadcast argmax, lineage cut by
-    localCheckpoint so K=30k merges don't accumulate plan depth."""
-    from pyspark.sql.window import Window
+    FINAL per-word symbol relation ``(word, wn, syms array<string>)``.
+    The gate-checked queries pin ``rounds={BPE_ROUNDS}`` (the oracle is
+    an unrolled CTE chain); production vocabularies run the SAME loop to
+    any K.
 
+    r12 shape: each word's symbol sequence stays ONE array row. Per
+    round, pair counting explodes adjacent pairs straight off the arrays
+    (map-side combined onto ~alphabet² keys) and the greedy
+    left-to-right merge is a per-word sequential fold (`aggregate`
+    lambda) — exactly the scan a sequential BPE trainer runs, including
+    the x==y overlap rule (a merged pair clears the carry, so runs of
+    the same symbol merge at even offsets). The r11 row-form needed two
+    window passes and two (word, pos) self-joins per round — four
+    vocabulary-wide shuffles a 30k-merge production run would pay 120k
+    times; the array form has NO per-round shuffle beyond the tiny pair
+    count. The winning pair is attached as broadcast COLUMNS (not
+    literals), so the per-round plan is shape-stable and hits the
+    codegen cache (the r11 literal-filter experiment measured the
+    recompile cost). Lineage is still cut per round (localCheckpoint)."""
     wv = (
         docs.select(F.explode(tokens("text")).alias("word"))
         .groupBy("word")
@@ -1225,75 +1236,60 @@ def _bpe_chain(
     chars = wv.select(
         "word",
         "wn",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, length(word)),"
-                " i -> substring(word, i, 1))"
-            )
-        ).alias("p0", "sym"),
-    ).select(
-        "word", "wn", (F.col("p0") + 1).alias("pos"), "sym"
+        F.expr(
+            "transform(sequence(1, length(word)),"
+            " i -> substring(word, i, 1))"
+        ).alias("syms"),
     ).localCheckpoint(eager=True)
 
-    seq = Window.partitionBy("word").orderBy("pos")
+    # adjacent pairs off the array; the size guard keeps Spark's
+    # DESCENDING sequence(1, 0) from fabricating pairs on 1-symbol words
+    pair_expr = (
+        "CASE WHEN size(syms) >= 2 THEN "
+        "transform(sequence(1, size(syms) - 1), i -> named_struct("
+        "'x', element_at(syms, i), 'y', element_at(syms, i + 1))) "
+        "ELSE array() END"
+    )
+    # greedy left-to-right merge of (bx, by): carry-based fold — merging
+    # clears the carry (advance by two), otherwise the carry shifts by
+    # one; identical to the sequential trainer's scan
+    merge_expr = (
+        "aggregate(syms, "
+        "named_struct('out', cast(array() AS array<string>), "
+        "'carry', cast(NULL AS string)), "
+        "(st, e) -> CASE "
+        "WHEN st.carry IS NULL THEN named_struct('out', st.out, 'carry', e) "
+        "WHEN st.carry = bx AND e = by THEN named_struct("
+        "'out', array_append(st.out, concat(st.carry, e)), "
+        "'carry', cast(NULL AS string)) "
+        "ELSE named_struct('out', array_append(st.out, st.carry), "
+        "'carry', e) END, "
+        "st -> CASE WHEN st.carry IS NULL THEN st.out "
+        "ELSE array_append(st.out, st.carry) END)"
+    )
     bests: list[DataFrame] = []
     for rnd in range(1, rounds + 1):
-        p = chars.withColumn("nxt", F.lead("sym").over(seq)).localCheckpoint(
-            eager=True
-        )
         best = (
-            p.filter(F.col("nxt").isNotNull())
-            .groupBy("sym", "nxt")
+            chars.select("wn", F.explode(F.expr(pair_expr)).alias("p"))
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
             .agg(F.sum("wn").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "sym", "nxt")
+            .orderBy(F.col("cnt").desc(), "x", "y")
             .limit(1)
-            .select(
-                F.lit(rnd).alias("merge_round"),
-                F.col("sym").alias("x"),
-                F.col("nxt").alias("y"),
-                "cnt",
-            )
+            .select(F.lit(rnd).alias("merge_round"), "x", "y", "cnt")
             .localCheckpoint(eager=True)
         )
         if best.isEmpty():
             break  # vocabulary exhausted (every word is one symbol)
         bests.append(best)
-        occ = p.join(
-            F.broadcast(best),
-            (p["sym"] == best["x"]) & (p["nxt"] == best["y"]),
-        ).select(p["word"], p["pos"])
-        runs = occ.withColumn("grp", F.col("pos") - F.row_number().over(seq))
-        keep = (
-            runs.withColumn(
-                "off",
-                F.col("pos")
-                - F.min("pos").over(Window.partitionBy("word", "grp")),
-            )
-            .filter(F.col("off") % 2 == 0)
-            .select("word", "pos")
-        )
         chars = (
-            p.join(
-                keep.withColumn("m", F.lit(1)), ["word", "pos"], "left"
+            chars.crossJoin(
+                F.broadcast(
+                    best.select(
+                        F.col("x").alias("bx"), F.col("y").alias("by")
+                    )
+                )
             )
-            .join(
-                keep.select(
-                    "word",
-                    (F.col("pos") + 1).alias("pos"),
-                    F.lit(1).alias("dropped"),
-                ),
-                ["word", "pos"],
-                "left",
-            )
-            .filter(F.col("dropped").isNull())
-            .select(
-                "word",
-                "wn",
-                F.row_number().over(seq).alias("pos"),
-                F.when(
-                    F.col("m").isNotNull(), F.concat("sym", "nxt")
-                ).otherwise(F.col("sym")).alias("sym"),
-            )
+            .select("word", "wn", F.expr(merge_expr).alias("syms"))
             .localCheckpoint(eager=True)
         )
     return bests, chars
@@ -1308,7 +1304,10 @@ def bpe_train(
     (word, wn, pos, sym). Stops early when the vocabulary is exhausted.
     Verified against a sequential reference trainer for K beyond the
     registered depth in tests/test_kernels.py."""
-    bests, chars = _bpe_chain(docs, rounds)
+    bests, arr = _bpe_chain(docs, rounds)
+    chars = arr.select(
+        "word", "wn", F.posexplode("syms").alias("p0", "sym")
+    ).select("word", "wn", (F.col("p0") + 1).alias("pos"), "sym")
     if not bests:
         empty = docs.sparkSession.createDataFrame(
             [], "merge_round int, x string, y string, cnt long"
@@ -1357,7 +1356,7 @@ def bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull()
     )
     _, chars = _bpe_chain(docs)
-    wseg = chars.groupBy("word").agg(F.count(F.lit(1)).alias("n_segs"))
+    wseg = chars.select("word", F.size("syms").cast("long").alias("n_segs"))
     dw = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
     return (
         dw.join(F.broadcast(wseg), "word")
